@@ -1,0 +1,352 @@
+package graft
+
+/** DuckDB oracle SQL — the ANSI-SQL twin of every oracle-checkable entry in
+  * [[SparkEntry.queries]].
+  *
+  * Mirroring contract (why these strings look the way they do):
+  *   - every aggregate over doubles is an integer-scaled sum
+  *     (`FLOOR(x*scale+0.5)` per row → BIGINT sum → one division at the
+  *     edge) so results are bit-identical regardless of accumulation order;
+  *   - expression structure (operator order, literal types) matches the
+  *     Spark side exactly — IEEE double ops are deterministic when the
+  *     operand order is the same;
+  *   - every query ends in the same ORDER BY as its Spark twin;
+  *   - DuckDB `SUM(BIGINT)` → HUGEINT and `len()` → BIGINT are explicitly
+  *     cast to match Spark's LongType output schema.
+  */
+object OracleSql {
+
+  // ---------- steam domain prelude ----------
+
+  private val rates =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  CASE WHEN n_nationkey=0 THEN 1.0 ELSE 1.0+(n_nationkey%7)*0.5 END AS rate,
+      |  CASE WHEN n_nationkey=23 THEN 'uk' ELSE lower(n_name) END AS cc
+      |FROM nation""".stripMargin
+
+  private val priceStrSql = {
+    val ws = "CAST(CAST(FLOOR(ct/100.0) AS BIGINT) AS VARCHAR)"
+    val fs = "lpad(CAST(ct%100 AS VARCHAR),2,'0')"
+    s"CASE WHEN fmt=0 THEN $ws||','||$fs WHEN fmt=1 THEN $ws||'.'||$fs ELSE '$$ '||$ws||'.'||$fs END"
+  }
+
+  private def factCte(withBad: Boolean): String = {
+    val strExpr =
+      if (withBad) s"CASE WHEN l_orderkey%17=0 THEN 'N/A' ELSE ($priceStrSql) END"
+      else priceStrSql
+    s"""rates AS ($rates),
+       |base AS (SELECT l_orderkey, l_linenumber, n_nationkey, n_name, cc, rate,
+       |  CAST(FLOOR(l_extendedprice*rate/1000.0*100.0+0.5) AS BIGINT) AS ct,
+       |  l_orderkey%3 AS fmt
+       |  FROM lineitem JOIN rates ON l_suppkey%25 = n_nationkey),
+       |strs AS (SELECT *, $strExpr AS price_str FROM base),
+       |ms AS (SELECT *, regexp_extract(price_str, '[0-9]+[,. ]?[0-9]*') AS m FROM strs),
+       |ps AS (SELECT *,
+       |  TRY_CAST(replace(replace(replace(m,' ',''),'.',''),',','.') AS DOUBLE)/rate AS p1,
+       |  TRY_CAST(replace(replace(m,' ',''),',','') AS DOUBLE)/rate AS p2 FROM ms),
+       |fact AS (SELECT l_orderkey, l_linenumber, n_nationkey, n_name, cc, rate, ct, price_str,
+       |  CASE WHEN m IS NULL OR m='' THEN NULL WHEN p1>100 OR p1<0.1 THEN p2 ELSE p1 END AS usd_price
+       |  FROM ps)""".stripMargin
+  }
+
+  private val avgE6 =
+    "CAST(SUM(CAST(FLOOR(usd_price*1000000.0+0.5) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(usd_price)"
+
+  private val statsCtes =
+    s"""cstats AS (SELECT cc, $avgE6 AS avg_usd FROM fact GROUP BY cc),
+       |wstats AS (SELECT $avgE6 AS world_avg FROM fact),
+       |dev AS (SELECT cc, avg_usd, avg_usd/world_avg - 1.0 AS perc_dif,
+       |  (avg_usd/world_avg - 1.0)*world_avg AS usd_dif FROM cstats, wstats)""".stripMargin
+
+  private val normExpr = "upper(CASE WHEN cc='uk' THEN 'gb' ELSE cc END)"
+
+  private val isoCte =
+    s"iso AS (SELECT $normExpr AS iso_a2, $normExpr||'_A3' AS iso_a3 FROM rates WHERE n_nationkey<>24)"
+
+  private val geoCte =
+    s"geo AS (SELECT $normExpr AS g_alpha2, $normExpr||'_A3' AS g_alpha3, r_name AS continent FROM rates JOIN region ON n_regionkey=r_regionkey)"
+
+  private val worldCtes =
+    s"""$isoCte,
+       |$geoCte,
+       |enr AS (SELECT iso_a3 AS s_alpha3, avg_usd, perc_dif, usd_dif
+       |  FROM (SELECT dev.*, $normExpr AS alpha2 FROM dev) d
+       |  LEFT JOIN iso ON d.alpha2=iso.iso_a2),
+       |world AS (SELECT g_alpha2 AS alpha2, g_alpha3 AS alpha3, continent, avg_usd, perc_dif, usd_dif
+       |  FROM geo LEFT JOIN enr ON g_alpha3=s_alpha3)""".stripMargin
+
+  private val euPropExpr =
+    "CASE WHEN continent='EUROPE' THEN MAX(usd_dif) OVER (PARTITION BY (continent='EUROPE')) ELSE usd_dif END"
+
+  // ---------- shared numeric helpers ----------
+
+  private def e2(x: String) = s"CAST(FLOOR(($x)*100.0+0.5) AS BIGINT)"
+  private def sumE2(x: String) = s"CAST(SUM(${e2(x)}) AS DOUBLE)/100.0"
+  private def avgE2(x: String) = s"CAST(SUM(${e2(x)}) AS DOUBLE)/100.0/COUNT(*)"
+
+  // embeddings: exact scaled-int dot product, mirroring graft's DotE12
+  private def dotE12(a: String, b: String) =
+    s"CAST(list_sum(list_transform(generate_series(1,64), i -> " +
+      s"CAST(FLOOR(CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)*1000000000000.0+0.5) AS BIGINT))) AS BIGINT)"
+  private def cosSim(dt: String, na: String, nb: String) =
+    s"CAST($dt AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
+
+  private def stopList(lang: String): String =
+    graft.operators.TextOps.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def stopHits(lang: String): String =
+    s"CAST(len(list_filter(string_split(text,' '), x -> list_contains(${stopList(lang)}, x))) AS BIGINT)"
+
+  // ---------- the map ----------
+
+  val all: Map[String, String] = Map(
+
+    "price_parse" ->
+      s"""WITH ${factCte(false)}
+         |SELECT l_orderkey, l_linenumber, price_str, usd_price
+         |FROM fact ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "currency_convert" ->
+      s"""WITH ${factCte(false)}
+         |SELECT l_orderkey, l_linenumber, n_name,
+         |  CAST(ct AS DOUBLE)/100.0 AS local_price,
+         |  CAST(ct AS DOUBLE)/100.0/rate AS usd_direct
+         |FROM fact ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "country_avg" ->
+      s"""WITH ${factCte(false)},
+         |cstats AS (SELECT cc, $avgE6 AS avg_usd FROM fact GROUP BY cc)
+         |SELECT cc, avg_usd FROM cstats ORDER BY cc""".stripMargin,
+
+    "world_avg_dev" ->
+      s"""WITH ${factCte(false)},
+         |$statsCtes
+         |SELECT cc, avg_usd, perc_dif, usd_dif FROM dev ORDER BY cc""".stripMargin,
+
+    "code_normalize" ->
+      s"""WITH rates AS ($rates)
+         |SELECT n_nationkey, cc AS cc_raw, $normExpr AS cc_norm
+         |FROM rates ORDER BY n_nationkey""".stripMargin,
+
+    "iso_join" ->
+      s"""WITH ${factCte(false)},
+         |$statsCtes,
+         |$isoCte
+         |SELECT alpha2, iso_a3 AS alpha3, avg_usd
+         |FROM (SELECT dev.*, $normExpr AS alpha2 FROM dev) d
+         |LEFT JOIN iso ON d.alpha2=iso.iso_a2
+         |ORDER BY alpha2""".stripMargin,
+
+    "geo_enrich_join" ->
+      s"""WITH ${factCte(false)},
+         |$statsCtes,
+         |$worldCtes
+         |SELECT alpha2, continent, avg_usd FROM world ORDER BY alpha2""".stripMargin,
+
+    "eu_propagate" ->
+      s"""WITH ${factCte(false)},
+         |$statsCtes,
+         |$worldCtes
+         |SELECT alpha2, continent, $euPropExpr AS usd_dif_prop
+         |FROM world ORDER BY alpha2""".stripMargin,
+
+    "latest_partition" ->
+      """WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events)
+        |SELECT event_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type, value
+        |FROM events, m WHERE CAST(ts AS DATE) = maxd ORDER BY event_id""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_id,
+        |  TRY_CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k_val,
+        |  TRY_CAST(regexp_extract(props, '"missing": *([0-9]+)', 1) AS BIGINT) AS missing_val,
+        |  TRY_CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) IS NOT NULL AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "null_handling" ->
+      s"""WITH ${factCte(true)}
+         |SELECT cc, COUNT(*) AS n_total, COUNT(usd_price) AS n_parsed,
+         |  CAST(SUM(CASE WHEN usd_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  $avgE6 AS avg_usd
+         |FROM fact GROUP BY cc ORDER BY cc""".stripMargin,
+
+    "steam_pipeline" ->
+      s"""WITH ${factCte(true)},
+         |$statsCtes,
+         |$worldCtes
+         |SELECT alpha2, alpha3, continent, avg_usd, perc_dif, $euPropExpr AS usd_dif
+         |FROM world ORDER BY alpha2""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumE2("l_quantity")} AS sum_qty,
+         |  ${sumE2("l_extendedprice")} AS sum_base_price,
+         |  ${sumE2("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |  ${avgE2("l_quantity")} AS avg_qty,
+         |  ${avgE2("l_extendedprice")} AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_agg" ->
+      s"""SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate,
+         |  ${sumE2("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         |JOIN customer ON o_custkey=c_custkey
+         |WHERE c_mktsegment='BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+         |ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      s"""SELECT n_name, ${sumE2("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         |JOIN supplier ON l_suppkey=s_suppkey
+         |JOIN customer ON o_custkey=c_custkey AND c_nationkey=s_nationkey
+         |JOIN nation ON s_nationkey=n_nationkey
+         |JOIN region ON n_regionkey=r_regionkey
+         |WHERE r_name='EUROPE'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_running" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(SUM(${e2("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS run_total
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "semi_anti_join" ->
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |SELECT c_mktsegment,
+        |  COUNT(CASE WHEN b.o_custkey IS NOT NULL THEN 1 END) AS with_big,
+        |  COUNT(CASE WHEN b.o_custkey IS NULL THEN 1 END) AS without_big
+        |FROM customer c LEFT JOIN big b ON c_custkey=b.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "rollup_agg" ->
+      s"""SELECT r_name AS region_name, n_name AS nation_name, COUNT(*) AS n_cust,
+         |  CAST(SUM(${e2("c_acctbal")}) AS DOUBLE)/100.0 AS total_bal
+         |FROM customer JOIN nation ON c_nationkey=n_nationkey
+         |JOIN region ON n_regionkey=r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "pivot_events" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").flatMap { t =>
+        Seq(
+          s"COUNT(CASE WHEN event_type='$t' THEN 1 END) AS ${t}_n",
+          s"CAST(SUM(CASE WHEN event_type='$t' THEN ${e2("value")} END) AS DOUBLE)/100.0 AS ${t}_value")
+      }.mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM l ORDER BY user_id, us, event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id),
+        |j AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) AS jaccard
+        |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dotE12("a.embedding", "b.embedding")} AS dt, a.nrm AS na, b.nrm AS nb
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, ${cosSim("dt", "na", "nb")} AS cos_sim
+         |FROM p WHERE ${cosSim("dt", "na", "nb")} >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  ${cosSim(dotE12("q.embedding", "c.embedding"), "q.nrm", "c.nrm")} AS cos_sim
+         |  FROM q JOIN n c ON q.vec_id <> c.vec_id),
+         |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM p)
+         |SELECT q_id, n_id, cos_sim, rnk FROM k WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "text_langid" -> {
+      val scores = graft.operators.TextOps.Langs
+        .map(l => s"${stopHits(l)} AS s_$l").mkString(",\n  ")
+      s"""WITH s AS (SELECT doc_id,
+         |  $scores
+         |FROM documents)
+         |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+         |  CASE WHEN s_en>=s_es AND s_en>=s_de AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+         |       WHEN s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
+         |       WHEN s_de>=s_fr AND s_de>=s_zh THEN 'de'
+         |       WHEN s_fr>=s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS chars_n,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS words_n,
+         |  CAST(length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS BIGINT) AS punct_n,
+         |  ${stopHits("en")} AS stop_n
+         |FROM documents)
+         |SELECT doc_id, chars_n, words_n,
+         |  CAST(punct_n AS DOUBLE)/chars_n AS punct_ratio,
+         |  CAST(stop_n AS DOUBLE)/words_n AS stop_ratio,
+         |  CAST(stop_n AS DOUBLE)/words_n*0.5 + (1.0 - CAST(punct_n AS DOUBLE)/chars_n)*0.3 + least(words_n,100)/100.0*0.2 AS quality,
+         |  CAST(stop_n AS DOUBLE)/words_n*0.5 + (1.0 - CAST(punct_n AS DOUBLE)/chars_n)*0.3 + least(words_n,100)/100.0*0.2 >= 0.5 AS keep
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" -> {
+      val pat = graft.operators.TextOps.BpeishRegex.replace("\\", "\\")
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text,'$pat')) AS BIGINT) AS re_tokens,
+         |  CAST(length(text) AS DOUBLE)/CAST(len(regexp_extract_all(text,'$pat')) AS BIGINT) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "stream_window_agg" ->
+      s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(${e2("value")}) AS DOUBLE)/100.0 AS v
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,13 +1,67 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.streaming.EventStreams
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each key maps to. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001: the full reference dataflow
+    * (parse → convert → country stats → world deviation → iso/geo joins →
+    * EU propagation). Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    SteamOps.steamPipeline(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference-derived (#1–12 + sink)
+    "price_parse" -> (SteamOps.priceParse(_, _)),
+    "currency_convert" -> (SteamOps.currencyConvert(_, _)),
+    "country_avg" -> (SteamOps.countryAvg(_, _)),
+    "world_avg_dev" -> (SteamOps.worldAvgDev(_, _)),
+    "code_normalize" -> (SteamOps.codeNormalize(_, _)),
+    "iso_join" -> (SteamOps.isoJoin(_, _)),
+    "geo_enrich_join" -> (SteamOps.geoEnrichJoin(_, _)),
+    "eu_propagate" -> (SteamOps.euPropagate(_, _)),
+    "latest_partition" -> (SteamOps.latestPartition(_, _)),
+    "json_extract" -> (SteamOps.jsonExtract(_, _)),
+    "null_handling" -> (SteamOps.nullHandling(_, _)),
+    "steam_pipeline" -> (SteamOps.steamPipeline(_, _)),
+    "parquet_sink" -> (SteamOps.parquetSinkRoundtrip(_, _)),
+    // analytics core (#13–23)
+    "q1_agg" -> (CoreOps.q1Agg(_, _)),
+    "q3_join_agg" -> (CoreOps.q3JoinAgg(_, _)),
+    "q5_multijoin" -> (CoreOps.q5Multijoin(_, _)),
+    "window_rank" -> (CoreOps.windowRank(_, _)),
+    "window_running" -> (CoreOps.windowRunning(_, _)),
+    "topk" -> (CoreOps.topK(_, _)),
+    "distinct_agg" -> (CoreOps.distinctAgg(_, _)),
+    "approx_distinct" -> (CoreOps.approxDistinct(_, _)),
+    "semi_anti_join" -> (CoreOps.semiAntiJoin(_, _)),
+    "rollup_agg" -> (CoreOps.rollupAgg(_, _)),
+    "pivot_events" -> (CoreOps.pivotEvents(_, _)),
+    "sessionize" -> (CoreOps.sessionize(_, _)),
+    // LLM-training-data (#24–35)
+    "dedup_exact" -> (DedupOps.dedupExact(_, _)),
+    "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
+    "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
+    "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard(_, _)),
+    "dedup_embedding" -> (DedupOps.dedupEmbedding(_, _)),
+    "ann_cosine_topk" -> (SimilarityOps.annCosineTopK(_, _)),
+    "ann_lsh" -> (SimilarityOps.annLsh(_, _)),
+    "text_langid" -> (TextOps.textLangid(_, _)),
+    "text_quality" -> (TextOps.textQuality(_, _)),
+    "text_tokens" -> (TextOps.textTokens(_, _)),
+    "text_fingerprint" -> (TextOps.textFingerprint(_, _)),
+    "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),
+    // streaming (#36, batch twin — streaming path in EventStreams + spec)
+    "stream_window_agg" -> (EventStreams.streamWindowAggBatch(_, _)))
+
+  /** DuckDB-runnable ANSI SQL twin for every oracle-checkable query.
+    * Rows-only ops (not ANSI-expressible: seeded LSH, wrap-around hashes,
+    * binary decode, sinks, approx sketches) are intentionally absent. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -21,7 +21,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) — read as epoch-nanos LongType
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by every graft
+    * session entry point; Spark has no nanosecond timestamp type). */
   def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+
+  /** events with `ts` converted to a microsecond TimestampType column
+    * (`ns div 1000` — matches DuckDB's ns→us truncation for the oracle). */
+  def eventsMicros(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Scaled-integer dot product over two `array<float>` embedding columns.
+  *
+  * Returns `sum_i floor(a(i)*b(i)*1e12 + 0.5)` as a 64-bit integer. Two
+  * reasons this is an integer, not a double:
+  *
+  *  1. Cross-engine determinism: the driver's correctness gate hash-compares
+  *     Spark results against a DuckDB oracle. Floating-point dot products
+  *     depend on accumulation order; per-term `floor(x*y*1e12+0.5)` followed
+  *     by an integer sum is order-independent and bit-exact in both engines.
+  *  2. Performance: this is a native codegen expression (tight primitive
+  *     loop inside whole-stage codegen), not an interpreted higher-order
+  *     `aggregate(zip_with(...))` chain — the hot path of every cosine /
+  *     ANN operator at 100 TB scale.
+  *
+  * Cosine similarity = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), all
+  * built from these exact integers, so the final doubles are deterministic.
+  */
+case class DotE12(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Only constructed internally over array<float> columns (see
+  // VectorFunctions) — no SQL-facing type coercion needed.
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_e12"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(
+        x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1.0e12 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long graftAcc = 0L;
+         |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  graftAcc += (long) java.lang.Math.floor(
+         |    ((double) $a.getFloat(graftI)) * ((double) $b.getFloat(graftI)) * 1.0E12d + 0.5d);
+         |}
+         |${ev.value} = graftAcc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Exact scaled-int dot product of two float-array columns (see [[DotE12]]). */
+  def dotE12(a: Column, b: Column): Column =
+    ColumnBridge.column(DotE12(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact scaled-int squared-norm of a float-array column. */
+  def normE12(a: Column): Column = dotE12(a, a)
+}

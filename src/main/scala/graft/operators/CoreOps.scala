@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Det
+
+/** General analytics core, SURVEY.md §2 #13–23.
+  *
+  * Scale design: fact-side aggregations are partial-agg groupBys on natural
+  * keys; every dim side is broadcast; windows partition on bounded keys
+  * (custkey/userkey) — the only global sorts are final small top-k edges.
+  * All money sums go through [[Det]] (exact integer cents) so results are
+  * bit-identical to the DuckDB oracle regardless of accumulation order.
+  */
+object CoreOps {
+
+  private val cutoff = lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+
+  /** #13 q1_agg — scan → filter → groupBy → multi-agg (TPC-H Q1 shape). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= cutoff)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.sumE2(col("l_quantity")).as("sum_qty"),
+        Det.sumE2(col("l_extendedprice")).as("sum_base_price"),
+        Det.sumE2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Det.avgE2(col("l_quantity")).as("avg_qty"),
+        Det.avgE2(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** #14 q3_join_agg — fact⋈dim⋈dim + agg + top-k (TPC-H Q3 shape).
+    * customer is the small side → broadcast; the orders⋈lineitem join
+    * shuffles once on orderkey. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        to_date(col("o_orderdate")).cast("timestamp_ntz").as("orderdate"))
+      .agg(Det.sumE2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** #15 q5_multijoin — 6-table join chain with region filter (TPC-H Q5
+    * shape). region/nation/supplier dims broadcast; the big
+    * orders⋈lineitem join shuffles on orderkey. */
+  def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    val cust = Tables.customer(s, dir)
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(Det.sumE2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** #16 window_rank — top-3 orders per customer by price; row_number over
+    * a bounded partition key with a unique tiebreak. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** #17 window_running — running order total per customer over exact
+    * integer cents (unbounded-preceding frame). */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("run_total",
+        sum(Det.e2(col("o_totalprice"))).over(w).cast("double") / lit(100.0))
+      .select("o_custkey", "o_orderkey", "run_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** #18 topk — global order-by-limit; Spark plans TakeOrderedAndProject
+    * (per-partition heap + small merge), never a full global sort. */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** #19 distinct_agg — exact distinct counts per group. */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** #19b approx_distinct (rows-only twin) — approx_count_distinct (HLL++)
+    * is the 100 TB path: one pass, no per-key shuffle of distinct values. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy("l_returnflag")
+
+  /** #20 semi_anti_join — EXISTS / NOT EXISTS as left-semi / left-anti
+    * joins (no row duplication, no distinct needed). */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 150000.0).select("o_custkey")
+    val cust = Tables.customer(s, dir)
+    val withBig = cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("with_big"))
+    val withoutBig = cust.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("without_big"))
+    withBig.join(withoutBig, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_big"), lit(0L)).as("with_big"),
+        coalesce(col("without_big"), lit(0L)).as("without_big"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** #21 rollup_agg — hierarchical region→nation rollup. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    // The Dataset rollup API trips Spark 4's ambiguous-self-join detection
+    // on the Expand's duplicated grouping attributes; the SQL surface of
+    // the very same plan does not — so this operator goes through
+    // spark.sql over a temp view of the (broadcast-joined) input.
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region_name"), col("n_name").as("nation_name"),
+        col("c_acctbal"))
+      .createOrReplaceTempView("graft_rollup_src")
+    s.sql(
+      """SELECT region_name, nation_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(FLOOR(c_acctbal*100.0+0.5)) AS DOUBLE)/100.0 AS total_bal
+        |FROM graft_rollup_src
+        |GROUP BY ROLLUP(region_name, nation_name)
+        |ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** #22 pivot_events — long→wide pivot on event_type with explicit pivot
+    * values (no extra distinct-values job at scale). */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)).as("n"),
+        sum(Det.e2(col("value"))).as("v2"))
+    val valueCols = eventTypes.flatMap { t =>
+      Seq(coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+        (col(s"${t}_v2").cast("double") / lit(100.0)).as(s"${t}_value"))
+    }
+    pivoted.select(col("user_id") +: valueCols: _*).orderBy("user_id")
+  }
+
+  /** #23 sessionize — 30-minute-gap sessionization via lag + running sum
+    * over the bounded user_id key (the batch twin of stateful streaming
+    * sessionization; state per user is O(1)). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val us = expr("ts div 1000") // epoch-ns → µs, same truncation as the oracle
+    val wLag = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("us", us)
+      .withColumn("prev", lag(col("us"), 1).over(wLag))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .select("event_id", "user_id", "session_id")
+      .orderBy("user_id", "us", "event_id")
+  }
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.{dotE12, normE12}
+
+/** Deduplication operators over the `documents` / `embeddings` tables,
+  * SURVEY.md §2 #24–28 — the LLM-training-data core.
+  *
+  * Scale design (SURVEY.md §5): exact dedup is ONE shuffle on the content
+  * hash; MinHash-LSH shuffles on (band, bucket) and only ever materializes
+  * candidate pairs (never O(n²)); SimHash buckets on 16-bit bands of the
+  * 64-bit signature; exact n-gram Jaccard and brute-force embedding cosine
+  * are the correctness baselines that, at 100 TB, run *after* an LSH
+  * prefilter (ops #25 / #30) has cut the pair space.
+  */
+object DedupOps {
+
+  /** #24 dedup_exact — hash-groupBy on md5(text), keep min doc_id.
+    * One shuffle on the hash key; map-side partial agg does the heavy
+    * lifting at scale. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("h")
+
+  /** doc_id + distinct word-k-gram shingles, exploded. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(0), size(w) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))
+    docs.filter(size(w) >= k)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  val MinhashK = 32 // 8 bands x 4 rows
+  val MinhashBands = 8
+
+  /** Per-doc MinHash signature: K independent hash slots, each the min of
+    * a seeded xxhash64 over the doc's shingles. Computed in ONE groupBy
+    * (map-side combine keeps the shuffle tiny: K longs per doc). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until MinhashK).map { i =>
+      min(xxhash64(concat(col("shingle"), lit(s"|$i")))).as(s"mh_$i")
+    }
+    shingles(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** #25 dedup_minhash_lsh (rows-only) — banded LSH: band hash = hash of 4
+    * consecutive signature slots; docs sharing any (band, bucket) become
+    * candidate near-dup pairs. The join key is (band, bucket) so the
+    * shuffle is bounded by candidate density, never all-pairs. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val rows = MinhashK / MinhashBands // slots per band
+    val sigs = minhashSignatures(Tables.documents(s, dir))
+    val bands = (0 until MinhashBands).map { b =>
+      val slot = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash of a document's token stream: per-bit signed vote of
+    * each token's xxhash64, sign → bit. One explode + one groupBy with 64
+    * long sums (all codegen'd). */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v_$b")
+    }
+    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** #26 dedup_simhash (rows-only) — 16-bit band bucketing over the 64-bit
+    * SimHash, then exact hamming distance (bit_count of xor) on candidates.
+    * A near-dup within hamming 16 of any band match is surfaced. */
+  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 16): DataFrame = {
+    val sigs = simhashSignatures(Tables.documents(s, dir))
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** #27 dedup_ngram_jaccard — EXACT word-3-gram Jaccard pairs via
+    * explode + shingle-key join (the per-shingle inverted index), never a
+    * doc×doc cross join. At 100 TB this runs on MinHash-LSH candidates;
+    * here it is the full correctness baseline with a DuckDB oracle. */
+  def dedupNgramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(Tables.documents(s, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = common
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    jac.filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Deterministic exact cosine from scaled-int dot/norms (see DotE12). */
+  def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** #28 dedup_embedding — embedding-cosine near-duplicate pairs above a
+    * threshold. Brute all-pairs here (correctness baseline, native codegen
+    * dot product); the 100 TB path prefilters with hyperplane-LSH buckets
+    * (SimilarityOps.annLsh) and runs this exact cosine only per bucket. */
+  def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), normE12(col("embedding")).as("nrm"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(dotE12(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")).as("cos_sim"))
+    pairs.filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.{dotE12, normE12}
+
+/** Similarity search over the embeddings table, SURVEY.md §2 #29–30.
+  *
+  * #29 is the brute-force cosine top-k correctness baseline (exact, with a
+  * DuckDB oracle). #30 is the scale path: random-hyperplane LSH buckets →
+  * per-bucket exact top-k → per-query merge. At 1000 executors the bucket
+  * join replaces the all-pairs cross join; bucket width (number of planes)
+  * trades recall for pair volume.
+  */
+object SimilarityOps {
+
+  /** Embeddings with the exact scaled-int squared norm attached. */
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), normE12(col("embedding")).as("nrm"))
+
+  /** #29 ann_cosine_topk — brute-force exact cosine top-k for the query
+    * subset (vec_id % 100 == 0). The query side is tiny → broadcast; the
+    * corpus streams once; TakeOrdered per query via window row_number. */
+  def annCosineTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        DedupOps.cosine(dotE12(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "cos_sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
+  // 6 planes → 64 buckets. At the test corpus sizes (500–5000 vectors)
+  // this keeps ~8–80 vectors per bucket so queries actually have
+  // neighbors; at cluster scale you'd raise planes with corpus size
+  // (buckets ≈ n / desired_bucket_size) and multi-probe for recall.
+  val NumPlanes = 6
+
+  /** Deterministic ±1 hyperplane weights (seeded), as literal float arrays
+    * baked into the plan — broadcast to every executor for free. */
+  private def planeWeights(dim: Int): IndexedSeq[Array[Float]] = {
+    (0 until NumPlanes).map { p =>
+      val rng = new scala.util.Random(42L * (p + 1))
+      Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+    }
+  }
+
+  /** Hyperplane-LSH bucket id of an embedding column: bit p = sign of the
+    * dot product with plane p (native codegen DotE12 against a literal
+    * array — no per-row weight materialization). */
+  def lshBucket(emb: org.apache.spark.sql.Column, dim: Int = 64): org.apache.spark.sql.Column = {
+    val planes = planeWeights(dim)
+    (0 until NumPlanes).map { p =>
+      val w = array(planes(p).map(v => lit(v)): _*)
+      when(dotE12(emb, w) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** #30 ann_lsh (rows-only) — bucketed ANN: queries probe only their own
+    * hyperplane bucket; exact cosine + top-k within the bucket. The
+    * bucket equi-join is the shuffle key, so pair volume is
+    * sum(bucket_size × queries_in_bucket), never |Q|×|corpus|. */
+  def annLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = withNorm(s, dir).withColumn("bucket", lshBucket(col("embedding")))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        DedupOps.cosine(dotE12(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "cos_sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+}

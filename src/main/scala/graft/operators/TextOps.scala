@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHashFunctions.rollingHash64
+
+/** Text-analysis operators over the documents table, SURVEY.md §2 #31–34.
+  * All single-scan, no shuffle at all (pure per-row projections) — the
+  * shape that matters most at 100 TB, where these run as map-side stages
+  * fused into the ingest scan by whole-stage codegen.
+  */
+object TextOps {
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "los"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "en", "que", "une", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"))
+
+  val Langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+
+  /** Count of tokens present in a stopword list (occurrences, not distinct),
+    * as a codegen'd lambda filter — no explode, no shuffle. */
+  private def stopHits(words: Column, lang: String): Column =
+    size(filter(words, w => w.isInCollection(Stopwords(lang)))).cast("long")
+
+  /** #31 text_langid — stopword-hit scoring per language; argmax with a
+    * fixed tie-break order (en > es > de > fr > zh). */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id") +: Langs.map(l => stopHits(words, l).as(s"s_$l")): _*)
+    val pred = when(
+        col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+      .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+        col("s_es") >= col("s_zh"), "es")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh")
+    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+  }
+
+  /** #32 text_quality — length / punctuation / stopword-ratio scoring with
+    * a keep flag. All ratios are exact-integer divisions → deterministic
+    * doubles for the oracle. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val charsN = length(col("text")).cast("long")
+    val wordsN = size(words).cast("long")
+    val punctN = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+    val stopN = stopHits(words, "en")
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      charsN.as("chars_n"), wordsN.as("words_n"),
+      punctN.as("punct_n"), stopN.as("stop_n"))
+    val punctRatio = col("punct_n").cast("double") / col("chars_n")
+    val stopRatio = col("stop_n").cast("double") / col("words_n")
+    val quality = stopRatio * lit(0.5) + (lit(1.0) - punctRatio) * lit(0.3) +
+      least(col("words_n"), lit(100L)) / lit(100.0) * lit(0.2)
+    base.select(col("doc_id"), col("chars_n"), col("words_n"),
+        punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
+        quality.as("quality"), (quality >= lit(0.5)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val BpeishRegex = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** #33 text_tokens — whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single symbols), chars-per-token. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeishRegex), lit(0))).cast("long").as("re_tokens"),
+        (length(col("text")).cast("double") /
+          size(regexp_extract_all(col("text"), lit(BpeishRegex), lit(0))).cast("long"))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** #34 text_fingerprint (rows-only) — 64-bit FNV-1a rolling-hash document
+    * fingerprint via the native codegen expression [[graft.functions.RollingHash64]].
+    * Wrap-around multiplication is intentional → not ANSI-SQL-expressible,
+    * hence rows-only + ScalaTest. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rollingHash64(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+}
