@@ -61,7 +61,7 @@ object OracleSql {
   private val normExpr = "upper(CASE WHEN cc='uk' THEN 'gb' ELSE cc END)"
 
   private val isoCte =
-    s"iso AS (SELECT $normExpr AS iso_a2, $normExpr||'_A3' AS iso_a3 FROM rates WHERE n_nationkey<>24)"
+    s"iso AS (SELECT $normExpr AS iso_a2, $normExpr||'_A3' AS iso_a3 FROM rates WHERE n_nationkey<>5)"
 
   private val geoCte =
     s"geo AS (SELECT $normExpr AS g_alpha2, $normExpr||'_A3' AS g_alpha3, r_name AS continent FROM rates JOIN region ON n_regionkey=r_regionkey)"
@@ -293,7 +293,7 @@ object OracleSql {
          |  ${dotE12("a.embedding", "b.embedding")} AS dt, a.nrm AS na, b.nrm AS nb
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, ${cosSim("dt", "na", "nb")} AS cos_sim
-         |FROM p WHERE ${cosSim("dt", "na", "nb")} >= 0.9
+         |FROM p WHERE ${cosSim("dt", "na", "nb")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_cosine_topk" ->

@@ -54,9 +54,13 @@ object DedupOps {
     * consecutive signature slots; docs sharing any (band, bucket) become
     * candidate near-dup pairs. The join key is (band, bucket) so the
     * shuffle is bounded by candidate density, never all-pairs. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashCandidates(Tables.documents(s, dir))
+
+  /** Candidate generation on any documents-shaped frame (testable core). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
     val rows = MinhashK / MinhashBands // slots per band
-    val sigs = minhashSignatures(Tables.documents(s, dir))
+    val sigs = minhashSignatures(docs)
     val bands = (0 until MinhashBands).map { b =>
       val slot = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
@@ -93,8 +97,12 @@ object DedupOps {
   /** #26 dedup_simhash (rows-only) — 16-bit band bucketing over the 64-bit
     * SimHash, then exact hamming distance (bit_count of xor) on candidates.
     * A near-dup within hamming 16 of any band match is surfaced. */
-  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 16): DataFrame = {
-    val sigs = simhashSignatures(Tables.documents(s, dir))
+  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 16): DataFrame =
+    simhashPairs(Tables.documents(s, dir), maxHamming)
+
+  /** SimHash near-dup pairs on any documents-shaped frame (testable core). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhashSignatures(docs)
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bucket"))
@@ -146,7 +154,7 @@ object DedupOps {
     * threshold. Brute all-pairs here (correctness baseline, native codegen
     * dot product); the 100 TB path prefilters with hyperplane-LSH buckets
     * (SimilarityOps.annLsh) and runs this exact cosine only per bucket. */
-  def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), normE12(col("embedding")).as("nrm"))
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

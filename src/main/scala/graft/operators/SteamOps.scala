@@ -119,7 +119,7 @@ object SteamOps {
     * is deliberately absent to exercise the reference's miss→None path. */
   def isoDim(s: SparkSession, dir: String): DataFrame =
     ratesDim(s, dir)
-      .filter(col("n_nationkey") =!= 24)
+      .filter(col("n_nationkey") =!= 5)
       .select(normalizeCode(col("cc")).as("iso_a2"),
         concat(normalizeCode(col("cc")), lit("_A3")).as("iso_a3"))
 

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CoreOps
+
+class CoreOpsSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("q1_agg: counts reconcile with the raw scan") {
+    val rows = CoreOps.q1Agg(s, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(s, sf)
+      .filter("l_shipdate <= timestamp_ntz'1998-09-02 00:00:00'").count()
+    assert(total == expected)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_qty")
+      assert(avg > 0 && avg <= 50, s"avg_qty out of domain: $avg")
+    }
+  }
+
+  test("q3/q5 plans broadcast the dim side") {
+    val p3 = CoreOps.q3JoinAgg(s, sf).queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"), p3.take(1500))
+    val p5 = CoreOps.q5Multijoin(s, sf).queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastHashJoin"), p5.take(1500))
+  }
+
+  test("topk plans as TakeOrdered (no global sort materialization)") {
+    val p = CoreOps.topK(s, sf).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("window_rank: at most 3 per customer, rank starts at 1") {
+    val rows = CoreOps.windowRank(s, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rn")).sorted
+      assert(ranks.head == 1 && ranks.length <= 3)
+    }
+  }
+
+  test("window_running: final cumulative equals the customer's exact total") {
+    import org.apache.spark.sql.functions._
+    val rows = CoreOps.windowRunning(s, sf).collect()
+    val expected = Tables.orders(s, sf).groupBy("o_custkey")
+      .agg((sum(floor(col("o_totalprice") * 100.0 + 0.5)).cast("double") / 100.0).as("t"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Double]("t")).toMap
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (c, rs) =>
+      val finalTotal = rs.map(_.getAs[Double]("run_total")).max
+      assert(math.abs(finalTotal - expected(c)) < 1e-6)
+    }
+  }
+
+  test("semi/anti partition the customer set") {
+    val rows = CoreOps.semiAntiJoin(s, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("with_big") + r.getAs[Long]("without_big")).sum
+    assert(total == Tables.customer(s, sf).count())
+  }
+
+  test("rollup: grand-total row present and consistent") {
+    val rows = CoreOps.rollupAgg(s, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_cust") == Tables.customer(s, sf).count())
+  }
+
+  test("sessionize: session ids start at 1 and only ever step by 1") {
+    val rows = CoreOps.sessionize(s, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sess = rs.map(_.getAs[Long]("session_id"))
+      assert(sess.head == 1)
+      assert(sess.zip(sess.tail).forall { case (a, b) => b == a || b == a + 1 })
+    }
+  }
+
+  test("pivot covers every event and preserves global count") {
+    val rows = CoreOps.pivotEvents(s, sf).collect()
+    val n = rows.map { r =>
+      Seq("click_n", "error_n", "purchase_n", "signup_n", "view_n")
+        .map(c => r.getAs[Long](c)).sum
+    }.sum
+    assert(n == Tables.events(s, sf).count())
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, SimilarityOps}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  /** 40 docs + exact dup of doc 0 + a near-dup of doc 1 (one word changed). */
+  private lazy val docsWithDups = {
+    val base = Tables.documents(s, sf).filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+    val exact = base.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") === 1)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" changed")).as("text"))
+    base.union(exact).union(near)
+  }
+
+  test("dedup_exact keeps the min doc_id per hash") {
+    val out = DedupOps.dedupExact(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_dups") >= 1))
+    // min-id semantics on a frame with known dups
+    val dup = docsWithDups.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).collect()
+    assert(dup.exists(_.getAs[Long]("keep_id") == 0L))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidates") {
+    val pairs = DedupOps.minhashCandidates(docsWithDups).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((0L, 1000L)), s"exact dup missed: ${pairs.take(20).mkString(",")}")
+    assert(pairs.contains((1L, 2001L)), s"near dup missed: ${pairs.take(20).mkString(",")}")
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close") {
+    val pairs = DedupOps.simhashPairs(docsWithDups, maxHamming = 16).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1000L)
+    assert(exact.exists(_._3 == 0L), s"exact dup not hamming-0: $exact")
+  }
+
+  test("ngram jaccard: dup pair scores 1.0, output within threshold") {
+    val out = DedupOps.dedupNgramJaccard(s, sf).collect()
+    out.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0 + 1e-12)
+    }
+  }
+
+  test("embedding near-dup pairs have valid cosine") {
+    val out = DedupOps.dedupEmbedding(s, sf).collect()
+    assert(out.nonEmpty, "no pairs at the default threshold — miscalibrated")
+    out.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+  }
+
+  test("ann brute-force topk: k per query, descending, self excluded") {
+    val out = SimilarityOps.annCosineTopK(s, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      assert(!rs.exists(_.getAs[Long]("n_id") == q))
+      val sims = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b - 1e-12 })
+    }
+  }
+
+  test("ann LSH: results are a subset-quality approximation of brute force") {
+    val brute = SimilarityOps.annCosineTopK(s, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos_sim")))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).max }
+    val lsh = SimilarityOps.annLsh(s, sf).collect()
+    assert(lsh.nonEmpty, "LSH returned nothing — bucket width miscalibrated")
+    lsh.foreach { r =>
+      val best = brute(r.getAs[Long]("q_id"))
+      assert(r.getAs[Double]("cos_sim") <= best + 1e-12,
+        "LSH found a better neighbor than brute force (impossible)")
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+
+  test("streaming window agg (memory source → memory sink) matches batch twin") {
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)](s)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val data = Seq(
+      (t(0, 5), "click", 1.25), (t(0, 40), "click", 2.25), (t(0, 50), "view", 3.0),
+      (t(1, 10), "click", 4.5), (t(2, 0), "view", 0.75))
+    input.addData(data)
+
+    val q = EventStreams.streamWindowAgg(events).writeStream
+      .outputMode("complete").format("memory").queryName("graft_stream_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.table("graft_stream_out")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventStreams.windowAgg(data.toDF("ts", "event_type", "value"))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.length == 4) // (0h click), (0h view), (1h click), (2h view)
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      val h0click = streamed.find(r =>
+        r.getAs[String]("event_type") == "click" &&
+          r.getAs[Any]("window_start").toString.startsWith("2024-01-01")
+          && r.getAs[Any]("window_start").toString.contains("00:00")).get
+      assert(h0click.getAs[Long]("n") == 2)
+      assert(math.abs(h0click.getAs[Double]("v") - 3.5) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("watermark bounds state: late data beyond 2h is dropped in append mode") {
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)](s)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.streamWindowAgg(events).writeStream
+      .outputMode("append").format("memory").queryName("graft_stream_late")
+      .start()
+    try {
+      input.addData(Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0)))
+      q.processAllAvailable()
+      // advance watermark far past the first window, then send a very late row
+      input.addData(Seq((Timestamp.valueOf("2024-01-01 20:00:00"), "click", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq((Timestamp.valueOf("2024-01-01 09:00:00"), "click", 99.0)))
+      q.processAllAvailable()
+      val out = s.table("graft_stream_late").collect()
+      assert(!out.exists(r => r.getAs[Double]("v") == 99.0),
+        "late row past the watermark must be dropped")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHashFunctions.rollingHash64
+import graft.functions.VectorFunctions.dotE12
+import graft.operators.{MultimodalOps, TextOps}
+
+class TextAndMmSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("langid: scores bounded by word count, prediction in the lang set") {
+    val rows = TextOps.textLangid(s, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(TextOps.Langs.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("s_en") >= 0)
+    }
+  }
+
+  test("quality: ratios in [0,1], keep consistent with quality") {
+    TextOps.textQuality(s, sf).collect().foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(r.getAs[Double]("stop_ratio") >= 0 && r.getAs[Double]("stop_ratio") <= 1)
+      assert(r.getAs[Boolean]("keep") == (q >= 0.5))
+    }
+  }
+
+  test("tokens: regex tokens >= whitespace tokens for space-joined words") {
+    TextOps.textTokens(s, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("re_tokens") >= r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Double]("chars_per_token") > 0)
+    }
+  }
+
+  test("fingerprint: deterministic, content-sensitive (FNV-1a)") {
+    import s.implicits._
+    val df = Seq(("a b c", 1L), ("a b c", 2L), ("a b d", 3L)).toDF("text", "id")
+      .select(col("id"), rollingHash64(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("fp")).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    // spot-check against an independent scala FNV-1a
+    val want = "a b c".getBytes("UTF-8")
+      .foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xffL)) * 0x100000001b3L)
+    assert(m(1L) == want)
+  }
+
+  test("DotE12 matches an independent scala computation") {
+    import s.implicits._
+    val a = Array(0.5f, -0.25f, 0.125f)
+    val b = Array(1.0f, 2.0f, -4.0f)
+    val df = Seq((a, b)).toDF("a", "b").select(dotE12(col("a"), col("b")).as("d"))
+    val want = a.zip(b).map { case (x, y) =>
+      math.floor(x.toDouble * y.toDouble * 1e12 + 0.5).toLong
+    }.sum
+    assert(df.head().getLong(0) == want)
+  }
+
+  test("mm_metadata: byte_len matches text length, batched decode is total") {
+    val rows = MultimodalOps.mmMetadata(s, sf).collect()
+    assert(rows.length == 500)
+    val chars = Tables.documents(s, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    rows.foreach { r =>
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
+      assert(r.getAs[Long]("byte_len") == chars(r.getAs[Long]("doc_id")),
+        "ascii payload byte_len must equal n_chars")
+      assert(r.getAs[Double]("feat_mean") >= 0)
+    }
+  }
+}
