@@ -11,8 +11,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scale these would be partitioned table paths, and the same code holds.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Fact-side tables worth spreading across cores after the scan, with
+    * the unique key to hash-partition on (hash repartition avoids the
+    * single-threaded sort-before-repartition that round-robin pays). */
+  private val factKeys = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The driver's test parquet is one file with ONE row group per table,
+    // so a scan cannot split — every downstream expression would run on a
+    // single core. `graft.scan.repartition=N` (set by Bench/Verify) adds a
+    // cheap hash shuffle after the scan to restore parallelism.
+    // At cluster scale data arrives as many files/row groups and this stays
+    // off — predicates and pruning still push through the Repartition node.
+    val n = spark.conf.getOption("graft.scan.repartition").map(_.toInt).getOrElse(0)
+    factKeys.get(name) match {
+      case Some(key) if n > 0 =>
+        df.repartition(n, org.apache.spark.sql.functions.col(key))
+      case _ => df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

@@ -14,6 +14,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so
       // read as epoch-nanos LongType (Tables.eventsMicros converts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("graft.scan.repartition", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

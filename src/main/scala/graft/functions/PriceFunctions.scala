@@ -22,8 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object PriceFunctions {
   val PriceRegex = "[0-9]+[,. ]?[0-9]*"
-  // Guard pattern: what the extracted token must look like to be castable.
-  private val NumericToken = "^[0-9]+([,. ]?[0-9]+)?$"
 
   /** Deterministic exchange-rate dim column from the nation key
     * (USD = nation 0 pinned to rate 1, as the reference pins USD). */
@@ -42,14 +40,17 @@ object PriceFunctions {
       .otherwise(concat(lit("$ "), whole, lit("."), frac))
   }
 
-  /** USD price parsed from a locale price string given a to-USD rate. */
+  /** USD price parsed from a locale price string given a to-USD rate.
+    * try_cast (null on unparseable, matching DuckDB TRY_CAST) keeps the
+    * hot path to ONE regex per row. */
   def parsePriceToUsd(priceStr: Column, rate: Column): Column = {
     val m = regexp_extract(priceStr, PriceRegex, 0)
-    val s1 = translate(m, " .", "") // then ',' -> '.'
-    val s1dot = regexp_replace(s1, ",", ".")
+    // translate can't map ',' -> '.' while deleting '.', so two steps:
+    // delete spaces+dots, then ',' -> '.'
+    val s1 = translate(translate(m, " .", ""), ",", ".")
     val s2 = translate(m, " ,", "")
-    val p1 = when(s1dot.rlike(NumericToken), s1dot.cast("double")).otherwise(lit(null)) / rate
-    val p2 = when(s2.rlike(NumericToken), s2.cast("double")).otherwise(lit(null)) / rate
+    val p1 = s1.try_cast("double") / rate
+    val p2 = s2.try_cast("double") / rate
     when(m.isNull || m === "", lit(null).cast("double"))
       .when(p1 > 100 || p1 < 0.1, p2)
       .otherwise(p1)

@@ -42,12 +42,15 @@ object DedupOps {
 
   /** Per-doc MinHash signature: K independent hash slots, each the min of
     * a seeded xxhash64 over the doc's shingles. Computed in ONE groupBy
-    * (map-side combine keeps the shuffle tiny: K longs per doc). */
+    * (map-side combine keeps the shuffle tiny: K longs per doc). The
+    * shingle string is hashed once; the K slot hashes mix the 64-bit base
+    * hash with the slot index — K long-hashes instead of K string-hashes. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    val base = shingles(docs).withColumn("hb", xxhash64(col("shingle")))
     val sigCols = (0 until MinhashK).map { i =>
-      min(xxhash64(concat(col("shingle"), lit(s"|$i")))).as(s"mh_$i")
+      min(xxhash64(lit(i), col("hb"))).as(s"mh_$i")
     }
-    shingles(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    base.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** #25 dedup_minhash_lsh (rows-only) — banded LSH: band hash = hash of 4
