@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotE12, RollingHash64}
+
+/** SparkSessionExtensions entry point: exposes graft's native codegen
+  * expressions to SQL users.
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  *   spark.sql("SELECT graft_dot_e12(a.embedding, b.embedding) ...")
+  *   spark.sql("SELECT graft_rolling_hash64(text) ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_e12"),
+      info("graft_dot_e12",
+        "graft_dot_e12(a, b) - exact scaled-int (1e12) dot product of two float arrays"),
+      (args: Seq[Expression]) => DotE12(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_rolling_hash64"),
+      info("graft_rolling_hash64",
+        "graft_rolling_hash64(s) - 64-bit FNV-1a rolling fingerprint of a string"),
+      (args: Seq[Expression]) => RollingHash64(args.head)))
+  }
+}
