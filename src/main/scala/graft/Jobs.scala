@@ -37,12 +37,16 @@ object Jobs {
     val drops = s.read.parquet(s"$pricesBase/steam_prices")
     val latest = drops.agg(max(col("dt")).as("latest_dt"))
     val lastDrop = drops.join(broadcast(latest), col("dt") === col("latest_dt"))
-    // country stats over the landed facts (same math as SteamOps.worldDev)
-    val e6 = sum(floor(col("usd_price") * lit(1000000.0) + lit(0.5))).cast("double") /
-      lit(1000000.0) / count(col("usd_price"))
-    val perCountry = lastDrop.groupBy("cc").agg(e6.as("avg_usd"))
-    val world = lastDrop.agg(e6.as("world_avg"))
-    val dev = perCountry.crossJoin(broadcast(world))
+    // country stats over the landed facts (same single-pass math as
+    // SteamOps.worldDev: world average re-derived from exact partials)
+    val perCountry = lastDrop.groupBy("cc").agg(
+      sum(floor(col("usd_price") * lit(1000000.0) + lit(0.5))).as("s6"),
+      count(col("usd_price")).as("cnt"))
+    val world = perCountry.agg(
+      (sum(col("s6")).cast("double") / lit(1000000.0) / sum(col("cnt"))).as("world_avg"))
+    val dev = perCountry
+      .withColumn("avg_usd", col("s6").cast("double") / lit(1000000.0) / col("cnt"))
+      .crossJoin(broadcast(world))
       .withColumn("perc_dif", col("avg_usd") / col("world_avg") - lit(1.0))
       .withColumn("usd_dif",
         (col("avg_usd") / col("world_avg") - lit(1.0)) * col("world_avg"))

@@ -85,14 +85,23 @@ object SteamOps {
   def countryAvg(s: SparkSession, dir: String): DataFrame =
     pricesFact(s, dir).groupBy("cc").agg(avgUsdE6.as("avg_usd")).orderBy("cc")
 
-  /** Country means + global mean, as one shuffle + a broadcast cross join
-    * of the single-row world aggregate (no driver-side collect). */
+  /** Country means + global mean in ONE pass over the fact: the global
+    * average is re-derived from the per-country integer partials
+    * (Σ sums / Σ counts — bit-identical to a global aggregate because the
+    * partials are exact integers). One fact scan + one shuffle; the
+    * single-row world aggregate is broadcast-crossed, never collected. */
   private def worldDev(fact: DataFrame): DataFrame = {
-    val perCountry = fact.groupBy("cc").agg(avgUsdE6.as("avg_usd"))
-    val world = fact.agg(avgUsdE6.as("world_avg"))
-    perCountry.crossJoin(broadcast(world))
+    val perCountry = fact.groupBy("cc").agg(
+      sum(floor(col("usd_price") * lit(1000000.0) + lit(0.5))).as("s6"),
+      count(col("usd_price")).as("cnt"))
+    val world = perCountry.agg(
+      (sum(col("s6")).cast("double") / lit(1000000.0) / sum(col("cnt"))).as("world_avg"))
+    perCountry
+      .withColumn("avg_usd", col("s6").cast("double") / lit(1000000.0) / col("cnt"))
+      .crossJoin(broadcast(world))
       .withColumn("perc_dif", col("avg_usd") / col("world_avg") - lit(1.0))
       .withColumn("usd_dif", (col("avg_usd") / col("world_avg") - lit(1.0)) * col("world_avg"))
+      .drop("s6", "cnt")
   }
 
   /** #4 world_avg_dev — percent + USD deviation from the world average
