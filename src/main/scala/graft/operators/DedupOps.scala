@@ -40,6 +40,33 @@ object DedupOps {
   val MinhashK = 32 // 8 bands x 4 rows
   val MinhashBands = 8
 
+  /** Buckets larger than this are skipped during pair expansion: a bucket
+    * with thousands of members is boilerplate (every member pairs with
+    * every other — O(n²) pairs carrying no dedup signal), and production
+    * dedup pipelines drop them. Bounds both memory per group and output. */
+  val MaxBucket = 1024
+
+  /** All (a,b) pairs (a<b) from a sorted id array, as a codegen-friendly
+    * nested-transform expression — turns a bucketed self-join into a
+    * single groupBy: one pipeline, one shuffle, no recomputation of the
+    * signature stage on both join sides. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(
+      sequence(lit(0), size(ids) - 2),
+      i => transform(
+        slice(ids, i + 2, size(ids)),
+        b => struct(element_at(ids, i + 1).as("a"), b.as("b")))))
+
+  /** Group bucketed rows → bounded sorted member lists → explode in-bucket
+    * pairs. `keys` are the bucket columns. */
+  private def bucketPairs(buckets: DataFrame, keys: Seq[String]): DataFrame =
+    buckets
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucket)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+
   /** Per-doc MinHash signature: K independent hash slots, each the min of
     * a seeded xxhash64 over the doc's shingles. Computed in ONE groupBy
     * (map-side combine keeps the shuffle tiny: K longs per doc). The
@@ -71,12 +98,8 @@ object DedupOps {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    bucketPairs(buckets, Seq("band", "bucket"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("doc_a", "doc_b")
   }
@@ -110,16 +133,20 @@ object DedupOps {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bucket"))
     }
+    // same one-shuffle bucket-grouping shape as minhash, with the
+    // signature carried through the member structs (sorted by doc_id, so
+    // pair order a<b holds)
     val buckets = sigs
       .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .select(struct(col("doc_id"), col("simhash")).as("m"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("m"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= MaxBucket)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
