@@ -35,4 +35,59 @@ object EventStreams {
     * a `readStream` frame (or a MemoryStream in tests) and attach a sink. */
   def streamWindowAgg(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, n: Long, sumE2: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Stateful streaming sessionization — the streaming twin of
+    * CoreOps.sessionize. Custom per-user state via
+    * flatMapGroupsWithState: a session closes when its user is idle past
+    * the gap (event-time timeout), emitting one summary row. State per
+    * key is O(1) (four longs), so total state is bounded by active users
+    * — the shape that holds on an unbounded stream at cluster scale. */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var closed = List.empty[SessionOut]
+      if (state.hasTimedOut) {
+        val st = state.get
+        closed ::= SessionOut(userId, new java.sql.Timestamp(st.sessionStart),
+          st.n, st.sumE2.toDouble / 100.0)
+        state.remove()
+      } else {
+        var cur = state.getOption
+        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          val v = math.floor(e.value * 100.0 + 0.5).toLong
+          cur match {
+            case Some(st) if t - st.lastTs <= gapMs =>
+              cur = Some(st.copy(lastTs = t, n = st.n + 1, sumE2 = st.sumE2 + v))
+            case Some(st) =>
+              closed ::= SessionOut(userId, new java.sql.Timestamp(st.sessionStart),
+                st.n, st.sumE2.toDouble / 100.0)
+              cur = Some(SessionState(t, t, 1, v))
+            case None =>
+              cur = Some(SessionState(t, t, 1, v))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastTs + gapMs)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SkewJoin
+
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("salted join matches the plain join row-for-row and spreads the hot key") {
+    val li = Tables.lineitem(s, sf).select("l_orderkey", "l_suppkey", "l_extendedprice")
+      // manufacture skew: fold most supplier keys onto one hot key
+      .withColumn("skey", when(col("l_suppkey") < 8, lit(0L)).otherwise(col("l_suppkey")))
+    val sup = Tables.supplier(s, sf).select(col("s_suppkey").as("skey"), col("s_name"))
+
+    val plain = li.join(sup, "skey")
+    val salted = SkewJoin.saltedJoin(li, sup, "skey")
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("skey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy("skey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "salted join changed per-key cardinalities")
+    // the hot key is spread: salted plan partitions on (key, salt)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt") || plan.contains("hashpartitioning"), plan.take(800))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionEvent
+
+class StreamSessionSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+
+  test("stateful streaming sessionization closes sessions on the gap") {
+    import s.implicits._
+    val input = MemoryStream[SessionEvent](s)
+    val q = EventStreams.sessionizeStream(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("graft_sessions")
+      .start()
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    try {
+      // user 1: two bursts 40min apart -> two sessions; user 2: one burst
+      input.addData(Seq(
+        SessionEvent(1L, t("09:00"), 1.0), SessionEvent(1L, t("09:10"), 2.0),
+        SessionEvent(2L, t("09:05"), 5.0)))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(1L, t("09:50"), 4.0)))
+      q.processAllAvailable()
+      // push event time far forward so every open session times out
+      input.addData(Seq(SessionEvent(99L, t("23:00"), 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(98L, t("23:59"), 0.0)))
+      q.processAllAvailable()
+
+      val out = s.table("graft_sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      val u1 = out.filter(_._1 == 1L).sortBy(_._2)
+      assert(u1.length == 2, s"user 1 must have 2 sessions, got ${out.mkString(";")}")
+      assert(u1(0)._3 == 2 && math.abs(u1(0)._4 - 3.0) < 1e-9) // 09:00 burst
+      assert(u1(1)._3 == 1 && math.abs(u1(1)._4 - 4.0) < 1e-9) // 09:50 burst
+      val u2 = out.filter(_._1 == 2L)
+      assert(u2.length == 1 && u2.head._3 == 1)
+    } finally q.stop()
+  }
+}
