@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_embedding" -> (DedupOps.dedupEmbedding(_, _)),
     "ann_cosine_topk" -> (SimilarityOps.annCosineTopK(_, _)),
     "ann_lsh" -> (SimilarityOps.annLsh(_, _)),
+    "ann_ivf" -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "text_langid" -> (TextOps.textLangid(_, _)),
     "text_quality" -> (TextOps.textQuality(_, _)),
     "text_tokens" -> (TextOps.textTokens(_, _)),

@@ -66,6 +66,47 @@ object SimilarityOps {
     }.reduce(_ + _)
   }
 
+  /** ann_ivf (rows-only) — IVF: a k-means coarse quantizer (kmeans||,
+    * distributed) splits the corpus into cells; each query probes its
+    * `nprobe` nearest cells and runs exact cosine only there. The cell id
+    * is the equi-join key, so compute is |Q| × (nprobe/cells) × |corpus|.
+    * Centroids are model metadata (tiny) baked into the plan as literals —
+    * the probe-selection runs fully codegen'd with no UDF. */
+  def annIvf(s: SparkSession, dir: String, k: Int = 5, cells: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorm(s, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5).fit(e)
+    val corpus = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("prediction").as("cell"))
+    // ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; rank cells per query by the
+    // only query-dependent part (-2 x·c + ||c||^2), scaled-int exact
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val cellScore = (emb: org.apache.spark.sql.Column, c: Int) => {
+      val w = array(centroids(c).map(v => lit(v)): _*)
+      val cNorm = centroids(c).map(v => math.floor(v.toDouble * v.toDouble * 1e12 + 0.5).toLong).sum
+      struct((lit(cNorm) - lit(2L) * dotE12(emb, w)).as("score"), lit(c).as("cell"))
+    }
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .withColumn("probes",
+        slice(array_sort(array((0 until cells).map(c => cellScore(col("embedding"), c)): _*)),
+          1, nprobe))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), explode(col("probes.cell")).as("cell"))
+    val scored = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        DedupOps.cosine(dotE12(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "cos_sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   /** #30 ann_lsh (rows-only) — bucketed ANN: queries probe only their own
     * hyperplane bucket; exact cosine + top-k within the bucket. The
     * bucket equi-join is the shuffle key, so pair volume is

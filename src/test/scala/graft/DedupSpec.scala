@@ -72,6 +72,16 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ann IVF: k-means cells give high recall vs brute force at nprobe=2") {
+    val brute = SimilarityOps.annCosineTopK(s, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = SimilarityOps.annIvf(s, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, f"IVF recall vs brute force too low: $recall%.2f")
+  }
+
   test("ann LSH: results are a subset-quality approximation of brute force") {
     val brute = SimilarityOps.annCosineTopK(s, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos_sim")))
