@@ -17,11 +17,21 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val exec = args.lift(2).contains("exec")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (names.forall(_.contains(name))) {
         println(s"\n========== $name ==========")
-        try fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+        try {
+          val df = fn(spark, sfDir)
+          if (exec) {
+            // drive THIS plan object (df.write would clone it), then print
+            // the final adaptive plan — shows ReusedExchange / runtime
+            // join changes
+            val qe = df.queryExecution
+            qe.executedPlan.execute().foreach(_ => ())
+            println(qe.executedPlan.toString)
+          } else df.explain("formatted")
+        } catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
       }
     }
     spark.stop()

@@ -38,15 +38,17 @@ object Jobs {
     val latest = drops.agg(max(col("dt")).as("latest_dt"))
     val lastDrop = drops.join(broadcast(latest), col("dt") === col("latest_dt"))
     // country stats over the landed facts (same single-pass math as
-    // SteamOps.worldDev: world average re-derived from exact partials)
+    // SteamOps.worldDev: world average from exact partials via an
+    // unpartitioned window over the bounded aggregated frame)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
     val perCountry = lastDrop.groupBy("cc").agg(
       sum(floor(col("usd_price") * lit(1000000.0) + lit(0.5))).as("s6"),
       count(col("usd_price")).as("cnt"))
-    val world = perCountry.agg(
-      (sum(col("s6")).cast("double") / lit(1000000.0) / sum(col("cnt"))).as("world_avg"))
     val dev = perCountry
       .withColumn("avg_usd", col("s6").cast("double") / lit(1000000.0) / col("cnt"))
-      .crossJoin(broadcast(world))
+      .withColumn("world_avg",
+        sum(col("s6")).over(w).cast("double") / lit(1000000.0) / sum(col("cnt")).over(w))
       .withColumn("perc_dif", col("avg_usd") / col("world_avg") - lit(1.0))
       .withColumn("usd_dif",
         (col("avg_usd") / col("world_avg") - lit(1.0)) * col("world_avg"))

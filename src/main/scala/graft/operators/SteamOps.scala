@@ -88,20 +88,25 @@ object SteamOps {
   /** Country means + global mean in ONE pass over the fact: the global
     * average is re-derived from the per-country integer partials
     * (Σ sums / Σ counts — bit-identical to a global aggregate because the
-    * partials are exact integers). One fact scan + one shuffle; the
-    * single-row world aggregate is broadcast-crossed, never collected. */
+    * partials are exact integers) via an unpartitioned window over the
+    * ALREADY-AGGREGATED frame. That frame is one row per country —
+    * bounded by the dimension, not the facts — so the single-partition
+    * window is fine at any fact scale, and the fact pipeline runs exactly
+    * once (a cross join against a separate global aggregate would be
+    * re-aliased by the analyzer and recompute the whole fact scan). */
   private def worldDev(fact: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
     val perCountry = fact.groupBy("cc").agg(
       sum(floor(col("usd_price") * lit(1000000.0) + lit(0.5))).as("s6"),
       count(col("usd_price")).as("cnt"))
-    val world = perCountry.agg(
-      (sum(col("s6")).cast("double") / lit(1000000.0) / sum(col("cnt"))).as("world_avg"))
     perCountry
       .withColumn("avg_usd", col("s6").cast("double") / lit(1000000.0) / col("cnt"))
-      .crossJoin(broadcast(world))
+      .withColumn("world_avg",
+        sum(col("s6")).over(w).cast("double") / lit(1000000.0) / sum(col("cnt")).over(w))
       .withColumn("perc_dif", col("avg_usd") / col("world_avg") - lit(1.0))
       .withColumn("usd_dif", (col("avg_usd") / col("world_avg") - lit(1.0)) * col("world_avg"))
-      .drop("s6", "cnt")
+      .drop("s6", "cnt", "world_avg")
   }
 
   /** #4 world_avg_dev — percent + USD deviation from the world average
