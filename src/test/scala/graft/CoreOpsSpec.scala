@@ -33,6 +33,16 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("approx_distinct tracks exact distinct within HLL tolerance") {
+    val exact = CoreOps.distinctAgg(s, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
+    CoreOps.approxDistinct(s, sf).collect().foreach { r =>
+      val e = exact(r.getAs[String]("l_returnflag")).toDouble
+      val a = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(a - e) / e < 0.2, s"approx $a vs exact $e")
+    }
+  }
+
   test("window_rank: at most 3 per customer, rank starts at 1") {
     val rows = CoreOps.windowRank(s, sf).collect()
     val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
