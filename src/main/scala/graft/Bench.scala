@@ -37,9 +37,15 @@ object Bench {
           -1.0
       }
     }
+    // second passes stop once the wall-clock budget is spent, so a slow
+    // box degrades to single-pass timings instead of risking a harness
+    // timeout with no output at all
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
+    val wall0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - wall0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = once(name, fn)
-      val b = if (a < 0) a else math.min(a, once(name, fn))
+      val b = if (a < 0 || elapsed > budgetSec) a else math.min(a, once(name, fn))
       name -> b
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
