@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source-format layer beyond parquet — the reference's other inputs:
+  * a CSV code-lookup (world_map_transformer.py:138–139 reads the
+  * ALPHA-2/ALPHA-3 map with pd.read_csv) and JSON API payloads
+  * (external_resources.py:126–137).
+  *
+  * Explicit schemas everywhere: schema inference is an extra full read of
+  * the data — never acceptable on a 100 TB source.
+  */
+object Formats {
+
+  /** CSV with explicit schema + header, no inference pass. */
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSON-lines with explicit schema (each line one record — the
+    * splittable layout for distributed reads). */
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}
