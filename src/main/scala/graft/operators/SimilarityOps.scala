@@ -61,7 +61,7 @@ object SimilarityOps {
   def lshBucket(emb: org.apache.spark.sql.Column, dim: Int = 64): org.apache.spark.sql.Column = {
     val planes = planeWeights(dim)
     (0 until NumPlanes).map { p =>
-      val w = array(planes(p).map(v => lit(v)): _*)
+      val w = array(planes(p).toIndexedSeq.map(v => lit(v)): _*)
       when(dotE12(emb, w) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -85,7 +85,7 @@ object SimilarityOps {
     // only query-dependent part (-2 x·c + ||c||^2), scaled-int exact
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val cellScore = (emb: org.apache.spark.sql.Column, c: Int) => {
-      val w = array(centroids(c).map(v => lit(v)): _*)
+      val w = array(centroids(c).toIndexedSeq.map(v => lit(v)): _*)
       val cNorm = centroids(c).map(v => math.floor(v.toDouble * v.toDouble * 1e12 + 0.5).toLong).sum
       struct((lit(cNorm) - lit(2L) * dotE12(emb, w)).as("score"), lit(c).as("cell"))
     }
