@@ -42,6 +42,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming: the real events parquet streamed through the agg matches batch") {
+    // drive the actual parquet file as a file-stream source (schema fixed
+    // up front, as any production readStream must be)
+    val batchDf = graft.Tables.eventsMicros(s, TestSpark.sf)
+    // file-stream sources watch a directory — stage the file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf + "/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamDf = s.readStream
+      .schema(graft.Tables.events(s, TestSpark.sf).schema)
+      .parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = EventStreams.windowAgg(streamDf).writeStream
+      .outputMode("complete").format("memory").queryName("graft_file_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.table("graft_file_stream")
+        .orderBy("window_start", "event_type").collect().map(_.toString)
+      val batch = EventStreams.windowAgg(batchDf)
+        .orderBy("window_start", "event_type").collect().map(_.toString)
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("watermark bounds state: late data beyond 2h is dropped in append mode") {
     import s.implicits._
     val input = MemoryStream[(Timestamp, String, Double)](s)
