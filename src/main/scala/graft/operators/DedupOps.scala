@@ -181,6 +181,31 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** dedup_minhash_verified (rows-only) — the full production dedup shape:
+    * MinHash-LSH candidate generation followed by EXACT n-gram Jaccard
+    * computed ONLY on the candidate pairs. At 100 TB the exact join runs
+    * over |candidates| ≪ n² pairs; this is the composition of #25 and #27
+    * as one operator. */
+  def dedupMinhashVerified(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = minhashCandidates(docs).select("doc_a", "doc_b")
+    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Deterministic exact cosine from scaled-int dot/norms (see DotE12). */
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))

@@ -113,9 +113,14 @@ object SimilarityOps {
     * sum(bucket_size × queries_in_bucket), never |Q|×|corpus|. */
   def annLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = withNorm(s, dir).withColumn("bucket", lshBucket(col("embedding")))
+    // multi-probe: each query also probes the NumPlanes buckets at
+    // hamming distance 1 (one sign bit flipped) — the standard recall
+    // lever, costing probes× the (tiny) query side, not the corpus side
+    val probes = array((lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))): _*)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
+        col("nrm").as("q_nrm"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

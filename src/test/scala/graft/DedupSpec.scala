@@ -72,6 +72,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash-verified pairs are exact-Jaccard-correct (subset of the full exact output)") {
+    val full = DedupOps.dedupNgramJaccard(s, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val verified = DedupOps.dedupMinhashVerified(s, sf).collect()
+    verified.foreach { r =>
+      val pair = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(full.contains(pair), s"verified pair $pair not in the exact output")
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
   test("ann IVF: k-means cells give high recall vs brute force at nprobe=2") {
     val brute = SimilarityOps.annCosineTopK(s, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
