@@ -59,6 +59,23 @@ class TextAndMmSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == want)
   }
 
+  test("native expressions: interpreted eval matches codegen") {
+    import s.implicits._
+    val df = Seq(("graft test string", Array(0.1f, -0.2f, 0.3f))).toDF("t", "v")
+      .select(rollingHash64(col("t")).as("fp"), dotE12(col("v"), col("v")).as("d"))
+    val withCodegen = df.collect().head
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.collect().head
+      assert(withCodegen.getLong(0) == interpreted.getLong(0))
+      assert(withCodegen.getLong(1) == interpreted.getLong(1))
+    } finally {
+      s.conf.set("spark.sql.codegen.wholeStage", "true")
+      s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("mm_metadata: byte_len matches text length, batched decode is total") {
     val rows = MultimodalOps.mmMetadata(s, sf).collect()
     assert(rows.length == 500)
