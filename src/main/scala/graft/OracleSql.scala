@@ -235,6 +235,14 @@ object OracleSql {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "quantiles" ->
+      s"""SELECT o_orderpriority,
+         |  quantile_cont(${e2("o_totalprice")}, 0.5)/100.0 AS p50,
+         |  quantile_cont(${e2("o_totalprice")}, 0.9)/100.0 AS p90,
+         |  quantile_cont(${e2("o_totalprice")}, 0.99)/100.0 AS p99,
+         |  COUNT(*) AS n
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "semi_anti_join" ->
       """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0)
         |SELECT c_mktsegment,

@@ -40,6 +40,8 @@ object SparkEntry {
     "topk" -> (CoreOps.topK(_, _)),
     "distinct_agg" -> (CoreOps.distinctAgg(_, _)),
     "approx_distinct" -> (CoreOps.approxDistinct(_, _)),
+    "quantiles" -> (CoreOps.quantiles(_, _)),
+    "approx_quantiles" -> (CoreOps.approxQuantiles(_, _)),
     "semi_anti_join" -> (CoreOps.semiAntiJoin(_, _)),
     "rollup_agg" -> (CoreOps.rollupAgg(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),

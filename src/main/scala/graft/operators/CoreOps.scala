@@ -162,6 +162,30 @@ object CoreOps {
         |ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST""".stripMargin)
   }
 
+  /** #19c quantiles — exact interpolated p50/p90/p99 of order totals per
+    * priority, over exact integer cents (both engines use the standard
+    * (n-1)p linear interpolation, so the doubles are deterministic). */
+  def quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        (percentile(Det.e2(col("o_totalprice")), lit(0.5)) / lit(100.0)).as("p50"),
+        (percentile(Det.e2(col("o_totalprice")), lit(0.9)) / lit(100.0)).as("p90"),
+        (percentile(Det.e2(col("o_totalprice")), lit(0.99)) / lit(100.0)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** #19d approx_quantiles (rows-only twin) — percentile_approx
+    * (Greenwald-Khanna sketch): single-pass, mergeable, bounded memory —
+    * the 100 TB path for quantiles. */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        (percentile_approx(Det.e2(col("o_totalprice")), lit(0.5), lit(10000)) / lit(100.0)).as("p50"),
+        (percentile_approx(Det.e2(col("o_totalprice")), lit(0.99), lit(10000)) / lit(100.0)).as("p99"))
+      .orderBy("o_orderpriority")
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** #22 pivot_events — long→wide pivot on event_type with explicit pivot

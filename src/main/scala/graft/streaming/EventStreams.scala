@@ -36,6 +36,14 @@ object EventStreams {
   def streamWindowAgg(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Streaming exact dedup — drops re-deliveries of the same event id
+    * from an at-least-once source. dropDuplicatesWithinWatermark keeps
+    * state only until the watermark passes the event, so state is bounded
+    * by (throughput × watermark), not stream length — the ingest-side
+    * twin of DedupOps.dedupExact for an unbounded 100 TB/day feed. */
+  def streamDedup(events: DataFrame, key: String = "event_id"): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(key)
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, n: Long, sumE2: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

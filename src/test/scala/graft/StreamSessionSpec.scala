@@ -11,6 +11,24 @@ import graft.streaming.EventStreams.SessionEvent
 class StreamSessionSpec extends AnyFunSuite {
   lazy val s = TestSpark.spark
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)](s)
+    val events = input.toDF().toDF("event_id", "ts", "payload")
+    val q = EventStreams.streamDedup(events).writeStream
+      .outputMode("append").format("memory").queryName("graft_stream_dedup")
+      .start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 09:00:00")
+      input.addData(Seq((1L, t0, "a"), (2L, t0, "b"), (1L, t0, "a-redelivered")))
+      q.processAllAvailable()
+      input.addData(Seq((2L, t0, "b-redelivered"), (3L, t0, "c")))
+      q.processAllAvailable()
+      val ids = s.table("graft_stream_dedup").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on the gap") {
     import s.implicits._
     val input = MemoryStream[SessionEvent](s)
