@@ -259,6 +259,13 @@ object OracleSql {
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
 
+    "cube_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  CAST(SUM(${e2("l_quantity")}) AS DOUBLE)/100.0 AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     "pivot_events" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view").flatMap { t =>
         Seq(

@@ -44,6 +44,7 @@ object SparkEntry {
     "approx_quantiles" -> (CoreOps.approxQuantiles(_, _)),
     "semi_anti_join" -> (CoreOps.semiAntiJoin(_, _)),
     "rollup_agg" -> (CoreOps.rollupAgg(_, _)),
+    "cube_agg" -> (CoreOps.cubeAgg(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),
     "sessionize" -> (CoreOps.sessionize(_, _)),
     // LLM-training-data (#24–35)

@@ -162,6 +162,21 @@ object CoreOps {
         |ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST""".stripMargin)
   }
 
+  /** #21b cube_agg — full cross-dimensional aggregation (every grouping
+    * set of (returnflag, linestatus)); like rollup, goes through the SQL
+    * surface to sidestep the Dataset-API Expand ambiguity check. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .createOrReplaceTempView("graft_cube_src")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(FLOOR(l_quantity*100.0+0.5)) AS DOUBLE)/100.0 AS sum_qty
+        |FROM graft_cube_src
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** #19c quantiles — exact interpolated p50/p90/p99 of order totals per
     * priority, over exact integer cents (both engines use the standard
     * (n-1)p linear interpolation, so the doubles are deterministic). */
