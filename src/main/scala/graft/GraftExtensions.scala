@@ -26,11 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_e12"),
       info("graft_dot_e12",
         "graft_dot_e12(a, b) - exact scaled-int (1e12) dot product of two float arrays"),
-      (args: Seq[Expression]) => DotE12(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_dot_e12 takes 2 arguments, got ${args.length}")
+        DotE12(args(0), args(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_rolling_hash64"),
       info("graft_rolling_hash64",
         "graft_rolling_hash64(s) - 64-bit FNV-1a rolling fingerprint of a string"),
-      (args: Seq[Expression]) => RollingHash64(args.head)))
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_rolling_hash64 takes 1 argument, got ${args.length}")
+        RollingHash64(args.head)
+      }))
   }
 }

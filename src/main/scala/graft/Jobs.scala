@@ -37,35 +37,11 @@ object Jobs {
     val drops = s.read.parquet(s"$pricesBase/steam_prices")
     val latest = drops.agg(max(col("dt")).as("latest_dt"))
     val lastDrop = drops.join(broadcast(latest), col("dt") === col("latest_dt"))
-    // country stats over the landed facts (same single-pass math as
-    // SteamOps.worldDev: world average from exact partials via an
-    // unpartitioned window over the bounded aggregated frame)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
-    val perCountry = lastDrop.groupBy("cc").agg(
-      sum(floor(col("usd_price") * lit(1000000.0) + lit(0.5))).as("s6"),
-      count(col("usd_price")).as("cnt"))
-    val dev = perCountry
-      .withColumn("avg_usd", col("s6").cast("double") / lit(1000000.0) / col("cnt"))
-      .withColumn("world_avg",
-        sum(col("s6")).over(w).cast("double") / lit(1000000.0) / sum(col("cnt")).over(w))
-      .withColumn("perc_dif", col("avg_usd") / col("world_avg") - lit(1.0))
-      .withColumn("usd_dif",
-        (col("avg_usd") / col("world_avg") - lit(1.0)) * col("world_avg"))
-      .withColumn("alpha2", SteamOps.normalizeCode(col("cc")))
-    val enriched = dev
-      .join(broadcast(SteamOps.isoDim(s, sfDir)), dev("alpha2") === col("iso_a2"), "left")
-      .select(col("iso_a3").as("s_alpha3"), col("avg_usd"), col("perc_dif"), col("usd_dif"))
-    val world2 = SteamOps.geoDim(s, sfDir)
-      .join(enriched, col("g_alpha3") === col("s_alpha3"), "left")
-    import org.apache.spark.sql.expressions.Window
-    val isEu = col("continent") === "EUROPE"
-    world2
-      .withColumn("usd_dif",
-        when(isEu, max(col("usd_dif")).over(Window.partitionBy(isEu)))
-          .otherwise(col("usd_dif")))
-      .select(col("g_alpha2").as("alpha2"), col("g_alpha3").as("alpha3"),
-        col("continent"), col("avg_usd"), col("perc_dif"), col("usd_dif"))
+    // identical math to the oracle-checked operator path: worldDev →
+    // iso/geo enrichment → EU propagation, just over the landed drop
+    SteamOps.withEuPropagatedDif(
+        SteamOps.worldTableFrom(SteamOps.worldDev(lastDrop), s, sfDir))
+      .select("alpha2", "alpha3", "continent", "avg_usd", "perc_dif", "usd_dif")
       .orderBy("alpha2")
   }
 }

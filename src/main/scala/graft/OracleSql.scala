@@ -350,7 +350,8 @@ object OracleSql {
          |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_tokens" -> {
-      val pat = graft.operators.TextOps.BpeishRegex.replace("\\", "\\")
+      // the regex passes into DuckDB's single-quoted literal verbatim
+      val pat = graft.operators.TextOps.BpeishRegex
       s"""SELECT doc_id,
          |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text,'$pat')) AS BIGINT) AS re_tokens,

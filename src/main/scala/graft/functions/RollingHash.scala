@@ -26,9 +26,19 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHash64(child: Expression)
     extends UnaryExpression {
 
-  // Only constructed internally over string columns (TextHashFunctions).
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_hash64"
+
+  // SQL-facing via GraftExtensions: reject non-string inputs at analysis
+  // time (a numeric arg would ClassCastException on executors otherwise).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, FloatType, LongType}
 
 /** Scaled-integer dot product over two `array<float>` embedding columns.
   *
@@ -27,35 +27,55 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class DotE12(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Only constructed internally over array<float> columns (see
-  // VectorFunctions) — no SQL-facing type coercion needed.
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_e12"
+  override def nullable: Boolean = true // also null on length mismatch
+
+  // SQL-facing via GraftExtensions: reject non-float-array inputs at
+  // analysis time instead of crashing (or misreading) on executors.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      acc += math.floor(
-        x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1.0e12 + 0.5).toLong
-      i += 1
+    if (x.numElements() != y.numElements()) {
+      null // dimension drift: surface as null, never a partial dot product
+    } else {
+      val n = x.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(
+          x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1.0e12 + 0.5).toLong
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long graftAcc = 0L;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  graftAcc += (long) java.lang.Math.floor(
-         |    ((double) $a.getFloat(graftI)) * ((double) $b.getFloat(graftI)) * 1.0E12d + 0.5d);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int graftN = $a.numElements();
+         |  long graftAcc = 0L;
+         |  for (int graftI = 0; graftI < graftN; graftI++) {
+         |    graftAcc += (long) java.lang.Math.floor(
+         |      ((double) $a.getFloat(graftI)) * ((double) $b.getFloat(graftI)) * 1.0E12d + 0.5d);
+         |  }
+         |  ${ev.value} = graftAcc;
          |}
-         |${ev.value} = graftAcc;
        """.stripMargin
     })
 

@@ -67,17 +67,25 @@ object DedupOps {
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
 
+  /** doc_id + 64-bit hashed shingles — the shared base frame for MinHash
+    * signatures AND exact-Jaccard verification (one definition, so both
+    * consumers agree and AQE can reuse the subtree where plans allow). */
+  def hashedShingles(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("hb"))
+
   /** Per-doc MinHash signature: K independent hash slots, each the min of
     * a seeded xxhash64 over the doc's shingles. Computed in ONE groupBy
     * (map-side combine keeps the shuffle tiny: K longs per doc). The
     * shingle string is hashed once; the K slot hashes mix the 64-bit base
     * hash with the slot index — K long-hashes instead of K string-hashes. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val base = shingles(docs).withColumn("hb", xxhash64(col("shingle")))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(hashedShingles(docs))
+
+  def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashK).map { i =>
       min(xxhash64(lit(i), col("hb"))).as(s"mh_$i")
     }
-    base.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** #25 dedup_minhash_lsh (rows-only) — banded LSH: band hash = hash of 4
@@ -88,9 +96,12 @@ object DedupOps {
     minhashCandidates(Tables.documents(s, dir))
 
   /** Candidate generation on any documents-shaped frame (testable core). */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFrom(minhashSignatures(docs))
+
+  /** Banded candidate generation from a signature frame. */
+  def minhashCandidatesFrom(sigs: DataFrame): DataFrame = {
     val rows = MinhashK / MinhashBands // slots per band
-    val sigs = minhashSignatures(docs)
     val bands = (0 until MinhashBands).map { b =>
       val slot = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
@@ -161,8 +172,8 @@ object DedupOps {
     // and a long equi-join key. xxhash64 collisions are ~2^-45 at this
     // vocabulary — exactness holds (the DuckDB oracle joins raw strings
     // and hash-matches this output).
-    val sh = shingles(Tables.documents(s, dir))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = hashedShingles(Tables.documents(s, dir))
+      .withColumnRenamed("hb", "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -189,12 +200,16 @@ object DedupOps {
   def dedupMinhashVerified(s: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cands = minhashCandidates(docs).select("doc_a", "doc_b")
-    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // ONE hashed-shingle definition feeds both the signature stage and the
+    // exact-verify stage (identical subtrees — single-sourced semantics,
+    // and the planner can reuse the computed exchange)
+    val sh = hashedShingles(docs)
+    val cands = minhashCandidatesFrom(minhashSignaturesFrom(sh))
+      .select("doc_a", "doc_b")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("hb")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))

@@ -93,8 +93,11 @@ object SteamOps {
     * bounded by the dimension, not the facts — so the single-partition
     * window is fine at any fact scale, and the fact pipeline runs exactly
     * once (a cross join against a separate global aggregate would be
-    * re-aliased by the analyzer and recompute the whole fact scan). */
-  private def worldDev(fact: DataFrame): DataFrame = {
+    * re-aliased by the analyzer and recompute the whole fact scan).
+    *
+    * Public: any fact-shaped frame with (cc, usd_price) works — Jobs runs
+    * this same math over the landed parquet drop. */
+  def worldDev(fact: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
     val perCountry = fact.groupBy("cc").agg(
@@ -163,9 +166,13 @@ object SteamOps {
   /** The merged world table: geo LEFT JOIN country stats on ALPHA-3,
     * keeping all geo rows (reference: world_map_transformer.py:205–208).
     * The country whose ALPHA-3 lookup missed surfaces as null stats. */
-  def worldTable(s: SparkSession, dir: String, withBad: Boolean = false): DataFrame = {
-    val stats = worldDev(pricesFact(s, dir, withBad))
-      .withColumn("alpha2", normalizeCode(col("cc")))
+  def worldTable(s: SparkSession, dir: String, withBad: Boolean = false): DataFrame =
+    worldTableFrom(worldDev(pricesFact(s, dir, withBad)), s, dir)
+
+  /** iso + geo enrichment of any worldDev-shaped stats frame (shared by
+    * the operator path and the job path over landed drops). */
+  def worldTableFrom(dev: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    val stats = dev.withColumn("alpha2", normalizeCode(col("cc")))
     val enriched = stats
       .join(broadcast(isoDim(s, dir)), stats("alpha2") === col("iso_a2"), "left")
       .select(col("iso_a3").as("s_alpha3"), col("avg_usd"),
@@ -174,6 +181,17 @@ object SteamOps {
       .join(enriched, col("g_alpha3") === col("s_alpha3"), "left")
       .select(col("g_alpha2").as("alpha2"), col("g_alpha3").as("alpha3"),
         col("continent"), col("avg_usd"), col("perc_dif"), col("usd_dif"))
+  }
+
+  /** EU group-conditional propagation applied to a world table: usd_dif of
+    * every EUROPE row becomes the EU max (window over the bounded group
+    * key — reference: world_map_transformer.py:209–211). */
+  def withEuPropagatedDif(world: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isEu = col("continent") === "EUROPE"
+    world.withColumn("usd_dif",
+      when(isEu, max(col("usd_dif")).over(Window.partitionBy(isEu)))
+        .otherwise(col("usd_dif")))
   }
 
   /** #7 geo_enrich_join — left outer join keeping every dim row. */
@@ -185,15 +203,11 @@ object SteamOps {
   /** #8 eu_propagate — group-conditional max written back across the EU
     * group (reference: world_map_transformer.py:209–211) as a window over
     * the bounded group key, not a collect+mutate. */
-  def euPropagate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val isEu = col("continent") === "EUROPE"
-    val w = Window.partitionBy(isEu)
-    worldTable(s, dir)
-      .withColumn("usd_dif_prop", when(isEu, max(col("usd_dif")).over(w)).otherwise(col("usd_dif")))
+  def euPropagate(s: SparkSession, dir: String): DataFrame =
+    withEuPropagatedDif(worldTable(s, dir))
+      .withColumnRenamed("usd_dif", "usd_dif_prop")
       .select("alpha2", "continent", "usd_dif_prop")
       .orderBy("alpha2")
-  }
 
   /** #9 latest_partition — rows of the newest date, the reference's
     * "latest object by LastModified" (external_resources.py:91–93) as a
@@ -213,13 +227,19 @@ object SteamOps {
   /** #10 json_extract — JSON payload field extraction with presence checks
     * (reference: external_resources.py:126–137 digs
     * price_overview.final_formatted out of the API response). */
-  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    // try_cast, not cast: a non-integral payload value must surface as
+    // null (reference treats unusable payloads as missing), never as an
+    // ANSI runtime error; has_k = "k present AND usable", matching the
+    // oracle's TRY_CAST semantics.
+    val kVal = get_json_object(col("props"), "$.k").try_cast("long")
     Tables.events(s, dir)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
-        get_json_object(col("props"), "$.missing").cast("long").as("missing_val"),
-        get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+        kVal.as("k_val"),
+        get_json_object(col("props"), "$.missing").try_cast("long").as("missing_val"),
+        kVal.isNotNull.as("has_k"))
       .orderBy("event_id")
+  }
 
   /** #11 null_handling — unparseable rows → null + null-aware aggregation
     * (reference: steam_prices_transformer.py:130–132). */
@@ -235,16 +255,10 @@ object SteamOps {
   /** #12 steam_pipeline — the full reference dataflow end-to-end
     * (reference: run.py:46–63): parse → convert → country stats → world
     * deviation → normalize → iso join → geo left join → EU propagation. */
-  def steamPipeline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val isEu = col("continent") === "EUROPE"
-    val w = Window.partitionBy(isEu)
-    worldTable(s, dir, withBad = true)
-      .withColumn("usd_dif",
-        when(isEu, max(col("usd_dif")).over(w)).otherwise(col("usd_dif")))
+  def steamPipeline(s: SparkSession, dir: String): DataFrame =
+    withEuPropagatedDif(worldTable(s, dir, withBad = true))
       .select("alpha2", "alpha3", "continent", "avg_usd", "perc_dif", "usd_dif")
       .orderBy("alpha2")
-  }
 
   /** Parquet sink: snappy parquet under a date-stamped key
     * (reference: external_resources.py:38–52 + the date-stamped
@@ -258,7 +272,9 @@ object SteamOps {
   /** Rows-only `parquet_sink` query: write the country stats through the
     * date-stamped snappy sink and read them back (round-trip proof). */
   def parquetSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = System.getProperty("java.io.tmpdir") + "/graft_sink"
+    // unique per-invocation base dir: a fixed path would race between
+    // concurrent JVMs (overwrite-while-read)
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val path = writeDateStamped(countryAvg(s, dir), out, "2024-01-01")
     s.read.parquet(path).orderBy("cc")
   }
