@@ -76,8 +76,13 @@ object SimilarityOps {
       nprobe: Int = 2): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // Persisted: kmeans|| fit makes one pass per iteration over this frame,
+    // and it feeds the corpus/probe sides afterwards — without the persist
+    // every pass re-reads parquet and rebuilds vectors (ML itself warns
+    // when its input is uncached).
     val e = withNorm(s, dir)
       .withColumn("features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5).fit(e)
     val corpus = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("prediction").as("cell"))
