@@ -285,6 +285,23 @@ object OracleSql {
         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM l ORDER BY user_id, us, event_id""".stripMargin,
 
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000 AS us FROM events),
+        |l AS (SELECT event_id, user_id, us FROM e WHERE event_type='click'),
+        |r AS (SELECT user_id, us, event_id AS p_event, value AS p_value FROM e WHERE event_type='purchase')
+        |SELECT l.event_id, l.user_id, l.us, r.p_event, r.p_value, r.us AS p_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+        |ORDER BY l.event_id""".stripMargin,
+
+    "range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |c AS (SELECT event_id AS c_event, user_id, us FROM e WHERE event_type='click'),
+        |p AS (SELECT event_id AS p_event, user_id, us AS w_lo, us + 1800000000 AS w_hi
+        |      FROM e WHERE event_type='purchase')
+        |SELECT p.p_event, c.c_event, c.us, p.w_lo
+        |FROM p JOIN c ON c.user_id = p.user_id AND c.us >= p.w_lo AND c.us < p.w_hi
+        |ORDER BY p_event, c_event""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,

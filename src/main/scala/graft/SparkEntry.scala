@@ -47,6 +47,8 @@ object SparkEntry {
     "cube_agg" -> (CoreOps.cubeAgg(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),
     "sessionize" -> (CoreOps.sessionize(_, _)),
+    "asof_join" -> (TemporalOps.asofClickPurchase(_, _)),
+    "range_join" -> (TemporalOps.rangeClickInPurchaseWindow(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join operators — as-of join and interval (range) join.
+  *
+  * Spark has no native ASOF JOIN, and a naive range join plans as a
+  * nested-loop (BroadcastNestedLoopJoin / CartesianProduct) that is
+  * quadratic at scale. Both operators here re-express the semantics with
+  * only equi-shuffles, per the preference order in the build charter:
+  * compose existing ops before reaching for a custom SparkPlan.
+  *
+  *   - as-of: union both sides, ONE hash shuffle on the key, an ordered
+  *     window carries the latest right-side row forward — the classic
+  *     merge-as-of, O(n log n) per key partition, no join explosion.
+  *   - range: explode each interval into the coarse time bins it covers,
+  *     equi-join points on (key, bin), then apply the exact bounds. The
+  *     shuffle key is (key, bin) so pair volume is bounded by true match
+  *     density (+ one-bin slack), never |points| × |intervals|.
+  *
+  * The reference has no temporal joins; these are engine-completeness
+  * operators for the events table (the bucket-timeline stand-in,
+  * reference: Scripts/common/external_resources.py:70–98).
+  */
+object TemporalOps {
+
+  /** Generic as-of join: for each left row, attach the latest right row of
+    * the same `key` with `right.tsCol <= left.tsCol` (inclusive, LEFT
+    * semantics — unmatched left rows keep a null struct).
+    *
+    * Right attributes travel in ONE non-null struct per right row, so a
+    * null attribute value can never make `last(_, ignoreNulls)` skip over
+    * a legitimate match to an older row.
+    *
+    * Scale: one shuffle on `key`, per-partition sort on (ts, side) — the
+    * same cost shape as a sort-merge join, with bounded window state (the
+    * running struct). No non-equi join anywhere in the plan.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      matchedCol: String = "matched"): DataFrame = {
+    val rAttrs = right.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val rPacked = right.select(
+      col(key), col(tsCol),
+      struct((col(tsCol) +: rAttrs.map(col)): _*).as(matchedCol))
+    val matchedType = rPacked.schema(matchedCol).dataType
+    val lAttrs = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val lPart = left.select(
+      col(key) +: col(tsCol) +: lAttrs.map(col) :+
+        lit(null).cast(matchedType).as(matchedCol) :+ lit(1).as("_side"): _*)
+    val rPart = rPacked.select(
+      col(key) +: col(tsCol) +:
+        lAttrs.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col(matchedCol) :+ lit(0).as("_side"): _*)
+    // right (side 0) sorts BEFORE left (side 1) at equal ts → inclusive
+    // `left.ts >= right.ts` match, same as DuckDB/kdb asof semantics
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPart.unionByName(rPart)
+      .withColumn(matchedCol, last(col(matchedCol), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Generic interval join: rows of `points` whose `ptCol` lies in a
+    * `[loCol, hiCol)` interval of `intervals` with the same `key`.
+    *
+    * Each interval is exploded into the `binWidth`-sized time bins it
+    * covers (⌈len/binWidth⌉+1 rows); each point carries its single bin.
+    * The join is a plain equi-join on (key, bin) — hash-shuffleable,
+    * AQE-skew-splittable — followed by the exact bounds filter. A point
+    * matches an interval in exactly one bin (its own), so no dedup pass
+    * is needed. Pick `binWidth` ≈ the typical interval length: shorter
+    * bins explode intervals wider, longer bins admit more false
+    * candidates to the filter.
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame, key: String,
+      ptCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val iBinned = intervals.withColumn("_bin",
+      explode(sequence(expr(s"`$loCol` div $binWidth"), expr(s"`$hiCol` div $binWidth"))))
+    val pBinned = points.withColumn("_bin", expr(s"`$ptCol` div $binWidth"))
+    pBinned.join(iBinned, Seq(key, "_bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("_bin")
+  }
+
+  private val HalfHourUs = 1800L * 1000000L
+
+  /** `asof_join` query — each click joined to the user's latest purchase
+    * at or before it (event-time in epoch-µs, matching the oracle's
+    * ns→µs truncation). */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+    asofJoin(clicks, purchases, "user_id", "us", "m")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("m.p_event").as("p_event"), col("m.p_value").as("p_value"),
+        col("m.us").as("p_us"))
+      .orderBy("event_id")
+  }
+
+  /** `range_join` query — clicks falling inside the 30-minute window
+    * opened by each purchase of the same user. */
+  def rangeClickInPurchaseWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id"), col("us"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"),
+        col("us").as("w_lo"), (col("us") + lit(HalfHourUs)).as("w_hi"))
+    rangeJoinBinned(clicks, windows, "user_id", "us", "w_lo", "w_hi", HalfHourUs)
+      .select("p_event", "c_event", "us", "w_lo")
+      .orderBy("p_event", "c_event")
+  }
+}
