@@ -64,6 +64,8 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokens(_, _)),
     "text_fingerprint" -> (TextOps.textFingerprint(_, _)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),
+    "mm_features" -> (MultimodalOps.mmFeatures(_, _)),
+    "mm_frames" -> (MultimodalOps.mmFrameSample(_, _)),
     // streaming (#36, batch twin — streaming path in EventStreams + spec)
     "stream_window_agg" -> (EventStreams.streamWindowAggBatch(_, _)))
 

@@ -21,9 +21,17 @@ object MultimodalOps {
 
   case class MMRecord(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MMDecoded(doc_id: Long, media_type: String, byte_len: Long,
-      width: Int, height: Int, feat_mean: Double)
+      width: Int, height: Int, out_width: Int, out_height: Int, feat_mean: Double)
 
   val DecodeBatchSize = 64
+
+  /** Aspect-preserving fit into a `target`×`target` box (the resize step's
+    * geometry — the pixel resampling itself is part of the decode STUB). */
+  def fitDims(width: Int, height: Int, target: Int = 224): (Int, Int) = {
+    val scale = target.toDouble / math.max(width, height)
+    (math.max(1, math.round(width * scale).toInt),
+      math.max(1, math.round(height * scale).toInt))
+  }
 
   /** STUB decoder: a real implementation would decode image/audio frames
     * here (per batch, reusing codec state). This fake derives deterministic
@@ -38,7 +46,8 @@ object MultimodalOps {
       var i = 0
       while (i < len) { acc += (r.payload(i) & 0xff); i += 1 }
       val featMean = if (len == 0) 0.0 else acc.toDouble / len
-      MMDecoded(r.doc_id, r.media_type, len.toLong, width, height, featMean)
+      val (ow, oh) = fitDims(width, height)
+      MMDecoded(r.doc_id, r.media_type, len.toLong, width, height, ow, oh, featMean)
     }
 
   /** Typed multimodal source: documents' text bytes stand in for media
@@ -54,12 +63,78 @@ object MultimodalOps {
   }
 
   /** #35 mm_metadata (rows-only) — batched decode-stub over binary
-    * payloads; schema/partitioning/batch shape are the real contract. */
+    * payloads; schema/partitioning/batch shape are the real contract.
+    * Includes the resize geometry (aspect-fit 224) a vision pipeline
+    * computes per item. */
   def mmMetadata(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mmSource(s, dir)
       .mapPartitions(it => it.grouped(DecodeBatchSize).flatMap(decodeBatch))
       .toDF()
       .orderBy("doc_id")
+  }
+
+  // ---------- feature extraction ----------
+
+  case class MMFeatures(doc_id: Long, media_type: String, features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB feature extractor (a real one runs a vision/audio encoder per
+    * batch): byte histogram folded into FeatureDim buckets, L2-normalized.
+    * Deterministic, so the spec can assert exact invariants. */
+  private def featureBatch(batch: Seq[MMRecord]): Seq[MMFeatures] =
+    batch.map { r =>
+      val f = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < r.payload.length) {
+        f(i % FeatureDim) += (r.payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.sqrt(f.map(x => x.toDouble * x).sum)
+      MMFeatures(r.doc_id, r.media_type,
+        if (n == 0.0) f else f.map(x => (x / n).toFloat))
+    }
+
+  /** mm_features (rows-only) — batched media → fixed-dim `array<float>`
+    * embedding plumbing: the handoff from multimodal decode into the
+    * similarity/dedup operators (#28–30 consume exactly this column
+    * shape). Map-side only, no shuffle. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mmSource(s, dir)
+      .mapPartitions(it => it.grouped(DecodeBatchSize).flatMap(featureBatch))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ---------- video frame sampling ----------
+
+  case class MMFrame(doc_id: Long, frame_idx: Int, frame_len: Long, frame_sum: Long)
+
+  val FrameBytes = 256
+  val SampleEvery = 4
+
+  /** STUB frame iterator: treats the payload as fixed-size frame chunks
+    * and keeps every `SampleEvery`-th (a real sampler seeks keyframes —
+    * same emit shape). */
+  private def sampleFrames(r: MMRecord): Seq[MMFrame] =
+    r.payload.grouped(FrameBytes).zipWithIndex.collect {
+      case (chunk, idx) if idx % SampleEvery == 0 =>
+        var acc = 0L
+        chunk.foreach(b => acc += (b & 0xff))
+        MMFrame(r.doc_id, idx, chunk.length.toLong, acc)
+    }.toSeq
+
+  /** mm_frames (rows-only) — per-video frame sampling: one input row fans
+    * out to its sampled frames (flatMap — map-side, partition-preserving,
+    * no shuffle until the final presentation sort). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mmSource(s, dir)
+      .filter(_.media_type == "video")
+      .flatMap(sampleFrames)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
   }
 }

@@ -44,6 +44,32 @@ object EventStreams {
   def streamDedup(events: DataFrame, key: String = "event_id"): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(key)
 
+  /** Stream-stream interval join — the streaming twin of
+    * TemporalOps.rangeClickInPurchaseWindow: clicks matched to purchases
+    * of the same user within [purchase.ts, purchase.ts + windowMinutes).
+    *
+    * Both sides are watermarked, and the join condition bounds c_ts
+    * relative to p_ts in BOTH directions, so Spark can compute how long
+    * each side's rows must be retained and evict state — the requirement
+    * for an unbounded stream-stream join to run at all. State per side is
+    * O(throughput × (watermark + window)), independent of stream length. */
+  def clickPurchaseJoinStream(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("c_event"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_event"), col("c_event"), col("user_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, n: Long, sumE2: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -26,7 +26,8 @@ class PlanQualitySpec extends AnyFunSuite {
   test("oracle SQL exists exactly for the SQL-expressible queries") {
     val rowsOnly = Set("parquet_sink", "approx_distinct", "approx_quantiles",
       "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_simhash",
-      "ann_lsh", "ann_ivf", "text_fingerprint", "mm_metadata")
+      "ann_lsh", "ann_ivf", "text_fingerprint",
+      "mm_metadata", "mm_features", "mm_frames")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")

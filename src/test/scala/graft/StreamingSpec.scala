@@ -70,6 +70,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch binned range join") {
+    import s.implicits._
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)](s)
+    val purchIn = MemoryStream[(Long, Long, Timestamp)](s)
+    val clicks = clicksIn.toDF().toDF("event_id", "user_id", "ts")
+    val purch = purchIn.toDF().toDF("event_id", "user_id", "ts")
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // purchase 100 at 10:00 (user 1) → window [10:00, 10:30)
+    // purchase 101 at 11:00 (user 2) → window [11:00, 11:30)
+    purchIn.addData(Seq((100L, 1L, t(10, 0)), (101L, 2L, t(11, 0))))
+    // clicks: in-window, at-boundary (excluded), wrong-user, pre-window
+    clicksIn.addData(Seq(
+      (1L, 1L, t(10, 15)),  // match 100
+      (2L, 1L, t(10, 30)),  // hi-exclusive: no match
+      (3L, 2L, t(11, 1)),   // match 101
+      (4L, 2L, t(10, 15)),  // user 2 before their purchase window: no match
+      (5L, 3L, t(10, 15)))) // no purchase for user 3
+
+    val q = EventStreams.clickPurchaseJoinStream(clicks, purch).writeStream
+      .outputMode("append").format("memory").queryName("graft_stream_join")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("graft_stream_join")
+        .select("p_event", "c_event").as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 1L), (101L, 3L)))
+      // cross-check with the batch binned range join over the same rows
+      val cBatch = Seq((1L, 1L, t(10, 15)), (2L, 1L, t(10, 30)), (3L, 2L, t(11, 1)),
+        (4L, 2L, t(10, 15)), (5L, 3L, t(10, 15)))
+        .toDF("event_id", "user_id", "ts")
+        .select(col("event_id").as("c_event"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val pBatch = Seq((100L, 1L, t(10, 0)), (101L, 2L, t(11, 0)))
+        .toDF("event_id", "user_id", "ts")
+        .select(col("user_id"), col("event_id").as("p_event"),
+          unix_micros(col("ts")).as("w_lo"),
+          (unix_micros(col("ts")) + lit(1800L * 1000000L)).as("w_hi"))
+      val batch = graft.operators.TemporalOps
+        .rangeJoinBinned(cBatch, pBatch, "user_id", "us", "w_lo", "w_hi", 1800L * 1000000L)
+        .select("p_event", "c_event").as[(Long, Long)].collect().toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("watermark bounds state: late data beyond 2h is dropped in append mode") {
     import s.implicits._
     val input = MemoryStream[(Timestamp, String, Double)](s)

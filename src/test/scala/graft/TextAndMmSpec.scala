@@ -86,6 +86,35 @@ class TextAndMmSpec extends AnyFunSuite {
       assert(r.getAs[Long]("byte_len") == chars(r.getAs[Long]("doc_id")),
         "ascii payload byte_len must equal n_chars")
       assert(r.getAs[Double]("feat_mean") >= 0)
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(math.max(ow, oh) == 224, "aspect-fit must touch the target box")
+      assert(ow >= 1 && oh >= 1 && ow <= 224 && oh <= 224)
     }
+  }
+
+  test("mm_features: fixed-dim unit vectors, one per document") {
+    val rows = MultimodalOps.mmFeatures(s, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.length == MultimodalOps.FeatureDim)
+      val n = math.sqrt(f.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"features must be L2-normalized, got $n")
+    }
+  }
+
+  test("mm_frames: sampled frame indices, lengths bounded by frame size") {
+    val rows = MultimodalOps.mmFrameSample(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % MultimodalOps.SampleEvery == 0)
+      val len = r.getAs[Long]("frame_len")
+      assert(len >= 1 && len <= MultimodalOps.FrameBytes)
+    }
+    // every video doc with a payload appears
+    val videoDocs = Tables.documents(s, sf)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 2"))
+      .count()
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == videoDocs)
   }
 }
