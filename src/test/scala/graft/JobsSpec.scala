@@ -29,4 +29,27 @@ class JobsSpec extends AnyFunSuite {
       .map(_.getAs[Any]("usd_dif")).distinct
     assert(eu.length == 1)
   }
+
+  test("date-partitioned layout: a dt filter prunes to one partition at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val facts = graft.operators.SteamOps.pricesFact(s, sf)
+      .select("l_orderkey", "l_linenumber", "cc", "usd_price")
+    for (d <- Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+      graft.operators.SteamOps.writeDateStamped(facts, s"$base/steam_prices", d)
+    val pruned = s.read.parquet(s"$base/steam_prices")
+      .filter(col("dt") === "2024-01-02")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a file scan")
+    // the dt predicate must land in PartitionFilters (directory pruning),
+    // NOT as a post-scan data filter over all three drops
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("dt")),
+      s"dt filter missing from PartitionFilters: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of 3 dt partitions scanned, got ${scan.selectedPartitions.partitionCount}")
+  }
 }
