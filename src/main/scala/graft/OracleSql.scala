@@ -366,6 +366,30 @@ object OracleSql {
          |  CAST(stop_n AS DOUBLE)/words_n*0.5 + (1.0 - CAST(punct_n AS DOUBLE)/chars_n)*0.3 + least(words_n,100)/100.0*0.2 >= 0.5 AS keep
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    "corpus_filter" -> {
+      val scores = graft.operators.TextOps.Langs
+        .map(l => s"${stopHits(l)} AS s_$l").mkString(",\n  ")
+      s"""WITH b AS (SELECT doc_id, lang, text,
+         |  CAST(length(text) AS BIGINT) AS chars_n,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS words_n,
+         |  CAST(length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS BIGINT) AS punct_n,
+         |  $scores
+         |FROM documents),
+         |s AS (SELECT doc_id, lang, text,
+         |  CAST(s_en AS DOUBLE)/words_n*0.5 + (1.0 - CAST(punct_n AS DOUBLE)/chars_n)*0.3 + least(words_n,100)/100.0*0.2 AS quality,
+         |  CASE WHEN s_en>=s_es AND s_en>=s_de AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+         |       WHEN s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
+         |       WHEN s_de>=s_fr AND s_de>=s_zh THEN 'de'
+         |       WHEN s_fr>=s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM b),
+         |k AS (SELECT * FROM s WHERE quality >= 0.5 AND pred_lang = lang)
+         |SELECT md5(text) AS h, MIN(doc_id) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |  arg_min(quality, doc_id) AS keep_quality
+         |FROM k GROUP BY md5(text) ORDER BY h""".stripMargin
+    },
+
     "text_tokens" -> {
       // the regex passes into DuckDB's single-quoted literal verbatim
       val pat = graft.operators.TextOps.BpeishRegex

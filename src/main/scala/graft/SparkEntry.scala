@@ -66,6 +66,8 @@ object SparkEntry {
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),
     "mm_features" -> (MultimodalOps.mmFeatures(_, _)),
     "mm_frames" -> (MultimodalOps.mmFrameSample(_, _)),
+    "corpus_filter" -> ((s, d) => CurationOps.corpusFilter(s, d)),
+    "stratified_sample" -> ((s, d) => CurationOps.stratifiedSample(s, d)),
     // streaming (#36, batch twin — streaming path in EventStreams + spec)
     "stream_window_agg" -> (EventStreams.streamWindowAggBatch(_, _)))
 

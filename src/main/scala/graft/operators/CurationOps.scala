@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus curation — the composed LLM training-data pipeline and the
+  * deterministic sampling primitive that feeds downstream training runs.
+  *
+  * `corpus_filter` is the production shape end-to-end: quality scoring →
+  * language-consistency filter → exact dedup, in ONE declarative plan.
+  * The scoring stages are pure per-row projections (fused into the scan
+  * by whole-stage codegen — zero shuffles), so the only shuffle in the
+  * whole pipeline is the final dedup groupBy on the content hash. At
+  * 100 TB that is a single exchange over the ~15% of rows that survive
+  * the filters, with map-side partial aggregation.
+  */
+object CurationOps {
+
+  /** corpus_filter — quality ≥ threshold, predicted language must agree
+    * with the declared one (language confusion is a quality signal), then
+    * exact dedup keeping the lowest doc_id per content hash. */
+  def corpusFilter(s: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+    val kept = Tables.documents(s, dir)
+      .withColumn("quality", TextOps.qualityExpr(col("text")))
+      .withColumn("pred_lang", TextOps.predLangExpr(col("text")))
+      .filter(col("quality") >= lit(minQuality) && col("pred_lang") === col("lang"))
+    kept.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"),
+        min_by(col("quality"), col("doc_id")).as("keep_quality"))
+      .orderBy("h")
+  }
+
+  /** stratified_sample (rows-only) — per-stratum Bernoulli sampling keyed
+    * on `xxhash64(doc_id, seed)`, NOT on `rand()`: the kept set is a pure
+    * function of (doc_id, seed), so it is identical across reruns,
+    * repartitions, and cluster sizes, and samples at different rates are
+    * nested subsets of each other. That reproducibility is the contract a
+    * training-data pipeline needs (rand()-based sampling shifts with
+    * partitioning). Map-side only — no shuffle. */
+  def stratifiedSample(s: SparkSession, dir: String,
+      fractions: Map[String, Double] = Map("en" -> 0.5),
+      defaultFraction: Double = 0.2, seed: Long = 42L): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (lang, f)) =>
+      when(col("lang") === lang, lit(f)).otherwise(acc)
+    }
+    // uniform in [0,1): low 20 bits of the keyed hash (independent of the
+    // stratum column so per-stratum uniformity holds)
+    val u = pmod(xxhash64(col("doc_id"), lit(seed)), lit(1048576L))
+      .cast("double") / lit(1048576.0)
+    Tables.documents(s, dir)
+      .withColumn("_u", u)
+      .filter(col("_u") < frac)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+}

@@ -24,8 +24,38 @@ object TextOps {
 
   /** Count of tokens present in a stopword list (occurrences, not distinct),
     * as a codegen'd lambda filter — no explode, no shuffle. */
-  private def stopHits(words: Column, lang: String): Column =
+  def stopHits(words: Column, lang: String): Column =
     size(filter(words, w => w.isInCollection(Stopwords(lang)))).cast("long")
+
+  /** Language argmax over per-language score columns, fixed tie-break
+    * order (en > es > de > fr > zh) — ONE definition shared by
+    * text_langid and the curation pipeline. */
+  def predFromScores(sc: String => Column): Column =
+    when(sc("en") >= sc("es") && sc("en") >= sc("de") &&
+        sc("en") >= sc("fr") && sc("en") >= sc("zh"), "en")
+      .when(sc("es") >= sc("de") && sc("es") >= sc("fr") &&
+        sc("es") >= sc("zh"), "es")
+      .when(sc("de") >= sc("fr") && sc("de") >= sc("zh"), "de")
+      .when(sc("fr") >= sc("zh"), "fr")
+      .otherwise("zh")
+
+  /** Predicted language of a text column as a pure expression. */
+  def predLangExpr(text: Column): Column = {
+    val words = split(text, " ")
+    predFromScores(l => stopHits(words, l))
+  }
+
+  /** Quality score of a text column as a pure expression (same formula
+    * as text_quality: stopword ratio, punctuation ratio, length). */
+  def qualityExpr(text: Column): Column = {
+    val words = split(text, " ")
+    val punctRatio = (length(text) -
+      length(regexp_replace(text, "[.,;:!?]", ""))).cast("long").cast("double") /
+      length(text).cast("long")
+    val stopRatio = stopHits(words, "en").cast("double") / size(words).cast("long")
+    stopRatio * lit(0.5) + (lit(1.0) - punctRatio) * lit(0.3) +
+      least(size(words).cast("long"), lit(100L)) / lit(100.0) * lit(0.2)
+  }
 
   /** #31 text_langid — stopword-hit scoring per language; argmax with a
     * fixed tie-break order (en > es > de > fr > zh). */
@@ -33,15 +63,7 @@ object TextOps {
     val words = split(col("text"), " ")
     val scored = Tables.documents(s, dir).select(
       col("doc_id") +: Langs.map(l => stopHits(words, l).as(s"s_$l")): _*)
-    val pred = when(
-        col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
-          col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
-      .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
-        col("s_es") >= col("s_zh"), "es")
-      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
-      .when(col("s_fr") >= col("s_zh"), "fr")
-      .otherwise("zh")
-    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+    scored.withColumn("pred_lang", predFromScores(l => col(s"s_$l"))).orderBy("doc_id")
   }
 
   /** #32 text_quality — length / punctuation / stopword-ratio scoring with

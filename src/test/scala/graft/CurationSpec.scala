@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CurationOps, TextOps}
+
+class CurationSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("corpus_filter: survivors pass every gate, keepers are group minima") {
+    val out = CurationOps.corpusFilter(s, sf).collect()
+    assert(out.nonEmpty, "curation must keep something at sf0.001")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dups") >= 1L)
+      assert(r.getAs[Double]("keep_quality") >= 0.5)
+    }
+    // each keeper really passes quality + language-consistency
+    val keepers = out.map(_.getAs[Long]("keep_id")).toSet
+    val docs = Tables.documents(s, sf)
+      .withColumn("q", TextOps.qualityExpr(col("text")))
+      .withColumn("p", TextOps.predLangExpr(col("text")))
+      .filter(col("doc_id").isInCollection(keepers))
+      .collect()
+    assert(docs.length == keepers.size)
+    docs.foreach { d =>
+      assert(d.getAs[Double]("q") >= 0.5)
+      assert(d.getAs[String]("p") == d.getAs[String]("lang"))
+    }
+  }
+
+  test("corpus_filter plans a single shuffle (the dedup groupBy)") {
+    val plan = CurationOps.corpusFilter(s, sf).queryExecution.executedPlan.toString
+    // scoring must fuse into the scan: exchanges only for the final
+    // aggregate + presentation sort (+ the test-only scan repartition)
+    val hashAggExchanges = plan.linesIterator.count(l =>
+      l.trim.startsWith("Exchange hashpartitioning"))
+    assert(hashAggExchanges <= 1,
+      s"expected at most the dedup exchange, got $hashAggExchanges:\n${plan.take(1500)}")
+  }
+
+  test("stratified_sample: deterministic, nested across rates, near target rates") {
+    val a = CurationOps.stratifiedSample(s, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = CurationOps.stratifiedSample(s, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b, "same seed must reproduce the same sample")
+
+    val half = CurationOps.stratifiedSample(s, sf, Map("en" -> 0.25), 0.1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(half.subsetOf(a), "lower-rate sample must nest inside the higher-rate one")
+
+    val total = Tables.documents(s, sf).filter(col("lang") === "en").count().toDouble
+    val enKept = CurationOps.stratifiedSample(s, sf)
+      .filter(col("lang") === "en").count().toDouble
+    val rate = enKept / total
+    assert(rate > 0.35 && rate < 0.65, s"en rate should be ~0.5, got $rate")
+  }
+
+  test("stratified_sample survives repartitioning unchanged") {
+    val base = CurationOps.stratifiedSample(s, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val conf = "graft.scan.repartition"
+    val old = s.conf.getOption(conf)
+    try {
+      s.conf.set(conf, "7")
+      val repart = CurationOps.stratifiedSample(s, sf)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(repart == base, "hash-keyed sampling must not depend on partitioning")
+    } finally old match {
+      case Some(v) => s.conf.set(conf, v)
+      case None => s.conf.unset(conf)
+    }
+  }
+}

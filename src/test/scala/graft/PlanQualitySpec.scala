@@ -27,7 +27,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val rowsOnly = Set("parquet_sink", "approx_distinct", "approx_quantiles",
       "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_simhash",
       "ann_lsh", "ann_ivf", "text_fingerprint",
-      "mm_metadata", "mm_features", "mm_frames")
+      "mm_metadata", "mm_features", "mm_frames", "stratified_sample")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
