@@ -366,6 +366,22 @@ object OracleSql {
          |  CAST(stop_n AS DOUBLE)/words_n*0.5 + (1.0 - CAST(punct_n AS DOUBLE)/chars_n)*0.3 + least(words_n,100)/100.0*0.2 >= 0.5 AS keep
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    "text_pii_scrub" -> {
+      val pats = graft.operators.TextOps.PiiPatterns
+      val scrub = pats.foldLeft("text") { case (acc, (pat, tag)) =>
+        // DuckDB single-quoted literals keep backslashes verbatim
+        s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
+      val counts = pats.map { case (_, tag) =>
+        s"CAST(FLOOR((length(sc) - length(regexp_replace(sc, '$tag', '', 'g')))/${tag.length}) AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, text, $scrub AS sc FROM documents)
+         |SELECT doc_id, md5(sc) AS scrubbed_md5,
+         |  $counts AS n_redactions,
+         |  sc <> text AS had_pii
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     "corpus_filter" -> {
       val scores = graft.operators.TextOps.Langs
         .map(l => s"${stopHits(l)} AS s_$l").mkString(",\n  ")

@@ -63,6 +63,7 @@ object SparkEntry {
     "text_quality" -> (TextOps.textQuality(_, _)),
     "text_tokens" -> (TextOps.textTokens(_, _)),
     "text_fingerprint" -> (TextOps.textFingerprint(_, _)),
+    "text_pii_scrub" -> (TextOps.textPiiScrub(_, _)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),
     "mm_features" -> (MultimodalOps.mmFeatures(_, _)),
     "mm_frames" -> (MultimodalOps.mmFrameSample(_, _)),

@@ -110,4 +110,38 @@ object TextOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), rollingHash64(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  // ---------- PII scrubbing ----------
+
+  /** Conservative PII patterns, valid in BOTH Java regex (Spark) and RE2
+    * (DuckDB): no backrefs, no lookaround. Each is replaced by its tag. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}" -> "<CARD>")
+
+  /** Scrubbed text as a pure expression: patterns applied in declaration
+    * order (card/phone before nothing overlaps email in practice, but the
+    * fixed order makes the result well-defined either way). */
+  def scrubExpr(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** text_pii_scrub — per-document PII redaction + how much was redacted.
+    * The redaction count is measured by counting tags in the scrubbed text
+    * (tags contain no regex metacharacters, so the count expression is
+    * portable). Pure per-row projection: fuses into the scan, no shuffle. */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = scrubExpr(col("text"))
+    val nTags = PiiPatterns.map { case (_, tag) =>
+      floor((length(scrubbed) - length(regexp_replace(scrubbed, tag, "")))
+        / lit(tag.length)).cast("long")
+    }.reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(scrubbed).as("scrubbed_md5"),
+        nTags.as("n_redactions"),
+        (scrubbed =!= col("text")).as("had_pii"))
+      .orderBy("doc_id")
+  }
 }

@@ -22,6 +22,24 @@ class FormatsSpec extends AnyFunSuite {
       iso.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("schema evolution: a later drop with an added column reads as one table") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val v1 = Tables.documents(s, sf).select("doc_id", "lang")
+    val v2 = Tables.documents(s, sf).select("doc_id", "lang")
+      .withColumn("quality", lit(0.9))
+    SteamOps.writeDateStamped(v1, s"$base/docs", "2024-01-01")
+    SteamOps.writeDateStamped(v2, s"$base/docs", "2024-01-02")
+    // mergeSchema unions the per-file schemas; the old drop's missing
+    // column surfaces as null — the contract long-lived pipelines rely on
+    // as landed data grows columns over time
+    val all = s.read.option("mergeSchema", "true").parquet(s"$base/docs")
+    assert(all.columns.toSet == Set("doc_id", "lang", "quality", "dt"))
+    assert(all.count() == 1000)
+    assert(all.filter(col("dt") === "2024-01-01" && col("quality").isNotNull).count() == 0)
+    assert(all.filter(col("dt") === "2024-01-02" && col("quality").isNull).count() == 0)
+  }
+
   test("documents round-trip through JSON lines with explicit schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val docs = Tables.documents(s, sf).select("doc_id", "text", "lang")

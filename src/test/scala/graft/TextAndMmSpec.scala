@@ -76,6 +76,34 @@ class TextAndMmSpec extends AnyFunSuite {
     }
   }
 
+  test("pii scrub: emails, phones, cards redacted; clean text untouched") {
+    import s.implicits._
+    val df = Seq(
+      (1L, "contact me at alice.smith+work@example.co.uk for details"),
+      (2L, "call 555-123-4567 or 555 987 6543 today"),
+      (3L, "card 1234-5678-9012-3456 expires soon"),
+      (4L, "no pii here, just words"),
+      (5L, "two mails: a@b.io and c@d.org")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.operators.TextOps.scrubExpr(col("text")).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1) == "contact me at <EMAIL> for details")
+    assert(out(2) == "call <PHONE> or <PHONE> today")
+    assert(out(3) == "card <CARD> expires soon")
+    assert(out(4) == "no pii here, just words")
+    assert(out(5) == "two mails: <EMAIL> and <EMAIL>")
+  }
+
+  test("text_pii_scrub: counts agree with a direct recount of tags") {
+    val rows = graft.operators.TextOps.textPiiScrub(s, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_redactions")
+      assert(n >= 0)
+      if (n > 0) assert(r.getAs[Boolean]("had_pii"))
+    }
+  }
+
   test("mm_metadata: byte_len matches text length, batched decode is total") {
     val rows = MultimodalOps.mmMetadata(s, sf).collect()
     assert(rows.length == 500)
