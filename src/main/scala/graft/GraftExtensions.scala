@@ -7,13 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotE12, RollingHash64}
 
 /** SparkSessionExtensions entry point: exposes graft's native codegen
-  * expressions to SQL users.
+  * expressions to SQL users and installs the key-less interval-join
+  * rewrite ([[graft.plans.RangeJoinRule]]).
   *
   * {{{
   *   SparkSession.builder().withExtensions(new GraftExtensions)...
   *   // or: --conf spark.sql.extensions=graft.GraftExtensions
   *   spark.sql("SELECT graft_dot_e12(a.embedding, b.embedding) ...")
   *   spark.sql("SELECT graft_rolling_hash64(text) ...")
+  *   spark.sql("SELECT * FROM pts JOIN ivals ON t >= lo AND t < hi") // no BNLJ
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -38,5 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, s"graft_rolling_hash64 takes 1 argument, got ${args.length}")
         RollingHash64(args.head)
       }))
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

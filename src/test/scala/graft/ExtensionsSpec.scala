@@ -28,6 +28,36 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_dot_e12(array(cast(0.5 as float)), array(cast(2.0 as float))) AS d")
         .head().getLong(0)
       assert(d == 1000000000000L)
+
+      // ---- RangeJoinRule: key-less interval join loses its nested loop ----
+      s.conf.set(graft.plans.RangeJoinRule.BinWidthConf, "100")
+      import s.implicits._
+      Seq((1L, 50L), (2L, 149L), (3L, 150L), (4L, 1000L))
+        .toDF("pid", "t").createOrReplaceTempView("pts")
+      Seq((10L, 40L, 150L), (11L, 900L, 950L))
+        .toDF("wid", "lo", "hi").createOrReplaceTempView("ivals")
+      val q = s.sql("SELECT wid, pid FROM pts JOIN ivals ON t >= lo AND t < hi")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rule did not fire:\n${plan.take(1500)}")
+      assert(plan.contains("Generate"), "expected the bin explode")
+      val got = q.as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L), (10L, 2L)),
+        s"hi must stay exclusive and out-of-window points dropped: $got")
+
+      // boundary forms: > and <= also rewrite
+      val q2 = s.sql("SELECT wid, pid FROM pts JOIN ivals ON t > lo AND t <= hi")
+      assert(!q2.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(q2.as[(Long, Long)].collect().toSet == Set((10L, 1L), (10L, 2L), (10L, 3L)))
+
+      // a join that already has an equi key must be left alone (no explode)
+      Seq((1L, 1L, 50L)).toDF("k", "pid", "t").createOrReplaceTempView("pts_k")
+      Seq((1L, 10L, 40L, 150L)).toDF("k", "wid", "lo", "hi").createOrReplaceTempView("ivals_k")
+      val q3 = s.sql(
+        "SELECT wid, pid FROM pts_k p JOIN ivals_k i ON p.k = i.k AND t >= lo AND t < hi")
+      assert(!q3.queryExecution.executedPlan.toString.contains("Generate"),
+        "equi-keyed join must not be rewritten")
+      assert(q3.as[(Long, Long)].collect().toSet == Set((10L, 1L)))
     } finally {
       // restore the shared test session as default; do NOT stop the context
       prior.foreach { p =>
