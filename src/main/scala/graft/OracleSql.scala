@@ -277,6 +277,23 @@ object OracleSql {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
 
+    "unpivot_events" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+        |FROM u CROSS JOIN t LEFT JOIN c USING (user_id, event_type)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "window_time_range" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us, value FROM events)
+         |SELECT event_id, user_id, us,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_30m,
+         |  CAST(SUM(${e2("value")}) OVER w AS DOUBLE)/100.0 AS sum_30m
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, us, event_id""".stripMargin,
+
     "sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e)

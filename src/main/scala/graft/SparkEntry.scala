@@ -46,6 +46,8 @@ object SparkEntry {
     "rollup_agg" -> (CoreOps.rollupAgg(_, _)),
     "cube_agg" -> (CoreOps.cubeAgg(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),
+    "unpivot_events" -> (CoreOps.unpivotEvents(_, _)),
+    "window_time_range" -> (CoreOps.windowTimeRange(_, _)),
     "sessionize" -> (CoreOps.sessionize(_, _)),
     "asof_join" -> (TemporalOps.asofClickPurchase(_, _)),
     "range_join" -> (TemporalOps.rangeClickInPurchaseWindow(_, _)),

@@ -218,6 +218,36 @@ object CoreOps {
     pivoted.select(col("user_id") +: valueCols: _*).orderBy("user_id")
   }
 
+  /** #22b unpivot_events — wide→long, the inverse of pivot_events: the
+    * per-type count columns melt back to (user_id, event_type, n) rows
+    * through the native unpivot (an Expand: one pass, no join, rows×types
+    * output). Zero-count combinations are kept — unpivot is lossless over
+    * the pivoted frame. */
+  def unpivotEvents(s: SparkSession, dir: String): DataFrame =
+    pivotEvents(s, dir)
+      .unpivot(
+        Array(col("user_id")),
+        eventTypes.map(t => col(s"${t}_n")).toArray,
+        "event_type", "n")
+      .withColumn("event_type", regexp_replace(col("event_type"), "_n$", ""))
+      .orderBy("user_id", "event_type")
+
+  /** #17b window_time_range — event-time RANGE frame: count + exact-cents
+    * sum of each user's events in the trailing 30 minutes. Unlike a ROWS
+    * frame, the window is bounded by the ordering VALUE, the shape used
+    * for rate-limiting / rolling-rate features. Partitioned by the bounded
+    * user key — no global sort. */
+  def windowTimeRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-1800L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("n_30m", count(lit(1)).over(w))
+      .withColumn("sum_30m", sum(Det.e2(col("value"))).over(w).cast("double") / lit(100.0))
+      .select("event_id", "user_id", "us", "n_30m", "sum_30m")
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** #23 sessionize — 30-minute-gap sessionization via lag + running sum
     * over the bounded user_id key (the batch twin of stateful streaming
     * sessionization; state per user is O(1)). */

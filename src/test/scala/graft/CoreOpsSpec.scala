@@ -94,4 +94,25 @@ class CoreOpsSpec extends AnyFunSuite {
     }.sum
     assert(n == Tables.events(s, sf).count())
   }
+
+  test("unpivot inverts pivot: users x 5 types, counts preserved incl. zeros") {
+    val rows = CoreOps.unpivotEvents(s, sf).collect()
+    val users = Tables.events(s, sf).select("user_id").distinct().count()
+    assert(rows.length == users * 5)
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(s, sf).count())
+  }
+
+  test("time-range window: counts bounded below by 1, frame respects 30min") {
+    val rows = CoreOps.windowTimeRange(s, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("us"))
+      sorted.foreach(r => assert(r.getAs[Long]("n_30m") >= 1))
+      // recompute one user's frame membership brute-force
+      val times = sorted.map(_.getAs[Long]("us"))
+      sorted.zip(times).foreach { case (r, t) =>
+        val want = times.count(u => u >= t - 1800L * 1000000L && u <= t)
+        assert(r.getAs[Long]("n_30m") == want)
+      }
+    }
+  }
 }
