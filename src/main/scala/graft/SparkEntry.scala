@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashVerified(s, d)),
+    "dedup_clusters" -> (DedupOps.dedupClusters(_, _)),
     "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard(_, _)),
     "dedup_embedding" -> (DedupOps.dedupEmbedding(_, _)),

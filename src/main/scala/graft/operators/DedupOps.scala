@@ -231,6 +231,59 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node repeatedly takes the smallest label
+    * among itself and its neighbors until a fixpoint. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow (a dup
+    * of a dup of X is usually also a direct dup of X), so a handful of
+    * rounds suffices; the `maxIter` guard bounds pathological chains.
+    *
+    * Each round is ONE equi-join + ONE groupBy, both on the node id, and
+    * the frame is `localCheckpoint`ed per round — without that, the
+    * iterated lineage grows exponentially and the planner re-executes
+    * every prior round. The convergence check is a scalar count (never a
+    * data collect). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = adj
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** dedup_clusters (rows-only) — the last stage of production dedup:
+    * verified near-dup pairs → connected components → one cluster id per
+    * document (its own id for non-duplicated docs, the cluster-min id
+    * otherwise). Downstream keeps exactly the rows where
+    * doc_id == cluster_id. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashVerified(s, dir).select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    Tables.documents(s, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic exact cosine from scaled-int dot/norms (see DotE12). */
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))

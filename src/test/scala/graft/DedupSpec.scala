@@ -93,6 +93,31 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"IVF recall vs brute force too low: $recall%.2f")
   }
 
+  test("connected components: chain, triangle, and disjoint pairs label correctly") {
+    import s.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+  }
+
+  test("dedup_clusters: every doc labeled, pairs co-clustered, keepers are minima") {
+    val clusters = DedupOps.dedupClusters(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(clusters.size == Tables.documents(s, sf).count())
+    clusters.foreach { case (d, c) => assert(c <= d, "cluster id must be the min member") }
+    val pairs = DedupOps.dedupMinhashVerified(s, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(clusters(r.getAs[Long]("doc_a")) == clusters(r.getAs[Long]("doc_b")),
+        "near-dup pair must share a cluster")
+    }
+  }
+
   test("ann LSH: results are a subset-quality approximation of brute force") {
     val brute = SimilarityOps.annCosineTopK(s, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos_sim")))
