@@ -276,7 +276,10 @@ object DedupOps {
     * otherwise). Downstream keeps exactly the rows where
     * doc_id == cluster_id. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the adjacency union reads this frame twice, and each read
+    // would otherwise re-run the whole LSH+verify pipeline
     val pairs = dedupMinhashVerified(s, dir).select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val labels = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
     Tables.documents(s, dir).select("doc_id")
       .join(labels, Seq("doc_id"), "left")
