@@ -27,4 +27,13 @@ object Formats {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC (columnar alternative to parquet; same pushdown/pruning path —
+    * the scan reports PushedFilters exactly like parquet). zlib is ORC's
+    * portable default codec. */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
 }

@@ -40,6 +40,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(all.filter(col("dt") === "2024-01-02" && col("quality").isNull).count() == 0)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = Tables.documents(s, sf).select("doc_id", "lang", "n_chars")
+    Formats.writeOrc(docs, s"$tmp/docs")
+    val back = Formats.readOrc(s, s"$tmp/docs")
+    assert(back.count() == docs.count())
+    assert(back.selectExpr("sum(doc_id)").head().getLong(0) ==
+      docs.selectExpr("sum(doc_id)").head().getLong(0))
+    val plan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("doc_id"),
+      s"filter must reach the ORC scan:\n${plan.take(800)}")
+  }
+
   test("documents round-trip through JSON lines with explicit schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val docs = Tables.documents(s, sf).select("doc_id", "text", "lang")
