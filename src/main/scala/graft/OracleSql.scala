@@ -383,6 +383,13 @@ object OracleSql {
          |  CAST(stop_n AS DOUBLE)/words_n*0.5 + (1.0 - CAST(punct_n AS DOUBLE)/chars_n)*0.3 + least(words_n,100)/100.0*0.2 >= 0.5 AS keep
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    "heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM w, t GROUP BY tok, t.n HAVING COUNT(*) > t.n*0.01
+        |ORDER BY tok""".stripMargin,
+
     "text_pii_scrub" -> {
       val pats = graft.operators.TextOps.PiiPatterns
       val scrub = pats.foldLeft("text") { case (acc, (pat, tag)) =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{MisraGries, TextHashFunctions}
 import graft.functions.TextHashFunctions.rollingHash64
 
 /** Text-analysis operators over the documents table, SURVEY.md §2 #31–34.
@@ -110,6 +111,35 @@ object TextOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), rollingHash64(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  // ---------- heavy hitters (boilerplate token detection) ----------
+
+  /** heavy_hitters — tokens occurring in more than `phi` of all token
+    * instances, the boilerplate-detection primitive for corpus cleaning.
+    *
+    * Two passes, both cheap: (1) one Misra–Gries sketch pass with capacity
+    * ⌈1/phi⌉ — by the sketch guarantee its ≤ ⌈1/phi⌉ surviving entries are
+    * a SUPERSET of every token with count > n·phi, and the summary is
+    * model-metadata-sized on the driver; (2) an exact count pass filtered
+    * to those candidates, thresholded against n·phi with n carried as a
+    * broadcast single-row aggregate (no driver scalar in the plan). The
+    * output is therefore EXACT — same rows as a full groupBy+HAVING — at
+    * a fraction of the shuffle (candidates, not the whole vocabulary). */
+  def heavyHitters(s: SparkSession, dir: String, phi: Double = 0.01): DataFrame = {
+    val k = math.ceil(1.0 / phi).toInt
+    val mg = udaf(new MisraGries(k))
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketchRow = toks.agg(mg(col("tok")).as("sketch")).head()
+    val candidates = sketchRow.getAs[Map[String, Long]]("sketch").keys.toSeq
+    val totals = toks.agg(count(lit(1)).as("n"))
+    toks.filter(col("tok").isInCollection(candidates))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .join(broadcast(totals))
+      .filter(col("c") > col("n") * lit(phi))
+      .select("tok", "c")
+      .orderBy("tok")
+  }
 
   // ---------- PII scrubbing ----------
 

@@ -76,6 +76,39 @@ class TextAndMmSpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries: heavy items survive eviction and cross-partition merge") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    // skewed stream: "a" x 1000, "b" x 400, 50 singletons; capacity 5
+    val data = Seq.fill(1000)("a") ++ Seq.fill(400)("b") ++
+      (1 to 50).map(i => s"rare_$i")
+    val n = data.length
+    val k = 5
+    val ds = scala.util.Random.shuffle(data).toDF("tok").repartition(8)
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val sketch = ds.agg(mg(col("tok"))).head().getAs[Map[String, Long]](0)
+    assert(sketch.size <= k)
+    // guarantee: every item with count > n/k present; estimates undercount
+    // by at most n/k
+    assert(sketch.contains("a") && sketch.contains("b"))
+    assert(sketch("a") <= 1000 && sketch("a") >= 1000 - n / k)
+    assert(sketch("b") <= 400 && sketch("b") >= 400 - n / k)
+  }
+
+  test("heavy_hitters output is exactly the brute-force groupBy+threshold") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TextOps.heavyHitters(s, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(s, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val brute = toks.groupBy("tok").count()
+      .filter(col("count") > lit(n) * lit(0.01))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == brute, s"sketch+verify must equal exact: ${out.size} vs ${brute.size}")
+    assert(out.nonEmpty, "corpus should have heavy tokens at phi=0.01")
+  }
+
   test("pii scrub: emails, phones, cards redacted; clean text untouched") {
     import s.implicits._
     val df = Seq(
