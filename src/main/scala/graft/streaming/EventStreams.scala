@@ -44,6 +44,23 @@ object EventStreams {
   def streamDedup(events: DataFrame, key: String = "event_id"): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(key)
 
+  /** Streaming → landed-table handoff: each micro-batch of the
+    * watermarked window aggregation appends into the same `dt=`-keyed
+    * snappy-parquet layout the batch jobs land in (Jobs/SteamOps sink),
+    * so a downstream batch reader sees one partition-pruned table
+    * regardless of which path produced a drop. foreachBatch is the
+    * idempotence seam: batchId is available for exactly-once sinks; here
+    * append-only parquet suffices for the test contract. */
+  def landWindowAgg(events: DataFrame, baseDir: String, date: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamWindowAgg(events).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").option("compression", "snappy")
+          .parquet(s"$baseDir/dt=$date")
+      }
+      .start()
+
   /** Stream-stream interval join — the streaming twin of
     * TemporalOps.rangeClickInPurchaseWindow: clicks matched to purchases
     * of the same user within [purchase.ts, purchase.ts + windowMinutes).

@@ -115,6 +115,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch lands closed windows into the dt-keyed parquet layout") {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_land").toString
+    val input = MemoryStream[(Timestamp, String, Double)](s)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.landWindowAgg(events, base, "2024-01-01")
+    try {
+      input.addData(Seq((Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.5)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close and emit the 10:00 window
+      input.addData(Seq((Timestamp.valueOf("2024-01-01 20:00:00"), "view", 1.0)))
+      q.processAllAvailable()
+      val landed = s.read.parquet(base)
+      assert(landed.columns.contains("dt"), "layout must be dt-partitioned")
+      val rows = landed.collect()
+      assert(rows.nonEmpty, "closed window must be appended")
+      // partition-value inference types dt as DATE on read-back
+      assert(rows.forall(_.getAs[Any]("dt").toString == "2024-01-01"))
+      assert(rows.exists(r => r.getAs[String]("event_type") == "click" &&
+        r.getAs[Long]("n") == 1L))
+    } finally q.stop()
+  }
+
   test("watermark bounds state: late data beyond 2h is dropped in append mode") {
     import s.implicits._
     val input = MemoryStream[(Timestamp, String, Double)](s)
