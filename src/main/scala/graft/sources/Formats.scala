@@ -28,6 +28,17 @@ object Formats {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** JSON-lines that SURVIVES malformed input: bad lines come back as a
+    * row with null fields and the raw text in `_corrupt_record` instead
+    * of failing the job — on a 100 TB feed a handful of broken records
+    * must be quarantined (filter on the column), never fatal. */
+  def readJsonlPermissive(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** ORC (columnar alternative to parquet; same pushdown/pruning path —
     * the scan reports PushedFilters exactly like parquet). zlib is ORC's
     * portable default codec. */
