@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-first entry point: register every source table as a temp view so a
+  * user can drive the whole engine from `spark.sql` — the migration
+  * surface for anyone replacing the reference's pandas scripts with SQL.
+  * Combine with [[GraftExtensions]] for the native functions and the
+  * range-join rewrite in the same session.
+  *
+  * {{{
+  *   graft.Sql.registerViews(spark, "/data/sf1")
+  *   spark.sql("SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1")
+  * }}}
+  */
+object Sql {
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register all tables under their canonical names. `events` is
+    * registered with the microsecond-timestamp `ts` (the ns→µs
+    * normalization every query here uses); the raw nanos view is
+    * `events_ns`. */
+  def registerViews(s: SparkSession, sfDir: String): Unit = {
+    TableNames.filterNot(_ == "events").foreach { n =>
+      Tables.table(s, sfDir, n).createOrReplaceTempView(n)
+    }
+    Tables.events(s, sfDir).createOrReplaceTempView("events_ns")
+    Tables.eventsMicros(s, sfDir).createOrReplaceTempView("events")
+  }
+
+  /** Convenience: register views, then run one statement. */
+  def run(s: SparkSession, sfDir: String, sql: String): DataFrame = {
+    registerViews(s, sfDir)
+    s.sql(sql)
+  }
+}

@@ -16,6 +16,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .appName("graft-ext-test")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
@@ -58,6 +59,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!q3.queryExecution.executedPlan.toString.contains("Generate"),
         "equi-keyed join must not be rewritten")
       assert(q3.as[(Long, Long)].collect().toSet == Set((10L, 1L)))
+
+      // ---- SQL facade: whole engine drivable from spark.sql ----
+      val agg = graft.Sql.run(s, TestSpark.sf,
+        """SELECT l_returnflag, count(*) AS n FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin)
+      assert(agg.collect().map(_.getLong(1)).sum ==
+        graft.Tables.lineitem(s, TestSpark.sf).count())
+      // events view carries the µs-normalized timestamp
+      val ts = s.sql("SELECT ts FROM events LIMIT 1").schema.head.dataType
+      assert(ts.typeName == "timestamp")
     } finally {
       // restore the shared test session as default; do NOT stop the context
       prior.foreach { p =>
