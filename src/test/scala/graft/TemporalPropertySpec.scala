@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalOps
+
+/** Randomized properties for the temporal joins and the heavy-hitter
+  * sketch (scalacheck generators, plain scalatest driver): each one
+  * compares the optimized operator against a brute-force definition on
+  * generated data, so the invariants hold beyond the curated sf corpus. */
+class TemporalPropertySpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+
+  test("asofJoin equals the brute-force latest-at-or-before on random streams") {
+    import s.implicits._
+    val gen = for {
+      k <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0L, 1000L)
+    } yield (k, t)
+    val leftRaw = Gen.listOfN(120, gen).sample.get.distinct
+    val rightRaw = Gen.listOfN(80, gen).sample.get.distinct
+      .groupBy(identity).keys.toSeq // unique (k, t) on the right
+    val left = leftRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "t", "lid")
+    val right = rightRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000L) }
+      .toDF("k", "t", "rid")
+
+    val got = TemporalOps.asofJoin(left, right, "k", "t", "m")
+      .select(col("lid"), col("m.rid").as("rid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val rightScala = rightRaw.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong + 1000L) }
+    val want = leftRaw.zipWithIndex.map { case ((k, t), i) =>
+      val cands = rightScala.filter(r => r._1 == k && r._2 <= t)
+      i.toLong -> (if (cands.isEmpty) -1L else cands.maxBy(_._2)._3)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("rangeJoinBinned equals the brute-force inequality join for any bin width") {
+    import s.implicits._
+    val pGen = for { k <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 500L) } yield (k, t)
+    val iGen = for {
+      k <- Gen.choose(1L, 4L); lo <- Gen.choose(0L, 450L); len <- Gen.choose(1L, 120L)
+    } yield (k, lo, lo + len)
+    val pts = Gen.listOfN(100, pGen).sample.get
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val ivs = Gen.listOfN(40, iGen).sample.get
+      .zipWithIndex.map { case ((k, lo, hi), i) => (k, lo, hi, i.toLong) }
+    val ptsDf = pts.toDF("k", "t", "pid")
+    val ivsDf = ivs.toDF("k", "lo", "hi", "wid")
+
+    val want = (for {
+      (pk, t, pid) <- pts
+      (ik, lo, hi, wid) <- ivs
+      if pk == ik && t >= lo && t < hi
+    } yield (wid, pid)).toSet
+
+    for (bin <- Seq(7L, 64L, 1000L)) {
+      val got = TemporalOps.rangeJoinBinned(ptsDf, ivsDf, "k", "t", "lo", "hi", bin)
+        .select("wid", "pid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"bin=$bin: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("misra-gries guarantee holds on random zipf-ish streams") {
+    import s.implicits._
+    val gen = Gen.frequency(
+      (40, Gen.const("h1")), (20, Gen.const("h2")), (10, Gen.const("h3")),
+      (30, Gen.choose(1, 500).map(i => s"tail_$i")))
+    val data = Gen.listOfN(3000, gen).sample.get
+    val n = data.length
+    val k = 10
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val sketch = data.toDF("tok").repartition(6)
+      .agg(mg(col("tok"))).head().getAs[Map[String, Long]](0)
+    assert(sketch.size <= k)
+    val trueCounts = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    trueCounts.filter(_._2 > n.toLong / k).keys.foreach { heavy =>
+      assert(sketch.contains(heavy), s"$heavy (count ${trueCounts(heavy)}) evicted")
+    }
+    sketch.foreach { case (t, est) =>
+      assert(est <= trueCounts(t), "estimate must never overcount")
+      assert(est >= trueCounts(t) - n.toLong / k, "undercount bound violated")
+    }
+  }
+}
