@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotE12, RollingHash64}
+import graft.functions.{DotE12, RollingHash64, SimHash64}
 
 /** SparkSessionExtensions entry point: exposes graft's native codegen
   * expressions to SQL users and installs the key-less interval-join
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"graft_rolling_hash64 takes 1 argument, got ${args.length}")
         RollingHash64(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(s) - 64-bit SimHash of a whitespace-tokenized string"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_simhash64 takes 1 argument, got ${args.length}")
+        SimHash64(args.head)
       }))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }

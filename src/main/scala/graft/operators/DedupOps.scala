@@ -116,21 +116,15 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash of a document's token stream: per-bit signed vote of
-    * each token's xxhash64, sign → bit. One explode + one groupBy with 64
-    * long sums (all codegen'd). */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v_$b")
-    }
-    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col("doc_id"), sig.as("simhash"))
-  }
+  /** 64-bit SimHash per document: per-bit signed vote of each token's
+    * xxhash64, sign → bit — computed by the native codegen expression
+    * [[graft.functions.SimHash64]] as a pure projection fused into the
+    * scan. The previous formulation (explode + 64-column vote aggregate)
+    * was identical math through a shuffle; this one touches each document
+    * exactly once with zero exchanges. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashFunctions.simhash64(col("text")).as("simhash"))
 
   /** #26 dedup_simhash (rows-only) — 16-bit band bucketing over the 64-bit
     * SimHash, then exact hamming distance (bit_count of xor) on candidates.

@@ -93,6 +93,27 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"IVF recall vs brute force too low: $recall%.2f")
   }
 
+  test("native SimHash64 matches the exploded vote-aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, sf)
+    // the original formulation: explode → xxhash64 per token → 64 vote sums
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0) // kernel skips empty tokens
+      .withColumn("th", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v_$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val want = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = DedupOps.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "native kernel must reproduce the aggregate math bit-for-bit")
+  }
+
   test("connected components: chain, triangle, and disjoint pairs label correctly") {
     import s.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
