@@ -25,6 +25,41 @@ object Jobs {
     SteamOps.writeDateStamped(facts, s"$outDir/steam_prices", date)
   }
 
+  /** Incremental landing: merge a new drop's per-country partials into
+    * the running partial state. Cost is O(new drop) + O(|countries|) —
+    * never a rescan of history — and EXACT, because the state is
+    * integer-scaled sums and counts (SteamOps.countryPartials), which
+    * merge associatively. Final stats derive from the merged state via
+    * SteamOps.devFromPartials whenever needed. */
+  def mergeCountryPartials(state: Option[DataFrame], newDrop: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fresh = SteamOps.countryPartials(newDrop)
+    state match {
+      case None => fresh
+      case Some(st) =>
+        st.select("cc", "s6", "cnt").union(fresh)
+          .groupBy("cc").agg(sum("s6").as("s6"), sum("cnt").as("cnt"))
+    }
+  }
+
+  /** Disk round-trip of the incremental merge: read the prior state (if
+    * any), merge the drop, land the new state under a date-stamped key —
+    * prior versions stay readable while the new one is written. Returns
+    * the new state path. */
+  def landCountryPartials(s: SparkSession, stateBase: String, newDrop: DataFrame,
+      date: String): String = {
+    import org.apache.spark.sql.functions._
+    val prior =
+      try {
+        val all = s.read.parquet(stateBase)
+        val latest = all.agg(max(col("dt")).as("latest_dt"))
+        Some(all.join(broadcast(latest), col("dt") === col("latest_dt"))
+          .select("cc", "s6", "cnt"))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val merged = mergeCountryPartials(prior, newDrop)
+    SteamOps.writeDateStamped(merged, stateBase, date)
+  }
+
   /** WorldMapETL: pick the latest date partition of the prices drop,
     * aggregate to the enriched world table (country averages, world
     * deviation, iso/geo joins, EU propagation)

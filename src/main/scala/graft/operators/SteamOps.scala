@@ -97,12 +97,20 @@ object SteamOps {
     *
     * Public: any fact-shaped frame with (cc, usd_price) works — Jobs runs
     * this same math over the landed parquet drop. */
-  def worldDev(fact: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
-    val perCountry = fact.groupBy("cc").agg(
+  /** Exact per-country partial aggregate `(cc, s6, cnt)` — integer-scaled
+    * price sum and row count. This is the MERGEABLE representation:
+    * partials of two drops summed per key equal the partials of their
+    * union exactly (integer addition is associative), which is what makes
+    * incremental landing possible (Jobs.mergeCountryPartials). */
+  def countryPartials(fact: DataFrame): DataFrame =
+    fact.groupBy("cc").agg(
       sum(floor(col("usd_price") * lit(1000000.0) + lit(0.5))).as("s6"),
       count(col("usd_price")).as("cnt"))
+
+  /** Final per-country stats derived from a partials frame. */
+  def devFromPartials(perCountry: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
     perCountry
       .withColumn("avg_usd", col("s6").cast("double") / lit(1000000.0) / col("cnt"))
       .withColumn("world_avg",
@@ -111,6 +119,9 @@ object SteamOps {
       .withColumn("usd_dif", (col("avg_usd") / col("world_avg") - lit(1.0)) * col("world_avg"))
       .drop("s6", "cnt", "world_avg")
   }
+
+  def worldDev(fact: DataFrame): DataFrame =
+    devFromPartials(countryPartials(fact))
 
   /** #4 world_avg_dev — percent + USD deviation from the world average
     * (reference: world_map_transformer.py:123–125). */

@@ -30,6 +30,39 @@ class JobsSpec extends AnyFunSuite {
     assert(eu.length == 1)
   }
 
+  test("incremental partials: merging drops equals recomputing from scratch") {
+    import org.apache.spark.sql.functions._
+    val facts = graft.operators.SteamOps.pricesFact(s, sf)
+      .select("l_orderkey", "cc", "usd_price")
+    val drop1 = facts.filter(col("l_orderkey") % 2 === 0)
+    val drop2 = facts.filter(col("l_orderkey") % 2 === 1)
+
+    // pure merge == full recompute, exactly (integer partials)
+    val inc = Jobs.mergeCountryPartials(
+      Some(Jobs.mergeCountryPartials(None, drop1)), drop2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = graft.operators.SteamOps.countryPartials(facts)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inc == full)
+
+    // disk round-trip: land drop1, then drop2; latest state == full
+    val base = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    Jobs.landCountryPartials(s, s"$base/state", drop1, "2024-01-01")
+    val p2 = Jobs.landCountryPartials(s, s"$base/state", drop2, "2024-01-02")
+    val landed = s.read.parquet(p2)
+      .collect().map(r => r.getAs[String]("cc") ->
+        (r.getAs[Long]("s6"), r.getAs[Long]("cnt"))).toMap
+    assert(landed == full)
+    // derived stats off the merged state match the one-shot computation
+    val viaState = graft.operators.SteamOps.devFromPartials(s.read.parquet(p2))
+      .select("cc", "avg_usd").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val oneShot = graft.operators.SteamOps.worldDev(facts)
+      .select("cc", "avg_usd").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaState == oneShot)
+  }
+
   test("date-partitioned layout: a dt filter prunes to one partition at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions._
