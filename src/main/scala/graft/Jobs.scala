@@ -49,13 +49,27 @@ object Jobs {
   def landCountryPartials(s: SparkSession, stateBase: String, newDrop: DataFrame,
       date: String): String = {
     import org.apache.spark.sql.functions._
+    // Prior state = latest version STRICTLY BEFORE the landing date. Two
+    // properties follow: (a) re-landing the same date is an idempotent
+    // retry (it merges from the same prior, not from its own partial
+    // output — no double count), and (b) the overwrite target is never a
+    // partition the merge plan is reading (no overwrite-while-read).
     val prior =
       try {
         val all = s.read.parquet(stateBase)
+          .filter(col("dt") < lit(date).cast(org.apache.spark.sql.types.DateType))
         val latest = all.agg(max(col("dt")).as("latest_dt"))
-        Some(all.join(broadcast(latest), col("dt") === col("latest_dt"))
-          .select("cc", "s6", "cnt"))
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val st = all.join(broadcast(latest), col("dt") === col("latest_dt"))
+          .select("cc", "s6", "cnt")
+        if (st.isEmpty) None else Some(st)
+      } catch {
+        // only "no state yet" may fall through to a fresh start — any
+        // other analysis failure (schema drift, corrupt state) must
+        // surface, never silently reset the running totals
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") => None
+      }
     val merged = mergeCountryPartials(prior, newDrop)
     SteamOps.writeDateStamped(merged, stateBase, date)
   }

@@ -261,6 +261,9 @@ object DedupOps {
       i += 1
     }
     adj.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — a component's " +
+        s"diameter exceeds maxIter; raise maxIter (labels would be silently wrong)")
     labels
   }
 
@@ -274,7 +277,11 @@ object DedupOps {
     // would otherwise re-run the whole LSH+verify pipeline
     val pairs = dedupMinhashVerified(s, dir).select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // connectedComponents materializes eagerly (per-round checkpoints), and
+    // the returned labels frame is checkpointed — the pair cache is dead
+    // weight after it, so release it instead of leaking a block per call
     val labels = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    pairs.unpersist()
     Tables.documents(s, dir).select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

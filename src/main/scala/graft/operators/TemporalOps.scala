@@ -42,6 +42,8 @@ object TemporalOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       matchedCol: String = "matched"): DataFrame = {
+    require(!left.columns.contains(matchedCol) && !left.columns.contains("_side"),
+      s"asofJoin reserves columns '$matchedCol' and '_side' — rename them on the left side")
     val rAttrs = right.columns.filterNot(c => c == key || c == tsCol).toSeq
     val rPacked = right.select(
       col(key), col(tsCol),
@@ -56,8 +58,11 @@ object TemporalOps {
         lAttrs.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         col(matchedCol) :+ lit(0).as("_side"): _*)
     // right (side 0) sorts BEFORE left (side 1) at equal ts → inclusive
-    // `left.ts >= right.ts` match, same as DuckDB/kdb asof semantics
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"))
+    // `left.ts >= right.ts` match, same as DuckDB/kdb asof semantics.
+    // The packed struct is the final sort key: if two right rows ever
+    // share (key, ts), `last` deterministically picks the struct-largest
+    // one instead of whichever the shuffle ordered last.
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"), col(matchedCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPart.unionByName(rPart)
       .withColumn(matchedCol, last(col(matchedCol), ignoreNulls = true).over(w))
@@ -80,6 +85,8 @@ object TemporalOps {
   def rangeJoinBinned(points: DataFrame, intervals: DataFrame, key: String,
       ptCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "rangeJoinBinned reserves the column name '_bin' — rename it on the inputs")
     val iBinned = intervals.withColumn("_bin",
       explode(sequence(expr(s"`$loCol` div $binWidth"), expr(s"`$hiCol` div $binWidth"))))
     val pBinned = points.withColumn("_bin", expr(s"`$ptCol` div $binWidth"))

@@ -128,8 +128,12 @@ object TextOps {
   def heavyHitters(s: SparkSession, dir: String, phi: Double = 0.01): DataFrame = {
     val k = math.ceil(1.0 / phi).toInt
     val mg = udaf(new MisraGries(k))
+    // persisted: consumed by the eager sketch job, the total count, and
+    // the candidate groupBy — uncached, the scan+split+explode pipeline
+    // would run three times
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketchRow = toks.agg(mg(col("tok")).as("sketch")).head()
     val candidates = sketchRow.getAs[Map[String, Long]]("sketch").keys.toSeq
     val totals = toks.agg(count(lit(1)).as("n"))

@@ -32,6 +32,14 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val BinWidthConf = "spark.graft.rangeJoin.binWidth"
   val DefaultBinWidth = 3600000000L // 1h in µs — override per workload
 
+  /** Hard cap on bins one interval may explode into. An interval wider
+    * than cap×binWidth (an open-ended sentinel hi, or a binWidth far too
+    * small for the data's units) would otherwise materialize a
+    * billion-element Sequence per row; the guard turns that into an
+    * immediate, actionable error naming the config to fix. */
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerInterval"
+  val DefaultMaxBins = 65536L
+
   /** A lower or upper bound conjunct, normalized to (point, bound). */
   private sealed trait Bound { def pt: Expression; def bound: Expression; def orig: Expression }
   private case class Lower(pt: Expression, bound: Expression, orig: Expression) extends Bound
@@ -116,10 +124,27 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // point side: one bin column
       val ptBin = Alias(IntegralDivide(lo.pt, w), "_graft_bin_pt")()
       val ptProj = Project(ptPlan.output :+ ptBin, ptPlan)
+      val loDiv = IntegralDivide(lo.bound, w)
+      val hiDiv = IntegralDivide(hi.bound, w)
+      // runtime guard: an interval spanning more than maxBins bins fails
+      // with an actionable message instead of materializing a huge array.
+      // assert_true yields null when the predicate holds; folding that
+      // null into the sequence start keeps the guard alive through column
+      // pruning while never changing the value.
+      val maxBins = SQLConf.get.getConfString(MaxBinsConf, DefaultMaxBins.toString).toLong
+      val tooWide = GreaterThan(Subtract(hiDiv, loDiv), Literal(maxBins, LongType))
+      val err = new RaiseError(Literal(
+        s"graft range-join rewrite: an interval spans more than $maxBins bins " +
+          s"(binWidth=$binWidth); raise $BinWidthConf to match the data's units " +
+          s"or $MaxBinsConf if the explosion is intended"))
+      val guard = Coalesce(Seq(
+        Cast(If(tooWide, err, Literal.create(null, org.apache.spark.sql.types.NullType)),
+          LongType),
+        Literal(0L, LongType)))
       // interval side: explode the covered bin range. Sequence is
       // timezone-aware; the analyzer's ResolveTimeZone already ran, so the
       // rule must fill the zone itself or the plan goes back to unresolved.
-      val seq = Sequence(IntegralDivide(lo.bound, w), IntegralDivide(hi.bound, w), None)
+      val seq = Sequence(Add(loDiv, guard), hiDiv, None)
         .withTimeZone(SQLConf.get.sessionLocalTimeZone)
       val gen = Explode(seq)
       val binAttr = AttributeReference("_graft_bin_iv",

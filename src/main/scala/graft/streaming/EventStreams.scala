@@ -48,16 +48,21 @@ object EventStreams {
     * watermarked window aggregation appends into the same `dt=`-keyed
     * snappy-parquet layout the batch jobs land in (Jobs/SteamOps sink),
     * so a downstream batch reader sees one partition-pruned table
-    * regardless of which path produced a drop. foreachBatch is the
+    * regardless of which path produced a drop. `dt` derives from each
+    * window's EVENT TIME (a stream crossing midnight lands every window
+    * under its own day, not the launch day). foreachBatch is the
     * idempotence seam: batchId is available for exactly-once sinks; here
     * append-only parquet suffices for the test contract. */
-  def landWindowAgg(events: DataFrame, baseDir: String, date: String)
+  def landWindowAgg(events: DataFrame, baseDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     streamWindowAgg(events).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").option("compression", "snappy")
-          .parquet(s"$baseDir/dt=$date")
+        batch
+          .withColumn("dt", date_format(col("window_start"), "yyyy-MM-dd"))
+          .write.mode("append").option("compression", "snappy")
+          .partitionBy("dt")
+          .parquet(baseDir)
       }
       .start()
 

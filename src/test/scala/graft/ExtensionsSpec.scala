@@ -51,6 +51,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!q2.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
       assert(q2.as[(Long, Long)].collect().toSet == Set((10L, 1L), (10L, 2L), (10L, 3L)))
 
+      // guard: an interval spanning more bins than the cap fails with an
+      // actionable error instead of exploding a huge array
+      s.conf.set(graft.plans.RangeJoinRule.MaxBinsConf, "4")
+      try {
+        val wide = s.sql(
+          "SELECT wid, pid FROM pts JOIN ivals ON t >= lo - 100000 AND t < hi + 100000")
+        val e = intercept[Exception](wide.collect())
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("graft range-join rewrite")),
+          s"expected the bin-cap error, got: ${msgs(e).mkString(" | ")}")
+      } finally s.conf.unset(graft.plans.RangeJoinRule.MaxBinsConf)
+
       // a join that already has an equi key must be left alone (no explode)
       Seq((1L, 1L, 50L)).toDF("k", "pid", "t").createOrReplaceTempView("pts_k")
       Seq((1L, 10L, 40L, 150L)).toDF("k", "wid", "lo", "hi").createOrReplaceTempView("ivals_k")

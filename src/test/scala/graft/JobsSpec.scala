@@ -61,6 +61,14 @@ class JobsSpec extends AnyFunSuite {
       .select("cc", "avg_usd").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(viaState == oneShot)
+
+    // retry safety: re-landing the same date merges from the SAME prior
+    // (not from its own output) — no double count, same state
+    val p2Retry = Jobs.landCountryPartials(s, s"$base/state", drop2, "2024-01-02")
+    val retried = s.read.parquet(p2Retry)
+      .collect().map(r => r.getAs[String]("cc") ->
+        (r.getAs[Long]("s6"), r.getAs[Long]("cnt"))).toMap
+    assert(retried == full, "retrying a landing must be idempotent")
   }
 
   test("date-partitioned layout: a dt filter prunes to one partition at the scan") {

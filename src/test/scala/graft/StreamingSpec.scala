@@ -120,7 +120,7 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_land").toString
     val input = MemoryStream[(Timestamp, String, Double)](s)
     val events = input.toDF().toDF("ts", "event_type", "value")
-    val q = EventStreams.landWindowAgg(events, base, "2024-01-01")
+    val q = EventStreams.landWindowAgg(events, base)
     try {
       input.addData(Seq((Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.5)))
       q.processAllAvailable()
