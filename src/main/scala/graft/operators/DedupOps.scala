@@ -38,7 +38,7 @@ object DedupOps {
       .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
-  val MinhashK = 32 // 8 bands x 4 rows
+  val MinhashK = graft.functions.MinHash32.K // 32: 8 bands x 4 rows
   val MinhashBands = 8
 
   /** Buckets larger than this are skipped during pair expansion: a bucket
@@ -75,19 +75,16 @@ object DedupOps {
     shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("hb"))
 
   /** Per-doc MinHash signature: K independent hash slots, each the min of
-    * a seeded xxhash64 over the doc's shingles. Computed in ONE groupBy
-    * (map-side combine keeps the shuffle tiny: K longs per doc). The
-    * shingle string is hashed once; the K slot hashes mix the 64-bit base
-    * hash with the slot index — K long-hashes instead of K string-hashes. */
+    * a seeded xxhash64 over the doc's shingles — computed by the native
+    * one-pass expression [[graft.functions.MinHash32]] as a pure
+    * projection (`sig` = array of K longs). The previous formulation
+    * (shingle explode → groupBy with K min aggregates) was identical math
+    * through a shuffle; spec-asserted bit-for-bit equal. Docs with < 3
+    * tokens have no shingles → dropped, as the explode produced no row. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    minhashSignaturesFrom(hashedShingles(docs))
-
-  def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
-    val sigCols = (0 until MinhashK).map { i =>
-      min(xxhash64(lit(i), col("hb"))).as(s"mh_$i")
-    }
-    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-  }
+    docs.select(col("doc_id"),
+        graft.functions.MinHashFunctions.minhash32(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** #25 dedup_minhash_lsh (rows-only) — banded LSH: band hash = hash of 4
     * consecutive signature slots; docs sharing any (band, bucket) become
@@ -100,11 +97,11 @@ object DedupOps {
   def minhashCandidates(docs: DataFrame): DataFrame =
     minhashCandidatesFrom(minhashSignatures(docs))
 
-  /** Banded candidate generation from a signature frame. */
+  /** Banded candidate generation from a signature frame (`sig` array). */
   def minhashCandidatesFrom(sigs: DataFrame): DataFrame = {
     val rows = MinhashK / MinhashBands // slots per band
     val bands = (0 until MinhashBands).map { b =>
-      val slot = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      val slot = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
     }
     val buckets = sigs
@@ -200,15 +197,14 @@ object DedupOps {
   def dedupMinhashVerified(s: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // ONE hashed-shingle frame feeds the signature stage, the size
-    // aggregate, and both verify-join sides — and it is PERSISTED.
-    // Lazy-recompute here is quadratic in practice: the candidate subtree
-    // embeds the whole minhash pipeline, so every downstream join re-ran
-    // scan→shingle→hash→32-way minhash (measured 7x slower at sf0.1).
-    // This mirrors Spark ML's MinHashLSH, which caches its transformed
-    // input for exactly this reason.
+    // The hashed-shingle frame feeds the size aggregate and both
+    // verify-join sides — PERSISTED, since lazy recompute would re-run
+    // the scan→shingle→hash pipeline per consumer (measured 7x slower at
+    // sf0.1 before caching; Spark ML's MinHashLSH caches its transformed
+    // input for the same reason). Signatures come from the native
+    // one-pass MinHash32 projection and need no shingle frame at all.
     val sh = hashedShingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidatesFrom(minhashSignaturesFrom(sh))
+    val cands = minhashCandidatesFrom(minhashSignatures(docs))
       .select("doc_a", "doc_b")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = cands

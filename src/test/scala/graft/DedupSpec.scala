@@ -93,6 +93,24 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"IVF recall vs brute force too low: $recall%.2f")
   }
 
+  test("native MinHash32 matches the exploded min-aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, sf)
+    // the original formulation: shingle explode → hash → K min aggregates
+    val sh = DedupOps.hashedShingles(docs)
+    val sigCols = (0 until DedupOps.MinhashK).map { i =>
+      min(xxhash64(lit(i), col("hb"))).as(s"mh_$i")
+    }
+    val want = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to DedupOps.MinhashK).map(r.getLong).toVector)
+      .toMap
+    val got = DedupOps.minhashSignatures(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(got == want, "native kernel must reproduce the aggregate mins bit-for-bit")
+  }
+
   test("native SimHash64 matches the exploded vote-aggregate formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(s, sf)
