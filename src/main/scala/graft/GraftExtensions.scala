@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotE12, RollingHash64, SimHash64}
+import graft.functions.{DotE12, MinHash32, RollingHash64, SimHash64}
 
 /** SparkSessionExtensions entry point: exposes graft's native codegen
   * expressions to SQL users and installs the key-less interval-join
@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"graft_simhash64 takes 1 argument, got ${args.length}")
         SimHash64(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash32"),
+      info("graft_minhash32",
+        "graft_minhash32(s) - array of 32 MinHash slots over word-3-gram shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_minhash32 takes 1 argument, got ${args.length}")
+        MinHash32(args.head)
       }))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }

@@ -29,6 +29,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_dot_e12(array(cast(0.5 as float)), array(cast(2.0 as float))) AS d")
         .head().getLong(0)
       assert(d == 1000000000000L)
+      val mh = s.sql("SELECT graft_minhash32('a b c d') AS sig").head().getSeq[Long](0)
+      assert(mh.length == 32)
+      assert(s.sql("SELECT graft_minhash32('a b') AS sig").head().isNullAt(0),
+        "fewer than 3 tokens must yield null")
+      val sh64 = s.sql("SELECT graft_simhash64('a b c') AS sh").head().getLong(0)
+      assert(sh64 == graft.functions.SimHash64.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
 
       // ---- RangeJoinRule: key-less interval join loses its nested loop ----
       s.conf.set(graft.plans.RangeJoinRule.BinWidthConf, "100")
