@@ -36,6 +36,30 @@ object EventStreams {
   def streamWindowAgg(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Sliding 1-hour windows every 30 minutes — each event contributes to
+    * two overlapping windows (the Expand is handled by the window
+    * function itself). Same agg body as the tumbling variant. */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Det.e2(col("value"))).cast("double") / lit(100.0)).as("v"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("v"))
+
+  /** Native session windows (gap-based, per user) — the built-in
+    * streaming counterpart of CoreOps.sessionize / sessionizeStream:
+    * state merges adjacent windows within the gap and the watermark
+    * closes sessions, all inside Spark's session_window machinery. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Det.e2(col("value"))).cast("double") / lit(100.0)).as("total_value"))
+      .select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Streaming exact dedup — drops re-deliveries of the same event id
     * from an at-least-once source. dropDuplicatesWithinWatermark keeps
     * state only until the watermark passes the event, so state is bounded

@@ -115,6 +115,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in exactly two 1h/30m windows") {
+    import s.implicits._
+    val data = Seq((Timestamp.valueOf("2024-01-01 10:40:00"), "click", 2.0))
+    val out = EventStreams.slidingWindowAgg(data.toDF("ts", "event_type", "value"))
+      .collect()
+    assert(out.length == 2, s"expected the 10:00 and 10:30 windows, got ${out.length}")
+    assert(out.forall(_.getAs[Long]("n") == 1L))
+    val starts = out.map(_.getAs[Any]("window_start").toString).sorted
+    assert(starts.head.contains("10:00") && starts.last.contains("10:30"))
+  }
+
+  test("native session_window: gap merge + watermark close, matches sessionizeStream totals") {
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)](s)
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionWindowAgg(events).writeStream
+      .outputMode("append").format("memory").queryName("graft_session_win")
+      .start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // one session of 3 events within the gap, then a far-future event
+      // to advance the watermark and close it
+      input.addData(Seq((1L, t(10, 0), 1.0), (1L, t(10, 20), 2.0), (1L, t(10, 35), 3.0)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, t(20, 0), 0.5)))
+      q.processAllAvailable()
+      val closed = s.table("graft_session_win").collect()
+      assert(closed.length == 1, "exactly the first session should have closed")
+      val r = closed.head
+      assert(r.getAs[Long]("n_events") == 3L)
+      assert(math.abs(r.getAs[Double]("total_value") - 6.0) < 1e-9)
+      assert(r.getAs[Any]("session_start").toString.contains("10:00"))
+    } finally q.stop()
+  }
+
   test("foreachBatch lands closed windows into the dt-keyed parquet layout") {
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_land").toString
