@@ -173,6 +173,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enrich against a batch dim, no state") {
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)](s)
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    // static side: the rates dim pattern — joined per micro-batch, no
+    // streaming state, and it broadcasts like any small dim
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_stream_static").start()
+    try {
+      input.addData(Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
+        (3L, Timestamp.valueOf("2024-01-01 10:01:00"), 7.0)))
+      q.processAllAvailable()
+      val rows = s.table("graft_stream_static").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+      assert(rows == Map(1L -> "gold", 3L -> null))
+    } finally q.stop()
+  }
+
   test("watermark bounds state: late data beyond 2h is dropped in append mode") {
     import s.implicits._
     val input = MemoryStream[(Timestamp, String, Double)](s)
