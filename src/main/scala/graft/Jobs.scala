@@ -74,6 +74,22 @@ object Jobs {
     SteamOps.writeDateStamped(merged, stateBase, date)
   }
 
+  /** CurationETL: run the corpus filter (quality → language-consistency →
+    * exact dedup) and land the SURVIVING documents — keeper rows joined
+    * back to their text — as a date-stamped snappy drop. The landed drop
+    * is the training-ready corpus: one row per unique kept document.
+    * Returns the written path. */
+  def runCurationJob(s: SparkSession, sfDir: String, outDir: String,
+      date: String): String = {
+    import org.apache.spark.sql.functions._
+    val keepers = graft.operators.CurationOps.corpusFilter(s, sfDir)
+      .select(col("keep_id").as("doc_id"), col("n_dups"), col("keep_quality"))
+    val corpus = graft.Tables.documents(s, sfDir)
+      .join(keepers, Seq("doc_id"))
+      .select("doc_id", "text", "lang", "source", "n_chars", "n_dups", "keep_quality")
+    SteamOps.writeDateStamped(corpus, s"$outDir/curated_corpus", date)
+  }
+
   /** WorldMapETL: pick the latest date partition of the prices drop,
     * aggregate to the enriched world table (country averages, world
     * deviation, iso/geo joins, EU propagation)

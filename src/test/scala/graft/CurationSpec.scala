@@ -40,6 +40,23 @@ class CurationSpec extends AnyFunSuite {
       s"expected at most the dedup exchange, got $hashAggExchanges:\n${plan.take(1500)}")
   }
 
+  test("curation job lands a unique, gate-passing corpus drop") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    val path = Jobs.runCurationJob(s, sf, base, "2024-02-01")
+    assert(path.endsWith("dt=2024-02-01"))
+    val landed = s.read.parquet(path)
+    val n = landed.count()
+    assert(n > 0)
+    // one row per unique kept content, and it matches the filter's keepers
+    assert(landed.select(md5(col("text"))).distinct().count() == n)
+    val expected = CurationOps.corpusFilter(s, sf).count()
+    assert(n == expected, "landed corpus must be exactly the keeper set")
+    landed.collect().foreach { r =>
+      assert(r.getAs[Double]("keep_quality") >= 0.5)
+      assert(r.getAs[Long]("n_dups") >= 1L)
+    }
+  }
+
   test("stratified_sample: deterministic, nested across rates, near target rates") {
     val a = CurationOps.stratifiedSample(s, sf).collect().map(_.getAs[Long]("doc_id")).toSet
     val b = CurationOps.stratifiedSample(s, sf).collect().map(_.getAs[Long]("doc_id")).toSet
