@@ -95,6 +95,50 @@ object TemporalOps {
       .drop("_bin")
   }
 
+  /** Multi-resolution (bin-ladder) interval join — the mixed-width
+    * companion to [[rangeJoinBinned]]. Single-width binning must pick one
+    * bin size: too small and WIDE intervals explode into thousands of
+    * bins, too large and NARROW intervals drown in false candidates. The
+    * ladder assigns each interval its own level l — the smallest power-of-
+    * two multiple of `baseWidth` that covers its span — so every interval
+    * emits AT MOST TWO (level, bin) rows regardless of width, while each
+    * point probes one bin per level (a log-factor map-side fan-out of the
+    * point side, no shuffle amplification beyond it). Join on
+    * (key, level, bin) + the exact bounds; a pair can only meet at the
+    * interval's single level, so no dedup pass is needed.
+    */
+  def rangeJoinLadder(points: DataFrame, intervals: DataFrame, key: String,
+      ptCol: String, loCol: String, hiCol: String, baseWidth: Long,
+      levels: Int = 16): DataFrame = {
+    require(baseWidth > 0, "baseWidth must be positive")
+    require(levels >= 0 && levels <= 40, "levels must be in [0, 40]")
+    Seq("_lvl", "_bin").foreach { c =>
+      require(!points.columns.contains(c) && !intervals.columns.contains(c),
+        s"rangeJoinLadder reserves the column name '$c' — rename it on the inputs")
+    }
+    // level of an interval: smallest l with baseWidth·2^l ≥ span (clamped
+    // to the ladder top — a wider-than-top interval still only emits the
+    // bins sequence at the top level, ≥2 entries but bounded by span/top)
+    val span = (col(hiCol) - col(loCol)).cast("double") / lit(baseWidth.toDouble)
+    val lvl = least(lit(levels),
+      greatest(lit(0), ceil(log(2.0, greatest(span, lit(1.0)))).cast("int")))
+    val iBinned = intervals
+      .withColumn("_lvl", lvl)
+      .withColumn("_bin",
+        explode(sequence(expr(s"`$loCol` div ${widthSql(baseWidth)}"),
+          expr(s"`$hiCol` div ${widthSql(baseWidth)}"))))
+    val pBinned = points
+      .withColumn("_lvl", explode(sequence(lit(0), lit(levels))))
+      .withColumn("_bin", expr(s"`$ptCol` div ${widthSql(baseWidth)}"))
+    pBinned.join(iBinned, Seq(key, "_lvl", "_bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("_lvl", "_bin")
+  }
+
+  /** SQL fragment for the level-dependent bin width (references `_lvl`). */
+  private def widthSql(baseWidth: Long): String =
+    s"shiftleft(CAST($baseWidth AS BIGINT), _lvl)"
+
   private val HalfHourUs = 1800L * 1000000L
 
   /** `asof_join` query — each click joined to the user's latest purchase

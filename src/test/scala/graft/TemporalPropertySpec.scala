@@ -67,6 +67,51 @@ class TemporalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoinLadder equals brute force on mixed-width random intervals") {
+    import s.implicits._
+    val pGen = for { k <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 2000000L) } yield (k, t)
+    // spans from 1 to ~1M: three orders of magnitude in one input — the
+    // case single-width binning handles badly either way
+    val iGen = for {
+      k <- Gen.choose(1L, 4L)
+      lo <- Gen.choose(0L, 1900000L)
+      len <- Gen.choose(0, 2).flatMap {
+        case 0 => Gen.choose(1L, 50L)
+        case 1 => Gen.choose(1000L, 5000L)
+        case _ => Gen.choose(200000L, 1000000L)
+      }
+    } yield (k, lo, lo + len)
+    val pts = Gen.listOfN(150, pGen).sample.get
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val ivs = Gen.listOfN(60, iGen).sample.get
+      .zipWithIndex.map { case ((k, lo, hi), i) => (k, lo, hi, i.toLong) }
+
+    val want = (for {
+      (pk, t, pid) <- pts
+      (ik, lo, hi, wid) <- ivs
+      if pk == ik && t >= lo && t < hi
+    } yield (wid, pid)).toSet
+
+    val got = TemporalOps.rangeJoinLadder(
+        pts.toDF("k", "t", "pid"), ivs.toDF("k", "lo", "hi", "wid"),
+        "k", "t", "lo", "hi", baseWidth = 64L, levels = 16)
+      .select("wid", "pid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "ladder join must not duplicate pairs")
+    assert(got.toSet == want, s"${got.length} vs ${want.size}")
+  }
+
+  test("rangeJoinLadder: every interval emits at most two bins at its level") {
+    import s.implicits._
+    // directly observable consequence: candidate volume before the exact
+    // filter stays ~2 rows per interval even for very wide intervals
+    val ivs = Seq((1L, 0L, 1000000L, 0L), (1L, 5L, 6L, 1L)).toDF("k", "lo", "hi", "wid")
+    val pts = Seq((1L, 5L, 0L)).toDF("k", "t", "pid")
+    // with baseWidth 64 the 1e6-wide interval sits at level 14 (64*2^14 >= 1e6)
+    val out = TemporalOps.rangeJoinLadder(pts, ivs, "k", "t", "lo", "hi", 64L)
+      .select("wid", "pid").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L), (1L, 0L)))
+  }
+
   test("misra-gries guarantee holds on random zipf-ish streams") {
     import s.implicits._
     val gen = Gen.frequency(
