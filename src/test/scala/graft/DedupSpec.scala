@@ -93,6 +93,20 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"IVF recall vs brute force too low: $recall%.2f")
   }
 
+  test("native kernels: edge inputs (empty, short, repeated-space strings)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(graft.functions.SimHash64.compute(u("")) == 0L, "no tokens → zero signature")
+    assert(graft.functions.SimHash64.compute(u("   ")) == 0L)
+    assert(graft.functions.SimHash64.compute(u("a  b")) ==
+      graft.functions.SimHash64.compute(u("a b")), "empty tokens carry no votes")
+    assert(graft.functions.MinHash32.compute(u("a b")) == null, "<3 tokens → null")
+    val one = graft.functions.MinHash32.compute(u("a b c"))
+    assert(one != null && one.numElements() == 32)
+    // one shingle → every slot is that shingle's slot hash (no other min)
+    val again = graft.functions.MinHash32.compute(u("a b c"))
+    assert((0 until 32).forall(i => one.getLong(i) == again.getLong(i)))
+  }
+
   test("native MinHash32 matches the exploded min-aggregate formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(s, sf)
