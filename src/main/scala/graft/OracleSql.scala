@@ -277,6 +277,16 @@ object OracleSql {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
 
+    "set_ops" ->
+      """WITH e AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |l AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM e INTERSECT SELECT * FROM l)
+        |UNION ALL
+        |SELECT o_custkey, 'early_only' AS tag FROM (SELECT * FROM e EXCEPT SELECT * FROM l)
+        |UNION ALL
+        |SELECT o_custkey, 'late_only' AS tag FROM (SELECT * FROM l EXCEPT SELECT * FROM e)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
     "unpivot_events" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),

@@ -43,6 +43,7 @@ object SparkEntry {
     "quantiles" -> (CoreOps.quantiles(_, _)),
     "approx_quantiles" -> (CoreOps.approxQuantiles(_, _)),
     "semi_anti_join" -> (CoreOps.semiAntiJoin(_, _)),
+    "set_ops" -> (CoreOps.setOps(_, _)),
     "rollup_agg" -> (CoreOps.rollupAgg(_, _)),
     "cube_agg" -> (CoreOps.cubeAgg(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),

@@ -125,6 +125,21 @@ object CoreOps {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy("l_returnflag")
 
+  /** #20b set_ops — INTERSECT / EXCEPT over the customer sets of two
+    * order periods, tagged and unioned into one frame. Spark plans both
+    * as aggregate-backed joins (never a row-wise scan comparison), so
+    * each leg is one shuffle on the compared column. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val orders = Tables.orders(s, dir)
+    val early = orders.filter(col("o_orderdate") < cut).select("o_custkey")
+    val late = orders.filter(col("o_orderdate") >= cut).select("o_custkey")
+    early.intersect(late).withColumn("tag", lit("both"))
+      .unionByName(early.except(late).withColumn("tag", lit("early_only")))
+      .unionByName(late.except(early).withColumn("tag", lit("late_only")))
+      .orderBy("tag", "o_custkey")
+  }
+
   /** #20 semi_anti_join — EXISTS / NOT EXISTS as left-semi / left-anti
     * joins (no row duplication, no distinct needed). */
   def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
