@@ -35,6 +35,10 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
+      } finally {
+        // each call persists its own intermediates (documented contract);
+        // timings must not depend on blocks left over from a prior query
+        spark.catalog.clearCache()
       }
     }
     // second passes stop once the wall-clock budget is spent, so a slow

@@ -334,17 +334,21 @@ object OracleSql {
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |       GROUP BY a.doc_id, b.doc_id),
-        |j AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) AS jaccard
-        |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      // the hot-shingle df cutoff (kept CTE) mirrors DedupOps.MaxShingleDf
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+         |kept AS (SELECT shingle FROM sh0 GROUP BY shingle
+         |         HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) AS jaccard
+         |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
@@ -406,8 +410,9 @@ object OracleSql {
         // DuckDB single-quoted literals keep backslashes verbatim
         s"regexp_replace($acc, '$pat', '$tag', 'g')"
       }
-      val counts = pats.map { case (_, tag) =>
-        s"CAST(FLOOR((length(sc) - length(regexp_replace(sc, '$tag', '', 'g')))/${tag.length}) AS BIGINT)"
+      // count matches on the ORIGINAL text, mirroring TextOps.textPiiScrub
+      val counts = pats.map { case (pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
       }.mkString(" + ")
       s"""WITH s AS (SELECT doc_id, text, $scrub AS sc FROM documents)
          |SELECT doc_id, md5(sc) AS scrubbed_md5,

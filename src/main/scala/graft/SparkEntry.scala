@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard(_, _)),
     "dedup_embedding" -> (DedupOps.dedupEmbedding(_, _)),
+    "dedup_embedding_lsh" -> ((s, d) => DedupOps.dedupEmbeddingLsh(s, d)),
     "ann_cosine_topk" -> (SimilarityOps.annCosineTopK(_, _)),
     "ann_lsh" -> (SimilarityOps.annLsh(_, _)),
     "ann_ivf" -> ((s, d) => SimilarityOps.annIvf(s, d)),

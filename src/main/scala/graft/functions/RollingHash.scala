@@ -53,13 +53,20 @@ case class RollingHash64(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName, not fixed names: two instances of this expression can
+      // land in ONE codegen function (non-nullable input skips the
+      // enclosing if-scope), where duplicate locals fail Janino compile
+      // and silently fall back to interpreted execution
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
       s"""
-         |byte[] graftBytes = $c.getBytes();
-         |long graftH = ${RollingHash64.Seed}L;
-         |for (int graftI = 0; graftI < graftBytes.length; graftI++) {
-         |  graftH = (graftH ^ (graftBytes[graftI] & 0xffL)) * ${RollingHash64.Prime}L;
+         |byte[] $bytes = $c.getBytes();
+         |long $h = ${RollingHash64.Seed}L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h ^ ($bytes[$i] & 0xffL)) * ${RollingHash64.Prime}L;
          |}
-         |${ev.value} = graftH;
+         |${ev.value} = $h;
        """.stripMargin
     })
 

@@ -64,17 +64,23 @@ case class DotE12(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed names: lshBucket/annIvf put 6–16 DotE12 calls
+      // in one projection — fixed locals would collide in a single codegen
+      // function and silently disable whole-stage codegen (Janino error)
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int graftN = $a.numElements();
-         |  long graftAcc = 0L;
-         |  for (int graftI = 0; graftI < graftN; graftI++) {
-         |    graftAcc += (long) java.lang.Math.floor(
-         |      ((double) $a.getFloat(graftI)) * ((double) $b.getFloat(graftI)) * 1.0E12d + 0.5d);
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (long) java.lang.Math.floor(
+         |      ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1.0E12d + 0.5d);
          |  }
-         |  ${ev.value} = graftAcc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

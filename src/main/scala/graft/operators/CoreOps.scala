@@ -126,17 +126,21 @@ object CoreOps {
       .orderBy("l_returnflag")
 
   /** #20b set_ops — INTERSECT / EXCEPT over the customer sets of two
-    * order periods, tagged and unioned into one frame. Spark plans both
-    * as aggregate-backed joins (never a row-wise scan comparison), so
-    * each leg is one shuffle on the compared column. */
+    * order periods, tagged and unioned into one frame. Expressed as ONE
+    * conditional aggregation: a single scan of orders, a single shuffle on
+    * o_custkey with map-side partial agg, then a CASE over the two period
+    * flags — semantically identical to the three intersect/except legs
+    * (which cost 6 scans + 4 shuffles; round-2 verdict) at 1/6 the I/O. */
   def setOps(s: SparkSession, dir: String): DataFrame = {
-    val cut = lit("1998-01-01").cast("timestamp")
-    val orders = Tables.orders(s, dir)
-    val early = orders.filter(col("o_orderdate") < cut).select("o_custkey")
-    val late = orders.filter(col("o_orderdate") >= cut).select("o_custkey")
-    early.intersect(late).withColumn("tag", lit("both"))
-      .unionByName(early.except(late).withColumn("tag", lit("early_only")))
-      .unionByName(late.except(early).withColumn("tag", lit("late_only")))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate") < cut).as("has_early"),
+        max(col("o_orderdate") >= cut).as("has_late"))
+      .select(col("o_custkey"),
+        when(col("has_early") && col("has_late"), "both")
+          .when(col("has_early"), "early_only")
+          .otherwise("late_only").as("tag"))
       .orderBy("tag", "o_custkey")
   }
 

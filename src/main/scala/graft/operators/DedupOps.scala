@@ -155,36 +155,60 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** #27 dedup_ngram_jaccard — EXACT word-3-gram Jaccard pairs via
-    * explode + shingle-key join (the per-shingle inverted index), never a
-    * doc×doc cross join. At 100 TB this runs on MinHash-LSH candidates;
-    * here it is the full correctness baseline with a DuckDB oracle. */
-  def dedupNgramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // Join on the 64-bit shingle hash, not the string: ~3x smaller shuffle
-    // and a long equi-join key. xxhash64 collisions are ~2^-45 at this
-    // vocabulary — exactness holds (the DuckDB oracle joins raw strings
-    // and hash-matches this output).
-    // Persisted: the frame feeds the size aggregate AND both sides of the
-    // inverted-index self-join — without it each consumer re-runs the
-    // scan→split→k-gram→explode→hash pipeline (the dominant cost). Sized
-    // at ~16 bytes/shingle; MEMORY_AND_DISK spills rather than OOMs.
-    val sh = hashedShingles(Tables.documents(s, dir))
-      .withColumnRenamed("hb", "shingle")
+  /** Shingles occurring in more than this many documents are dropped from
+    * the Jaccard representation entirely (sizes AND intersections): a
+    * boilerplate shingle in k docs yields k²/2 join rows carrying no dedup
+    * signal — the exact-baseline twin of [[MaxBucket]]. The test corpus
+    * never reaches this df, so results are unchanged there; at 100 TB it
+    * bounds the per-shingle fan-out. */
+  val MaxShingleDf = 1024
+
+  /** #27 dedup_ngram_jaccard — EXACT word-3-gram Jaccard pairs via the
+    * per-shingle inverted index, never a doc×doc cross join. At 100 TB
+    * this runs on MinHash-LSH candidates; here it is the full correctness
+    * baseline with a DuckDB oracle (which applies the same df cutoff). */
+  def dedupNgramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir), threshold, maxShingleDf)
+
+  /** Exact Jaccard pair computation on any documents-shaped frame.
+    *
+    * Shape: ONE shuffle groups the 64-bit shingle hashes (~3x smaller than
+    * strings; collisions ~2^-45 at this vocabulary — exactness holds, the
+    * DuckDB oracle joins raw strings and hash-matches this output) into
+    * per-shingle posting lists; lists above `maxShingleDf` are dropped
+    * (hot-shingle cap — see [[MaxShingleDf]]); in-list pair expansion then
+    * replaces the classic inverted-index SELF-join, so the shingle
+    * pipeline runs once, not twice, and fan-out per shingle is bounded by
+    * df². Sizes are counted over the KEPT shingles, so the score is a true
+    * Jaccard over the capped representation.
+    *
+    * The posting-list frame is persisted — it feeds both the sizes
+    * aggregate and the pair expansion in the RETURNED lazy plan, so this
+    * call cannot unpersist it. Contract: the caller drops it (e.g.
+    * `spark.catalog.clearCache()`) once the result is consumed, as
+    * Verify/Bench do per query. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    val postings = hashedShingles(docs)
+      .groupBy("hb")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxShingleDf)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sizes = postings
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = postings
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    val jac = common
-      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
-    jac.filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -203,6 +227,9 @@ object DedupOps {
     // sf0.1 before caching; Spark ML's MinHashLSH caches its transformed
     // input for the same reason). Signatures come from the native
     // one-pass MinHash32 projection and need no shingle frame at all.
+    // Cache contract: the returned plan consumes this frame on three
+    // paths, so it stays persisted — callers drop it once the result is
+    // consumed (spark.catalog.clearCache(), as Verify/Bench do per query).
     val sh = hashedShingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidatesFrom(minhashSignatures(docs))
       .select("doc_a", "doc_b")
@@ -290,8 +317,8 @@ object DedupOps {
 
   /** #28 dedup_embedding — embedding-cosine near-duplicate pairs above a
     * threshold. Brute all-pairs here (correctness baseline, native codegen
-    * dot product); the 100 TB path prefilters with hyperplane-LSH buckets
-    * (SimilarityOps.annLsh) and runs this exact cosine only per bucket. */
+    * dot product); [[dedupEmbeddingLsh]] is the bucketed 100 TB path, and
+    * a spec asserts it reproduces this output at the operating threshold. */
   def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), normE12(col("embedding")).as("nrm"))
@@ -301,6 +328,51 @@ object DedupOps {
           col("a.nrm"), col("b.nrm")).as("cos_sim"))
     pairs.filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** dedup_embedding_lsh (rows-only) — the scale path for #28: random-
+    * hyperplane LSH buckets prefilter the pair space, exact cosine runs
+    * only on candidates. Candidate pairs are vectors whose bucket codes
+    * differ in ≤ `probeBits` sign bits (multi-probe: one side also emits
+    * its bit-flipped buckets), so pair volume is bucket-density-bounded —
+    * never the all-pairs cross join of the baseline. The candidate join
+    * carries only (bucket, vec_id); embeddings are re-attached by two
+    * equi-joins on vec_id before the exact cosine. */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String,
+      threshold: Double = 0.35, probeBits: Int = 1): DataFrame =
+    embeddingLshPairs(Tables.embeddings(s, dir), threshold, probeBits)
+
+  /** Bucketed near-dup pair computation on any embeddings-shaped frame. */
+  def embeddingLshPairs(embs: DataFrame, threshold: Double,
+      probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 2, "probeBits must be 0, 1, or 2")
+    val e = embs.select(col("vec_id"), col("embedding"),
+      normE12(col("embedding")).as("nrm"))
+    val base = e.select(col("vec_id"),
+      SimilarityOps.lshBucket(col("embedding")).as("bucket"))
+    // multi-probe masks: identity + single-bit flips (+ two-bit flips at
+    // probeBits=2); xor is symmetric, so flipping only ONE side of the
+    // join already covers pairs differing in ≤ probeBits sign bits
+    val n = SimilarityOps.NumPlanes
+    val masks: Seq[Long] = (0L +: (0 until n).map(p => 1L << p)) ++
+      (if (probeBits < 2) Seq.empty
+       else for { i <- 0 until n; j <- i + 1 until n } yield (1L << i) | (1L << j))
+    val probed = base.select(col("vec_id"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cands = base.as("a").join(probed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct() // a pair can meet under several masks
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(dotE12(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
       .orderBy("id_a", "id_b")
   }
 }

@@ -70,8 +70,11 @@ object SimilarityOps {
     * distributed) splits the corpus into cells; each query probes its
     * `nprobe` nearest cells and runs exact cosine only there. The cell id
     * is the equi-join key, so compute is |Q| × (nprobe/cells) × |corpus|.
-    * Centroids are model metadata (tiny) baked into the plan as literals —
-    * the probe-selection runs fully codegen'd with no UDF. */
+    * Centroids travel as a TINY broadcast-joined frame (`cells` rows), so
+    * plan and codegen size are independent of the cell count — at the √n
+    * cells a real corpus needs (10³–10⁴), literal centroid arrays would
+    * blow up the plan (round-2 verdict). Probe selection stays codegen'd:
+    * DotE12 against the joined centroid column, window top-nprobe. */
   def annIvf(s: SparkSession, dir: String, k: Int = 5, cells: Int = 16,
       nprobe: Int = 2, maxIter: Int = 2): DataFrame = {
     // maxIter=2: a coarse quantizer only needs approximate cells — measured
@@ -79,10 +82,13 @@ object SimilarityOps {
     // time; raise it when cells must be tight (many cells, low nprobe)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
     // Persisted: kmeans|| fit makes one pass per iteration over this frame,
     // and it feeds the corpus/probe sides afterwards — without the persist
     // every pass re-reads parquet and rebuilds vectors (ML itself warns
-    // when its input is uncached).
+    // when its input is uncached). Cache contract: consumed by the
+    // returned lazy plan — callers clear it once the result is consumed
+    // (spark.catalog.clearCache(), as Verify/Bench do per query).
     val e = withNorm(s, dir)
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -91,18 +97,19 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("prediction").as("cell"))
     // ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; rank cells per query by the
     // only query-dependent part (-2 x·c + ||c||^2), scaled-int exact
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val cellScore = (emb: org.apache.spark.sql.Column, c: Int) => {
-      val w = array(centroids(c).toIndexedSeq.map(v => lit(v)): _*)
-      val cNorm = centroids(c).map(v => math.floor(v.toDouble * v.toDouble * 1e12 + 0.5).toLong).sum
-      struct((lit(cNorm) - lit(2L) * dotE12(emb, w)).as("score"), lit(c).as("cell"))
-    }
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray.map(_.toFloat)
+      val cNorm = arr.map(v => math.floor(v.toDouble * v.toDouble * 1e12 + 0.5).toLong).sum
+      (i, arr, cNorm)
+    }.toSeq.toDF("cell", "c_emb", "c_norm")
+    val wProbe = Window.partitionBy("q_id").orderBy(col("score"), col("cell"))
     val q = corpus.filter(col("vec_id") % 100 === 0)
-      .withColumn("probes",
-        slice(array_sort(array((0 until cells).map(c => cellScore(col("embedding"), c)): _*)),
-          1, nprobe))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), explode(col("probes.cell")).as("cell"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("score", col("c_norm") - lit(2L) * dotE12(col("q_emb"), col("c_emb")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "q_emb", "q_nrm", "cell")
     val scored = corpus.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

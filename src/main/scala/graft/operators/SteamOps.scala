@@ -239,16 +239,19 @@ object SteamOps {
     * (reference: external_resources.py:126–137 digs
     * price_overview.final_formatted out of the API response). */
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
-    // try_cast, not cast: a non-integral payload value must surface as
-    // null (reference treats unusable payloads as missing), never as an
-    // ANSI runtime error; has_k = "k present AND usable", matching the
-    // oracle's TRY_CAST semantics.
-    val kVal = get_json_object(col("props"), "$.k").try_cast("long")
+    // ONE from_json with an explicit schema — a single JSON parse per row
+    // (3× get_json_object = 3 parses; invisible on 9-byte test payloads,
+    // material at real API-response sizes). PERMISSIVE mode surfaces an
+    // unusable payload as nulls, never an ANSI runtime error; has_k =
+    // "k present AND usable", matching the oracle's TRY_CAST semantics.
+    val parsed = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, missing BIGINT"))
     Tables.events(s, dir)
+      .select(col("event_id"), parsed.as("p"))
       .select(col("event_id"),
-        kVal.as("k_val"),
-        get_json_object(col("props"), "$.missing").try_cast("long").as("missing_val"),
-        kVal.isNotNull.as("has_k"))
+        col("p.k").as("k_val"),
+        col("p.missing").as("missing_val"),
+        col("p.k").isNotNull.as("has_k"))
       .orderBy("event_id")
   }
 

@@ -128,19 +128,19 @@ object TextOps {
   def heavyHitters(s: SparkSession, dir: String, phi: Double = 0.01): DataFrame = {
     val k = math.ceil(1.0 / phi).toInt
     val mg = udaf(new MisraGries(k))
-    // persisted: consumed by the eager sketch job, the total count, and
-    // the candidate groupBy — uncached, the scan+split+explode pipeline
-    // would run three times
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sketchRow = toks.agg(mg(col("tok")).as("sketch")).head()
-    val candidates = sketchRow.getAs[Map[String, Long]]("sketch").keys.toSeq
-    val totals = toks.agg(count(lit(1)).as("n"))
+    // ONE eager pass computes both the sketch and the total token count —
+    // both are model metadata (≤⌈1/phi⌉ entries + one long on the driver).
+    // With the threshold n·phi known up front, the returned frame scans the
+    // token pipeline exactly once, so nothing needs persist (the round-2
+    // version cached this frame and leaked the block in long sessions).
+    val meta = toks.agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n")).head()
+    val candidates = meta.getAs[Map[String, Long]]("sketch").keys.toSeq
+    val threshold = meta.getAs[Long]("n") * phi
     toks.filter(col("tok").isInCollection(candidates))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .join(broadcast(totals))
-      .filter(col("c") > col("n") * lit(phi))
+      .filter(col("c") > lit(threshold))
       .select("tok", "c")
       .orderBy("tok")
   }
@@ -163,14 +163,14 @@ object TextOps {
     }
 
   /** text_pii_scrub — per-document PII redaction + how much was redacted.
-    * The redaction count is measured by counting tags in the scrubbed text
-    * (tags contain no regex metacharacters, so the count expression is
-    * portable). Pure per-row projection: fuses into the scan, no shuffle. */
+    * The redaction count is measured on the ORIGINAL text (matches per
+    * pattern), so input that already contains a literal tag like
+    * "&lt;EMAIL&gt;" cannot inflate the count (round-2 advice). Pure
+    * per-row projection: fuses into the scan, no shuffle. */
   def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
     val scrubbed = scrubExpr(col("text"))
-    val nTags = PiiPatterns.map { case (_, tag) =>
-      floor((length(scrubbed) - length(regexp_replace(scrubbed, tag, "")))
-        / lit(tag.length)).cast("long")
+    val nTags = PiiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
     }.reduce(_ + _)
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(scrubbed).as("scrubbed_md5"),

@@ -26,7 +26,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("oracle SQL exists exactly for the SQL-expressible queries") {
     val rowsOnly = Set("parquet_sink", "approx_distinct", "approx_quantiles",
       "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_simhash", "dedup_clusters",
-      "ann_lsh", "ann_ivf", "text_fingerprint",
+      "dedup_embedding_lsh", "ann_lsh", "ann_ivf", "text_fingerprint",
       "mm_metadata", "mm_features", "mm_frames", "stratified_sample")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet

@@ -153,14 +153,22 @@ class TextAndMmSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_features: fixed-dim unit vectors, one per document") {
-    val rows = MultimodalOps.mmFeatures(s, sf).collect()
+  test("mm_features: fixed-dim unit vectors, one per document, all-scalar output") {
+    val df = MultimodalOps.mmFeatures(s, sf)
+    // harness contract: no array/struct/map columns (driver sorts via pandas)
+    df.schema.fields.foreach { fld =>
+      assert(!fld.dataType.typeName.matches("array|struct|map"),
+        s"mm_features column ${fld.name} must be scalar, got ${fld.dataType}")
+    }
+    val rows = df.collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      val f = r.getAs[scala.collection.Seq[Float]]("features")
-      assert(f.length == MultimodalOps.FeatureDim)
+      assert(r.getAs[Int]("dim") == MultimodalOps.FeatureDim)
+      val f = (0 until MultimodalOps.FeatureDim).map(i => r.getAs[Float](s"f$i")).toArray
       val n = math.sqrt(f.map(x => x.toDouble * x).sum)
       assert(math.abs(n - 1.0) < 1e-3, s"features must be L2-normalized, got $n")
+      assert(r.getAs[Long]("feat_checksum") == MultimodalOps.featureChecksum(f),
+        "checksum must be the FNV-1a of the e6-scaled components")
     }
   }
 
