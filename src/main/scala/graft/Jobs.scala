@@ -90,6 +90,54 @@ object Jobs {
     SteamOps.writeDateStamped(corpus, s"$outDir/curated_corpus", date)
   }
 
+  /** IngestETL — the reference's HTTP extract layer re-expressed as a
+    * landing job (reference: external_resources.py:100–137 SteamWebApi
+    * .get_app_price digs price_overview.final_formatted/currency out of
+    * each API response and asserts their presence). The driver-side
+    * fetcher drops raw responses as JSONL, one response per line (the
+    * splittable layout); this job parses them DISTRIBUTED-side with an
+    * explicit schema — one `from_json`-equivalent pass, no inference scan
+    * — and lands the usable price facts under the date-stamped key the
+    * downstream jobs already read. Where the reference `assert`s, a
+    * 100 TB feed quarantines: rows missing the price fields or failing to
+    * parse land in a rejects drop with the raw line, never fail the job.
+    * Returns (landedPath, rejectsPath). */
+  def runPriceIngestJob(s: SparkSession, rawJsonl: String, outDir: String,
+      date: String): (String, String) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType.fromDDL(
+      "app_id BIGINT, cc STRING, " +
+        "data STRUCT<price_overview: STRUCT<final_formatted: STRING, currency: STRING>>")
+    val raw = graft.sources.Formats.readJsonlPermissive(s, rawJsonl, schema)
+      .select(col("app_id"), col("cc"),
+        col("data.price_overview.final_formatted").as("price_str"),
+        col("data.price_overview.currency").as("currency"),
+        col("_corrupt_record"))
+    val usable = col("_corrupt_record").isNull &&
+      col("price_str").isNotNull && col("currency").isNotNull
+    val landed = SteamOps.writeDateStamped(
+      raw.filter(usable).select("app_id", "cc", "price_str", "currency"),
+      s"$outDir/api_prices", date)
+    val rejects = SteamOps.writeDateStamped(
+      raw.filter(!usable), s"$outDir/api_rejects", date)
+    (landed, rejects)
+  }
+
+  /** Exchange-rates ingest (reference: external_resources.py:139–175
+    * OpenExRatesApi.get_ex_rates returns one `rates` object): each JSONL
+    * line is one API response; the rates map explodes to (currency, rate)
+    * rows — the shape SteamOps.currencyConvert joins against. */
+  def runRatesIngestJob(s: SparkSession, rawJsonl: String, outDir: String,
+      date: String): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType.fromDDL("base STRING, rates MAP<STRING, DOUBLE>")
+    val rates = graft.sources.Formats.readJsonl(s, rawJsonl, schema)
+      .select(col("base"), explode(col("rates")).as(Seq("currency", "rate")))
+    SteamOps.writeDateStamped(rates, s"$outDir/ex_rates", date)
+  }
+
   /** WorldMapETL: pick the latest date partition of the prices drop,
     * aggregate to the enriched world table (country averages, world
     * deviation, iso/geo joins, EU propagation)

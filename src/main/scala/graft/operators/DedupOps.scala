@@ -340,24 +340,20 @@ object DedupOps {
     * carries only (bucket, vec_id); embeddings are re-attached by two
     * equi-joins on vec_id before the exact cosine. */
   def dedupEmbeddingLsh(s: SparkSession, dir: String,
-      threshold: Double = 0.35, probeBits: Int = 1): DataFrame =
+      threshold: Double = 0.35, probeBits: Int = 2): DataFrame =
     embeddingLshPairs(Tables.embeddings(s, dir), threshold, probeBits)
 
   /** Bucketed near-dup pair computation on any embeddings-shaped frame. */
   def embeddingLshPairs(embs: DataFrame, threshold: Double,
-      probeBits: Int = 1): DataFrame = {
-    require(probeBits >= 0 && probeBits <= 2, "probeBits must be 0, 1, or 2")
+      probeBits: Int = 2): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"),
       normE12(col("embedding")).as("nrm"))
     val base = e.select(col("vec_id"),
       SimilarityOps.lshBucket(col("embedding")).as("bucket"))
-    // multi-probe masks: identity + single-bit flips (+ two-bit flips at
-    // probeBits=2); xor is symmetric, so flipping only ONE side of the
-    // join already covers pairs differing in ≤ probeBits sign bits
-    val n = SimilarityOps.NumPlanes
-    val masks: Seq[Long] = (0L +: (0 until n).map(p => 1L << p)) ++
-      (if (probeBits < 2) Seq.empty
-       else for { i <- 0 until n; j <- i + 1 until n } yield (1L << i) | (1L << j))
+    // multi-probe masks (identity + ≤probeBits bit flips); xor is
+    // symmetric, so flipping only ONE side of the join already covers
+    // pairs whose bucket codes differ in ≤ probeBits sign bits
+    val masks = SimilarityOps.probeMasks(probeBits)
     val probed = base.select(col("vec_id"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val cands = base.as("a").join(probed.as("b"),

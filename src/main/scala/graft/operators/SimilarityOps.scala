@@ -122,16 +122,30 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Multi-probe masks for a hyperplane bucket code: identity, single-bit
+    * flips, and (at probeBits=2) two-bit flips — every bucket within
+    * hamming `probeBits` of the base code. Shared by [[annLsh]] and
+    * [[graft.operators.DedupOps.embeddingLshPairs]]. */
+  def probeMasks(probeBits: Int, planes: Int = NumPlanes): Seq[Long] = {
+    require(probeBits >= 0 && probeBits <= 2, "probeBits must be 0, 1, or 2")
+    (0L +:
+      (if (probeBits < 1) Seq.empty[Long]
+       else (0 until planes).map(p => 1L << p))) ++
+      (if (probeBits < 2) Seq.empty[Long]
+       else for { i <- 0 until planes; j <- i + 1 until planes }
+         yield (1L << i) | (1L << j))
+  }
+
   /** #30 ann_lsh (rows-only) — bucketed ANN: queries probe only their own
     * hyperplane bucket; exact cosine + top-k within the bucket. The
     * bucket equi-join is the shuffle key, so pair volume is
     * sum(bucket_size × queries_in_bucket), never |Q|×|corpus|. */
-  def annLsh(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annLsh(s: SparkSession, dir: String, k: Int = 5, probeBits: Int = 2): DataFrame = {
     val e = withNorm(s, dir).withColumn("bucket", lshBucket(col("embedding")))
-    // multi-probe: each query also probes the NumPlanes buckets at
-    // hamming distance 1 (one sign bit flipped) — the standard recall
-    // lever, costing probes× the (tiny) query side, not the corpus side
-    val probes = array((lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))): _*)
+    // multi-probe: each query also probes the buckets within hamming
+    // `probeBits` (sign bits flipped) — the standard recall lever, costing
+    // probes× the (tiny) query side, not the corpus side
+    val probes = array(probeMasks(probeBits).map(lit): _*)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),

@@ -87,8 +87,13 @@ object TemporalOps {
     require(binWidth > 0, "binWidth must be positive")
     require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
       "rangeJoinBinned reserves the column name '_bin' — rename it on the inputs")
+    // inverted interval (hi < lo): emit NO bins — `sequence` with start >
+    // stop would otherwise generate a huge DESCENDING array (default step
+    // -1) and can OOM an executor; such an interval matches nothing anyway
+    val loDiv = expr(s"`$loCol` div $binWidth")
+    val hiDiv = expr(s"`$hiCol` div $binWidth")
     val iBinned = intervals.withColumn("_bin",
-      explode(sequence(expr(s"`$loCol` div $binWidth"), expr(s"`$hiCol` div $binWidth"))))
+      explode(when(hiDiv >= loDiv, sequence(loDiv, hiDiv))))
     val pBinned = points.withColumn("_bin", expr(s"`$ptCol` div $binWidth"))
     pBinned.join(iBinned, Seq(key, "_bin"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
@@ -122,11 +127,12 @@ object TemporalOps {
     val span = (col(hiCol) - col(loCol)).cast("double") / lit(baseWidth.toDouble)
     val lvl = least(lit(levels),
       greatest(lit(0), ceil(log(2.0, greatest(span, lit(1.0)))).cast("int")))
+    // same inverted-interval guard as rangeJoinBinned: hi < lo → no bins
+    val loDivL = expr(s"`$loCol` div ${widthSql(baseWidth)}")
+    val hiDivL = expr(s"`$hiCol` div ${widthSql(baseWidth)}")
     val iBinned = intervals
       .withColumn("_lvl", lvl)
-      .withColumn("_bin",
-        explode(sequence(expr(s"`$loCol` div ${widthSql(baseWidth)}"),
-          expr(s"`$hiCol` div ${widthSql(baseWidth)}"))))
+      .withColumn("_bin", explode(when(hiDivL >= loDivL, sequence(loDivL, hiDivL))))
     val pBinned = points
       .withColumn("_lvl", explode(sequence(lit(0), lit(levels))))
       .withColumn("_bin", expr(s"`$ptCol` div ${widthSql(baseWidth)}"))

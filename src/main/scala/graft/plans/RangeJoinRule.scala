@@ -15,13 +15,22 @@ import org.apache.spark.sql.types.LongType
   * — O(|points| × |intervals|) comparisons. This rule recognizes the
   * containment pattern (a long "point" expression from one side bounded
   * below and above by expressions from the other side) and rewrites it to
-  * the plan [[graft.operators.TemporalOps.rangeJoinBinned]] builds by
-  * hand: explode each interval into the `binWidth`-sized bins it covers,
-  * equi-join on the bin, keep the original bounds as the join filter.
+  * a TWO-TIER variant of the plan
+  * [[graft.operators.TemporalOps.rangeJoinBinned]] builds by hand: each
+  * interval explodes into the `binWidth`-sized bins it covers; an
+  * interval wider than `maxBins` bins falls back to a coarse tier of
+  * width `binWidth × maxBins` (the 2-level special case of
+  * [[graft.operators.TemporalOps.rangeJoinLadder]]) instead of raising,
+  * so mixed-width interval sets — a sentinel-wide row among narrow ones —
+  * still plan as a bounded equi-join. Tier and bin are packed into ONE
+  * long key (`bin*2 + tier`), each point emits its two tier keys, and the
+  * original bounds stay as the join filter.
   *
   * The rewrite is semantics-preserving for ANY positive binWidth (the bin
   * match is a superset of the true match, and the original condition still
-  * filters); width only tunes explode-factor vs candidate volume. It never
+  * filters); width only tunes explode-factor vs candidate volume. An
+  * INVERTED interval (hi < lo — swapped bounds or a sentinel bug) emits
+  * no bins at all rather than a descending runaway Sequence. It never
   * fires when the join already has an equi conjunct — Spark plans those as
   * hash/sort-merge joins on its own, and firing there would only add an
   * explode. Registered through [[graft.GraftExtensions]], so a plain
@@ -32,11 +41,12 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val BinWidthConf = "spark.graft.rangeJoin.binWidth"
   val DefaultBinWidth = 3600000000L // 1h in µs — override per workload
 
-  /** Hard cap on bins one interval may explode into. An interval wider
-    * than cap×binWidth (an open-ended sentinel hi, or a binWidth far too
-    * small for the data's units) would otherwise materialize a
-    * billion-element Sequence per row; the guard turns that into an
-    * immediate, actionable error naming the config to fix. */
+  /** Bins-per-interval bound at which an interval switches to the coarse
+    * tier (width binWidth×maxBins). Only an interval too wide for the
+    * coarse tier TOO — more than maxBins² base bins (an open-ended
+    * sentinel hi, or a binWidth absurdly small for the data's units) —
+    * raises an actionable error naming the config to fix, instead of
+    * materializing a billion-element Sequence per row. */
   val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerInterval"
   val DefaultMaxBins = 65536L
 
@@ -120,42 +130,65 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         .orElse(tryOrientation(right, left).map { case (lo, hi) => (right, left, lo, hi, false) })
 
     oriented.map { case (ptPlan, ivPlan, lo, hi, ptIsLeft) =>
-      val w = Literal(binWidth, LongType)
-      // point side: one bin column
-      val ptBin = Alias(IntegralDivide(lo.pt, w), "_graft_bin_pt")()
-      val ptProj = Project(ptPlan.output :+ ptBin, ptPlan)
-      val loDiv = IntegralDivide(lo.bound, w)
-      val hiDiv = IntegralDivide(hi.bound, w)
-      // runtime guard: an interval spanning more than maxBins bins fails
-      // with an actionable message instead of materializing a huge array.
-      // assert_true yields null when the predicate holds; folding that
-      // null into the sequence start keeps the guard alive through column
-      // pruning while never changing the value.
       val maxBins = SQLConf.get.getConfString(MaxBinsConf, DefaultMaxBins.toString).toLong
-      val tooWide = GreaterThan(Subtract(hiDiv, loDiv), Literal(maxBins, LongType))
+      val w0 = Literal(binWidth, LongType)
+      val w1 = Literal(binWidth * maxBins, LongType) // coarse fallback tier
+      val two = Literal(2L, LongType)
+      val one = Literal(1L, LongType)
+      // packed key: bin*2 + tier — tier-0 keys even, tier-1 keys odd, so
+      // one long equi-join column carries both resolutions
+      def key(value: Expression, w: Literal, tier: Literal): Expression =
+        Add(Multiply(IntegralDivide(value, w), two), tier)
+      // point side: explode the point's two tier keys (2 rows per point —
+      // the price of never nested-looping on a mixed-width interval set)
+      val ptGen = Explode(CreateArray(Seq(
+        key(lo.pt, w0, Literal(0L, LongType)), key(lo.pt, w1, one))))
+      val ptKey = AttributeReference("_graft_key_pt",
+        ptGen.elementSchema.head.dataType, ptGen.elementSchema.head.nullable)()
+      val ptGenerate = Generate(ptGen, unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(ptKey), child = ptPlan)
+      val loDiv0 = IntegralDivide(lo.bound, w0)
+      val hiDiv0 = IntegralDivide(hi.bound, w0)
+      val loDiv1 = IntegralDivide(lo.bound, w1)
+      val hiDiv1 = IntegralDivide(hi.bound, w1)
+      // interval tiering: inverted (hi < lo) → no bins; wider than maxBins
+      // base bins → coarse tier; wider than maxBins COARSE bins → raise
+      // with an actionable message instead of materializing a huge array.
+      val inverted = LessThan(hiDiv0, loDiv0)
+      val wide = GreaterThan(Subtract(hiDiv0, loDiv0), Literal(maxBins, LongType))
+      val pathological = GreaterThan(Subtract(hiDiv1, loDiv1), Literal(maxBins, LongType))
       val err = new RaiseError(Literal(
-        s"graft range-join rewrite: an interval spans more than $maxBins bins " +
-          s"(binWidth=$binWidth); raise $BinWidthConf to match the data's units " +
-          s"or $MaxBinsConf if the explosion is intended"))
+        s"graft range-join rewrite: an interval spans more than $maxBins coarse " +
+          s"bins (binWidth=$binWidth, coarse=${binWidth * maxBins}); raise " +
+          s"$BinWidthConf to match the data's units or $MaxBinsConf if the " +
+          s"explosion is intended"))
+      // assert-style guard: null when healthy, folded into the sequence
+      // start so column pruning can't drop it while the value is unchanged
       val guard = Coalesce(Seq(
-        Cast(If(tooWide, err, Literal.create(null, org.apache.spark.sql.types.NullType)),
+        Cast(If(pathological, err, Literal.create(null, org.apache.spark.sql.types.NullType)),
           LongType),
         Literal(0L, LongType)))
-      // interval side: explode the covered bin range. Sequence is
-      // timezone-aware; the analyzer's ResolveTimeZone already ran, so the
-      // rule must fill the zone itself or the plan goes back to unresolved.
-      val seq = Sequence(Add(loDiv, guard), hiDiv, None)
-        .withTimeZone(SQLConf.get.sessionLocalTimeZone)
-      val gen = Explode(seq)
-      val binAttr = AttributeReference("_graft_bin_iv",
-        gen.elementSchema.head.dataType, gen.elementSchema.head.nullable)()
-      val ivGen = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(binAttr), child = ivPlan)
-      val binEq = EqualTo(ptBin.toAttribute, binAttr)
+      // Sequence is timezone-aware; the analyzer's ResolveTimeZone already
+      // ran, so the rule must fill the zone itself or the plan goes back
+      // to unresolved.
+      val tz = SQLConf.get.sessionLocalTimeZone
+      val seqNarrow = Sequence(Multiply(loDiv0, two), Multiply(hiDiv0, two),
+        Some(two)).withTimeZone(tz)
+      val seqWide = Sequence(Add(Multiply(loDiv1, two), Add(one, guard)),
+        Add(Multiply(hiDiv1, two), one), Some(two)).withTimeZone(tz)
+      val bins = If(inverted,
+        Literal.create(null, seqNarrow.dataType),
+        If(wide, seqWide, seqNarrow))
+      val ivGen = Explode(bins)
+      val ivKey = AttributeReference("_graft_key_iv",
+        ivGen.elementSchema.head.dataType, ivGen.elementSchema.head.nullable)()
+      val ivGenerate = Generate(ivGen, unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(ivKey), child = ivPlan)
+      val keyEq = EqualTo(ptKey, ivKey)
       val (newLeft, newRight) =
-        if (ptIsLeft) (ptProj, ivGen) else (ivGen: LogicalPlan, ptProj: LogicalPlan)
+        if (ptIsLeft) (ptGenerate, ivGenerate) else (ivGenerate: LogicalPlan, ptGenerate: LogicalPlan)
       val newJoin = Join(newLeft, newRight, Inner,
-        Some((binEq +: conjuncts).reduce(And)), j.hint)
+        Some((keyEq +: conjuncts).reduce(And)), j.hint)
       Project(j.output, newJoin)
     }
   }

@@ -54,6 +54,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram jaccard: hot-shingle df cap bounds boilerplate fan-out") {
+    import s.implicits._
+    // 30 docs sharing a 5-word boilerplate prefix (3 shingles at df=30) +
+    // unique 10-word tails — the shape where an uncapped inverted index
+    // emits k²/2 spurious candidate pairs from pure boilerplate
+    val docs = (1 to 30).map { i =>
+      (i.toLong, "the quick brown fox jumps " +
+        (1 to 10).map(j => s"u${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val uncapped = DedupOps.ngramJaccardPairs(docs, threshold = 0.01,
+      maxShingleDf = Int.MaxValue).count()
+    assert(uncapped == 30L * 29 / 2, s"every pair shares boilerplate: $uncapped")
+    val capped = DedupOps.ngramJaccardPairs(docs, threshold = 0.01,
+      maxShingleDf = 10).count()
+    assert(capped == 0, s"df cap must drop boilerplate-only pairs, got $capped")
+    // the cap never fires on the sf corpus (max df ≪ 1024), so the
+    // oracle-compared default output is unchanged by the capping
+    val deflt = DedupOps.dedupNgramJaccard(s, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val nocap = DedupOps.ngramJaccardPairs(Tables.documents(s, sf), 0.5,
+      Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(deflt == nocap, "cap must be a no-op on the test corpus")
+  }
+
   test("embedding near-dup pairs have valid cosine") {
     val out = DedupOps.dedupEmbedding(s, sf).collect()
     assert(out.nonEmpty, "no pairs at the default threshold — miscalibrated")

@@ -58,10 +58,24 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!q2.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
       assert(q2.as[(Long, Long)].collect().toSet == Set((10L, 1L), (10L, 2L), (10L, 3L)))
 
-      // guard: an interval spanning more bins than the cap fails with an
-      // actionable error instead of exploding a huge array
+      // fallback: a mixed-width interval set where one interval exceeds
+      // the bin cap joins via the coarse tier — correct rows, no nested
+      // loop, no error (binWidth=100, maxBins=4 → coarse width 400;
+      // [0,1500) spans 16 base bins > 4 but only 4 coarse bins)
       s.conf.set(graft.plans.RangeJoinRule.MaxBinsConf, "4")
       try {
+        Seq((10L, 40L, 150L), (12L, 0L, 1500L))
+          .toDF("wid", "lo", "hi").createOrReplaceTempView("ivals_mixed")
+        val qm = s.sql("SELECT wid, pid FROM pts JOIN ivals_mixed ON t >= lo AND t < hi")
+        val pm = qm.queryExecution.executedPlan.toString
+        assert(!pm.contains("BroadcastNestedLoopJoin") && !pm.contains("CartesianProduct"),
+          s"mixed-width set must still equi-join:\n${pm.take(1500)}")
+        assert(qm.as[(Long, Long)].collect().toSet ==
+          Set((10L, 1L), (10L, 2L), (12L, 1L), (12L, 2L), (12L, 3L), (12L, 4L)),
+          "coarse-tier fallback must keep exact semantics")
+
+        // guard: an interval too wide even for the coarse tier fails with
+        // an actionable error instead of exploding a huge array
         val wide = s.sql(
           "SELECT wid, pid FROM pts JOIN ivals ON t >= lo - 100000 AND t < hi + 100000")
         val e = intercept[Exception](wide.collect())
@@ -69,6 +83,14 @@ class ExtensionsSpec extends AnyFunSuite {
           if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
         assert(msgs(e).exists(_.contains("graft range-join rewrite")),
           s"expected the bin-cap error, got: ${msgs(e).mkString(" | ")}")
+
+        // inverted interval (hi < lo): no rows, no error, no runaway
+        // descending sequence
+        Seq((13L, 500L, 100L), (10L, 40L, 150L))
+          .toDF("wid", "lo", "hi").createOrReplaceTempView("ivals_inv")
+        val qi = s.sql("SELECT wid, pid FROM pts JOIN ivals_inv ON t >= lo AND t < hi")
+        assert(qi.as[(Long, Long)].collect().toSet == Set((10L, 1L), (10L, 2L)),
+          "inverted interval must match nothing; healthy sibling unaffected")
       } finally s.conf.unset(graft.plans.RangeJoinRule.MaxBinsConf)
 
       // a join that already has an equi key must be left alone (no explode)

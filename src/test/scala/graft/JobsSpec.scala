@@ -71,6 +71,41 @@ class JobsSpec extends AnyFunSuite {
     assert(retried == full, "retrying a landing must be idempotent")
   }
 
+  test("price ingest job: usable rows landed, missing-price and corrupt rows quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val raw = dir.resolve("drop.jsonl")
+    java.nio.file.Files.writeString(raw, Seq(
+      // usable response (the reference's happy path)
+      """{"app_id": 10, "cc": "us", "data": {"price_overview": {"final_formatted": "$9.99", "currency": "USD"}}}""",
+      // price_overview present but no final_formatted (the reference's 2nd assert)
+      """{"app_id": 20, "cc": "de", "data": {"price_overview": {"currency": "EUR"}}}""",
+      // no price data at all (the reference's 1st assert)
+      """{"app_id": 30, "cc": "fr", "data": {}}""",
+      // malformed line — must quarantine, not fail the job
+      """{"app_id": 40, "cc": "es", "data": {broken""").mkString("\n"))
+    val (landed, rejects) = Jobs.runPriceIngestJob(s, raw.toString, dir.toString, "2024-01-01")
+    assert(landed.endsWith("dt=2024-01-01"))
+    val ok = s.read.parquet(landed).collect()
+    assert(ok.length == 1)
+    assert(ok.head.getAs[String]("price_str") == "$9.99" &&
+      ok.head.getAs[String]("currency") == "USD")
+    val bad = s.read.parquet(rejects).collect()
+    assert(bad.length == 3, s"expected 3 quarantined rows, got ${bad.length}")
+    assert(bad.count(_.getAs[String]("_corrupt_record") != null) == 1,
+      "the malformed line must carry its raw text")
+  }
+
+  test("rates ingest job: one response object explodes to (currency, rate) rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rates")
+    val raw = dir.resolve("rates.jsonl")
+    java.nio.file.Files.writeString(raw,
+      """{"base": "USD", "rates": {"EUR": 0.9, "GBP": 0.8, "JPY": 150.0}}""")
+    val path = Jobs.runRatesIngestJob(s, raw.toString, dir.toString, "2024-01-01")
+    val rows = s.read.parquet(path).collect()
+      .map(r => r.getAs[String]("currency") -> r.getAs[Double]("rate")).toMap
+    assert(rows == Map("EUR" -> 0.9, "GBP" -> 0.8, "JPY" -> 150.0))
+  }
+
   test("date-partitioned layout: a dt filter prunes to one partition at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions._

@@ -54,6 +54,20 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(n == 1L)
   }
 
+  test("binned + ladder: inverted interval (hi < lo) matches nothing, no runaway sequence") {
+    // without the guard, sequence(lo div w, hi div w) with hi < lo emits a
+    // DESCENDING array (default step -1) — here 2M spurious bins per row
+    val points = Seq((1L, 100L, "p")).toDF("k", "t", "pid")
+    val ivals = Seq((1L, 100000000L, 50L, "inv"), (1L, 50L, 200L, "ok"))
+      .toDF("k", "lo", "hi", "wid")
+    val binned = TemporalOps.rangeJoinBinned(points, ivals, "k", "t", "lo", "hi", 50L)
+      .select("wid", "pid").as[(String, String)].collect().toSet
+    assert(binned == Set(("ok", "p")))
+    val ladder = TemporalOps.rangeJoinLadder(points, ivals, "k", "t", "lo", "hi", 50L)
+      .select("wid", "pid").as[(String, String)].collect().toSet
+    assert(ladder == Set(("ok", "p")))
+  }
+
   test("range_join plans as an equi-join, never a nested loop") {
     val plan = TemporalOps.rangeClickInPurchaseWindow(s, sf)
       .queryExecution.executedPlan.toString
