@@ -90,6 +90,39 @@ object Jobs {
     SteamOps.writeDateStamped(corpus, s"$outDir/curated_corpus", date)
   }
 
+  /** World-map data export (reference: world_map_transformer.py:215–253
+    * get_world_map renders a matplotlib Figure; external_resources.py:
+    * 60–68 uploads the PNG). The figure RENDERING is driver-side
+    * visualization — out of engine scope by decision (recorded round-2
+    * verdict). The DATA handoff is in scope: this lands the
+    * choropleth-ready frame — the alpha3 key the geo layer joins on plus
+    * the plotted measures — as a date-stamped CSV drop that any plotting
+    * layer (geopandas, vega) consumes directly. Returns the written path. */
+  def exportWorldMapData(s: SparkSession, sfDir: String, outDir: String,
+      date: String): String = {
+    val world = SteamOps.steamPipeline(s, sfDir)
+    val path = s"$outDir/world_map_data/dt=$date"
+    graft.sources.Formats.writeCsv(world, path)
+    path
+  }
+
+  /** Config-driven pipeline wiring (reference: run.py:16–44 reads
+    * configs/etl_config.yml and hands each ETL its source/target
+    * sections). Runs the prices job then the world-map job off ONE config
+    * file, mirroring the reference's two-job run; returns the landed
+    * prices path and the world row count keyed like the config sections. */
+  def runFromConfig(s: SparkSession, cfgPath: String): Map[String, String] = {
+    val cfg = GraftConfig.load(cfgPath)
+    val sfDir = cfg("steam_prices_etl.source.sf_dir")
+    val outDir = cfg("steam_prices_etl.target.base_dir")
+    val date = cfg("steam_prices_etl.target.run_date")
+    val landed = runSteamPricesJob(s, sfDir, outDir, date)
+    val world = runWorldMapJob(s, sfDir, outDir)
+    Map(
+      "steam_prices_etl.landed" -> landed,
+      "world_map_etl.rows" -> world.count().toString)
+  }
+
   /** IngestETL — the reference's HTTP extract layer re-expressed as a
     * landing job (reference: external_resources.py:100–137 SteamWebApi
     * .get_app_price digs price_overview.final_formatted/currency out of

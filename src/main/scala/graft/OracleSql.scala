@@ -455,6 +455,17 @@ object OracleSql {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE)*n/df AS tfidf
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM sc)
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
     "stream_window_agg" ->
       s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
          |  COUNT(*) AS n,

@@ -69,6 +69,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.textTokens(_, _)),
     "text_fingerprint" -> (TextOps.textFingerprint(_, _)),
     "text_pii_scrub" -> (TextOps.textPiiScrub(_, _)),
+    "text_tfidf" -> ((s, d) => TextOps.textTfidf(s, d)),
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),
     "mm_features" -> (MultimodalOps.mmFeatures(_, _)),

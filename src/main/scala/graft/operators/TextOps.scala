@@ -145,6 +145,40 @@ object TextOps {
       .orderBy("tok")
   }
 
+  // ---------- TF-IDF ----------
+
+  /** text_tfidf — top-3 characteristic terms per document by TF-IDF.
+    *
+    * Score = tf × (N / df), the raw-ratio idf variant: every input is an
+    * exact integer and the double arithmetic (one multiply, one divide,
+    * left-associated in both engines) is correctly rounded, so the score
+    * is bit-identical to the DuckDB oracle — a transcendental `ln` idf
+    * would be a one-line swap but its last-ulp behavior is libm-specific
+    * and would break cross-engine hash comparison. Ranking ties break on
+    * the term itself, so top-k is deterministic.
+    *
+    * Shape at scale: explode → two partial-agg groupBys (term frequency
+    * per doc, document frequency per term) → equi-join on term → window
+    * over the bounded doc_id partition. N rides along as a broadcast
+    * single-row aggregate — no driver scalar in the plan. */
+  def textTfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") * col("n") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   // ---------- PII scrubbing ----------
 
   /** Conservative PII patterns, valid in BOTH Java regex (Spark) and RE2

@@ -106,6 +106,36 @@ class JobsSpec extends AnyFunSuite {
     assert(rows == Map("EUR" -> 0.9, "GBP" -> 0.8, "JPY" -> 150.0))
   }
 
+  test("config-driven wiring: one yml drives the two-job pipeline; world-map data export lands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
+    val yml = dir.resolve("etl_config.yml")
+    // same section/key structure as the reference's configs/etl_config.yml
+    java.nio.file.Files.writeString(yml,
+      s"""# graft pipeline config (reference: configs/etl_config.yml)
+         |steam_prices_etl:
+         |  source:
+         |    sf_dir: "$sf"
+         |    base_currency: "USD"
+         |    ex_currencies: [ARS, TRY, RUB]
+         |  target:
+         |    base_dir: '$dir/out'
+         |    run_date: "2024-01-05"
+         |    trg_format: 'parquet'
+         |""".stripMargin)
+    val cfg = GraftConfig.load(yml.toString)
+    assert(cfg("steam_prices_etl.source.base_currency") == "USD")
+    assert(GraftConfig.list(cfg, "steam_prices_etl.source.ex_currencies") ==
+      Seq("ARS", "TRY", "RUB"))
+    val landed = Jobs.runFromConfig(s, yml.toString)
+    assert(landed("steam_prices_etl.landed").endsWith("dt=2024-01-05"))
+    assert(landed("world_map_etl.rows") == "25")
+    // choropleth-ready export: CSV drop keyed by alpha3 with the measures
+    val path = Jobs.exportWorldMapData(s, sf, s"$dir/out", "2024-01-05")
+    val back = s.read.option("header", "true").csv(path)
+    assert(back.count() == 25)
+    assert(back.columns.contains("alpha3") && back.columns.contains("usd_dif"))
+  }
+
   test("date-partitioned layout: a dt filter prunes to one partition at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions._
