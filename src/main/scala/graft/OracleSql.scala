@@ -277,6 +277,49 @@ object OracleSql {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
 
+    "corr_agg" -> {
+      val xc = e2("l_quantity")
+      val yc = e2("l_extendedprice")
+      s"""WITH m AS (SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  SUM(CAST($xc AS HUGEINT)) AS sx,
+         |  SUM(CAST($yc AS HUGEINT)) AS sy,
+         |  SUM(CAST($xc AS HUGEINT)*$xc) AS sxx,
+         |  SUM(CAST($yc AS HUGEINT)*$yc) AS syy,
+         |  SUM(CAST($xc AS HUGEINT)*$yc) AS sxy
+         |FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  CAST(n*sxy - sx*sy AS DOUBLE) /
+         |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
+         |FROM m ORDER BY l_returnflag""".stripMargin
+    },
+
+    "histogram" -> {
+      val xc = e2("o_totalprice")
+      // same double-division binning as the Spark side (long*20 exact in
+      // a double up to 2^53, so FLOOR agrees bit-for-bit)
+      s"""WITH b AS (SELECT LEAST(19, GREATEST(0,
+         |  CAST(FLOOR(CAST(($xc - 0)*20 AS DOUBLE)/60000000) AS BIGINT))) AS bucket
+         |FROM orders)
+         |SELECT bucket,
+         |  CAST(0 + bucket*3000000 AS DOUBLE)/100.0 AS lo,
+         |  CAST(0 + (bucket+1)*3000000 AS DOUBLE)/100.0 AS hi,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "latest_by_key" ->
+      // composite HUGEINT key == the Spark side's (us, event_id) struct
+      // ordering, since 0 <= event_id < 10^10
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |k AS (SELECT *, CAST(us AS HUGEINT)*10000000000 + event_id AS ord FROM e)
+        |SELECT user_id,
+        |  arg_max(event_id, ord) AS last_event,
+        |  arg_max(event_type, ord) AS last_type,
+        |  arg_max(us, ord) AS last_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "set_ops" ->
       """WITH e AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |l AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')

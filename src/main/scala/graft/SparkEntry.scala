@@ -42,6 +42,9 @@ object SparkEntry {
     "approx_distinct" -> (CoreOps.approxDistinct(_, _)),
     "quantiles" -> (CoreOps.quantiles(_, _)),
     "approx_quantiles" -> (CoreOps.approxQuantiles(_, _)),
+    "corr_agg" -> (CoreOps.corrAgg(_, _)),
+    "histogram" -> ((s, d) => CoreOps.histogram(s, d)),
+    "latest_by_key" -> (CoreOps.latestByKey(_, _)),
     "semi_anti_join" -> (CoreOps.semiAntiJoin(_, _)),
     "set_ops" -> (CoreOps.setOps(_, _)),
     "rollup_agg" -> (CoreOps.rollupAgg(_, _)),

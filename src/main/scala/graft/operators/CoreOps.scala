@@ -220,6 +220,68 @@ object CoreOps {
         (percentile_approx(Det.e2(col("o_totalprice")), lit(0.99), lit(10000)) / lit(100.0)).as("p99"))
       .orderBy("o_orderpriority")
 
+  /** #19e corr_agg — Pearson correlation of quantity vs price per return
+    * flag from EXACT integer moments: cents-scaled values, DECIMAL(38)
+    * sums (no float accumulation anywhere), the closed form evaluated
+    * once on the exact moments at the result edge — so the output double
+    * is deterministic and hash-matches the oracle's HUGEINT moments.
+    * One scan, one partial-agg shuffle; moment sums fit DECIMAL(38) to
+    * ~10^12 rows at these magnitudes. */
+  def corrAgg(s: SparkSession, dir: String): DataFrame = {
+    val xc = Det.e2(col("l_quantity")).cast("decimal(38,0)")
+    val yc = Det.e2(col("l_extendedprice")).cast("decimal(38,0)")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(xc).as("sx"), sum(yc).as("sy"),
+        sum(xc * xc).as("sxx"), sum(yc * yc).as("syy"), sum(xc * yc).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr"))
+      .orderBy("l_returnflag")
+  }
+
+  /** #19f histogram — fixed-width histogram of order totals: the bucket
+    * index is EXACT integer arithmetic on cents (no float binning drift
+    * at bucket edges), out-of-range rows clamp to the edge buckets.
+    * One scan + one tiny groupBy — the profile pass a 100 TB ingest runs
+    * per column. */
+  def histogram(s: SparkSession, dir: String, buckets: Int = 20,
+      loCents: Long = 0L, hiCents: Long = 60000000L): DataFrame = {
+    val xc = Det.e2(col("o_totalprice"))
+    val idx = least(lit(buckets - 1L), greatest(lit(0L),
+      floor((xc - lit(loCents)) * lit(buckets.toLong) / lit(hiCents - loCents))))
+    Tables.orders(s, dir)
+      .groupBy(idx.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(loCents) + col("bucket") * lit((hiCents - loCents) / buckets))
+          .cast("double").divide(lit(100.0)).as("lo"),
+        (lit(loCents) + (col("bucket") + 1) * lit((hiCents - loCents) / buckets))
+          .cast("double").divide(lit(100.0)).as("hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  /** #19g latest_by_key — latest event per user as ONE aggregation
+    * (max_by over a (time, id) tiebreak struct): the SCD-style "current
+    * row per key" primitive. At scale this beats the window-rank
+    * formulation — one partial-agg shuffle carrying a single struct per
+    * key, no per-partition sort of the whole fact table. */
+  def latestByKey(s: SparkSession, dir: String): DataFrame = {
+    val ord = struct(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .groupBy("user_id")
+      .agg(max_by(col("event_id"), ord).as("last_event"),
+        max_by(col("event_type"), ord).as("last_type"),
+        max_by(col("us"), ord).as("last_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** #22 pivot_events — long→wide pivot on event_type with explicit pivot

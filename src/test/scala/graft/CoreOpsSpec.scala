@@ -102,6 +102,30 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(s, sf).count())
   }
 
+  test("corr_agg: coefficients in [-1,1]; histogram partitions all orders; latest_by_key == window formulation") {
+    import org.apache.spark.sql.functions._
+    CoreOps.corrAgg(s, sf).collect().foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(!c.isNaN && math.abs(c) <= 1.0 + 1e-12, s"corr out of range: $c")
+    }
+    val hist = CoreOps.histogram(s, sf).collect()
+    assert(hist.map(_.getAs[Long]("n")).sum == Tables.orders(s, sf).count(),
+      "histogram buckets must partition the table")
+    hist.foreach(r => assert(r.getAs[Double]("lo") < r.getAs[Double]("hi")))
+    // one-agg latest == the window-rank formulation
+    val viaWindow = Tables.events(s, sf)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    val viaAgg = CoreOps.latestByKey(s, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_event")).toMap
+    assert(viaAgg == viaWindow)
+  }
+
   test("time-range window: counts bounded below by 1, frame respects 30min") {
     val rows = CoreOps.windowTimeRange(s, sf).collect()
     rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
