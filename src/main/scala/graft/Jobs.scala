@@ -90,6 +90,38 @@ object Jobs {
     SteamOps.writeDateStamped(corpus, s"$outDir/curated_corpus", date)
   }
 
+  /** Compaction: rewrite one date partition of a landed drop into
+    * ⌈bytes / targetFileBytes⌉ files. Streaming/incremental landings
+    * accumulate small files (every micro-batch appends its own), and at
+    * 100 TB the resulting per-file scheduling overhead dominates scans —
+    * periodic compaction is standard table maintenance. Input size comes
+    * from the file listing (no data read); the rewrite goes to a temp
+    * sibling and swaps in atomically-per-rename, so a concurrent reader
+    * sees the old or the new layout, never a half-written one. Returns
+    * the resulting file count. */
+  def compactPartition(s: SparkSession, baseDir: String, date: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val part = Paths.get(s"$baseDir/dt=$date")
+    require(Files.isDirectory(part), s"no partition at $part")
+    val bytes = Files.list(part).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = s.read.parquet(part.toString)
+    val tmp = Paths.get(s"$baseDir/.dt=$date.compact.tmp")
+    df.repartition(nFiles).write.mode("overwrite")
+      .option("compression", "snappy").parquet(tmp.toString)
+    // swap: the rename pair is the only non-crash-safe window; a real
+    // deployment does this via the table format's commit (Iceberg/Delta)
+    val old = Paths.get(s"$baseDir/.dt=$date.old")
+    Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    Files.list(part).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+  }
+
   /** World-map data export (reference: world_map_transformer.py:215–253
     * get_world_map renders a matplotlib Figure; external_resources.py:
     * 60–68 uploads the PNG). The figure RENDERING is driver-side

@@ -320,6 +320,33 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "profile_table" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val legs = cs.map { c =>
+        s"""SELECT '$c' AS col_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN(${e2(c)}) AS DOUBLE)/100.0 AS min,
+           |  CAST(MAX(${e2(c)}) AS DOUBLE)/100.0 AS max
+           |FROM lineitem""".stripMargin
+      }
+      legs.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type='view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type='click' AND us >= t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type='purchase' AND us >= t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM t2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+        |ORDER BY step""".stripMargin,
+
     "set_ops" ->
       """WITH e AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |l AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')

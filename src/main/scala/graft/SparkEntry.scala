@@ -45,6 +45,8 @@ object SparkEntry {
     "corr_agg" -> (CoreOps.corrAgg(_, _)),
     "histogram" -> ((s, d) => CoreOps.histogram(s, d)),
     "latest_by_key" -> (CoreOps.latestByKey(_, _)),
+    "profile_table" -> (CoreOps.profileTable(_, _)),
+    "funnel_steps" -> (CoreOps.funnelSteps(_, _)),
     "semi_anti_join" -> (CoreOps.semiAntiJoin(_, _)),
     "set_ops" -> (CoreOps.setOps(_, _)),
     "rollup_agg" -> (CoreOps.rollupAgg(_, _)),

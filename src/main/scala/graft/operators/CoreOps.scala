@@ -282,6 +282,54 @@ object CoreOps {
       .orderBy("user_id")
   }
 
+  /** #19h profile_table — per-column data-quality profile (row count,
+    * non-null count, exact distinct count, min/max) in ONE scan: all
+    * metrics for all profiled columns come out of a single aggregate and
+    * unpivot to long form with `stack` — the ingest-QA pass that must
+    * never cost one scan per column at 100 TB. Min/max go through exact
+    * cents so the doubles are deterministic. */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        (min(Det.e2(col(c))).cast("double") / 100.0).as(s"${c}_min"),
+        (max(Det.e2(col(c))).cast("double") / 100.0).as(s"${c}_max"))
+    }
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', `${c}_nn`, `${c}_nd`, `${c}_min`, `${c}_max`").mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) AS (col_name, n_nonnull, n_distinct, min, max)"))
+      .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min", "max")
+      .orderBy("col_name")
+  }
+
+  /** #19i funnel_steps — ordered-event funnel (view → click → purchase):
+    * a user counts toward step k only if step k's event happens AT OR
+    * AFTER their first step k-1 event. Each stage is a keyed min-
+    * aggregate joined to the (ever-shrinking) previous stage — the stage
+    * frames are per-user scalars, broadcastable at any fact scale. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    def firstAtOrAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String) =
+      ev.filter(col("event_type") === evType)
+        .join(broadcast(prev), Seq("user_id"))
+        .filter(col("us") >= col(prevCol))
+        .groupBy("user_id").agg(min(col("us")).as(outCol))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val t2 = firstAtOrAfter("click", t1, "t1", "t2")
+    val t3 = firstAtOrAfter("purchase", t2, "t2", "t3")
+    def stage(idx: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx.toLong).as("step"), lit(name).as("event_type"), col("n_users"))
+    stage(1, "view", t1)
+      .unionByName(stage(2, "click", t2))
+      .unionByName(stage(3, "purchase", t3))
+      .orderBy("step")
+  }
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** #22 pivot_events — long→wide pivot on event_type with explicit pivot

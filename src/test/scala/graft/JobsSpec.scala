@@ -136,6 +136,28 @@ class JobsSpec extends AnyFunSuite {
     assert(back.columns.contains("alpha3") && back.columns.contains("usd_dif"))
   }
 
+  test("compaction: small-file partition rewritten to target count, rows identical") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val facts = graft.operators.SteamOps.pricesFact(s, sf)
+      .select("l_orderkey", "l_linenumber", "cc", "usd_price")
+      .repartition(16) // simulate 16 micro-batch appends
+    graft.operators.SteamOps.writeDateStamped(facts, s"$base/drop", "2024-01-01")
+    val dir = java.nio.file.Paths.get(s"$base/drop/dt=2024-01-01")
+    def files = java.nio.file.Files.list(dir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .count(_.endsWith(".parquet"))
+    assert(files == 16)
+    val before = s.read.parquet(dir.toString).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"))).sorted
+    val n = Jobs.compactPartition(s, s"$base/drop", "2024-01-01")
+    assert(n == 1, s"tiny partition must compact to one file, got $n")
+    assert(files == 1)
+    val after = s.read.parquet(dir.toString).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"))).sorted
+    assert(after.toSeq == before.toSeq, "compaction must preserve every row")
+  }
+
   test("date-partitioned layout: a dt filter prunes to one partition at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions._
