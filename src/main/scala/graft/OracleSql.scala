@@ -320,6 +320,26 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(FLOOR(l_quantity*100.0+0.5)) AS DOUBLE)/100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "monthly_revenue" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  ${sumE2("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "event_path" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events)
+        |SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "profile_table" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
       val legs = cs.map { c =>

@@ -51,6 +51,9 @@ object SparkEntry {
     "set_ops" -> (CoreOps.setOps(_, _)),
     "rollup_agg" -> (CoreOps.rollupAgg(_, _)),
     "cube_agg" -> (CoreOps.cubeAgg(_, _)),
+    "grouping_sets" -> (CoreOps.groupingSets(_, _)),
+    "monthly_revenue" -> (CoreOps.monthlyRevenue(_, _)),
+    "event_path" -> (CoreOps.eventPath(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),
     "unpivot_events" -> (CoreOps.unpivotEvents(_, _)),
     "window_time_range" -> (CoreOps.windowTimeRange(_, _)),

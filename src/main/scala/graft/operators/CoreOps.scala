@@ -332,6 +332,48 @@ object CoreOps {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** #21c grouping_sets — arbitrary grouping-set aggregation (neither a
+    * rollup prefix chain nor a full cube): per-returnflag totals,
+    * per-linestatus totals, and the grand total in ONE pass (Expand, no
+    * re-scan per set). Goes through the SQL surface like rollup/cube. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .createOrReplaceTempView("graft_gsets_src")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(FLOOR(l_quantity*100.0+0.5)) AS DOUBLE)/100.0 AS sum_qty
+        |FROM graft_gsets_src
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** #13b monthly_revenue — calendar rollup: exact-cents revenue and
+    * order counts per month (date_trunc on the NTZ order date; output
+    * stays a naive timestamp for cross-engine parity). */
+  def monthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.sumE2(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+
+  /** #23e event_path — each user's full ordered event-type path as one
+    * string (the path-analysis primitive behind funnel mining). One
+    * groupBy carrying (time, id, type) structs; the in-group array_sort
+    * makes the order deterministic without a fact-wide sort, and the
+    * output is a scalar string — harness-sortable, no array column. */
+  def eventPath(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .groupBy("user_id")
+      .agg(concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   /** #22 pivot_events — long→wide pivot on event_type with explicit pivot
     * values (no extra distinct-values job at scale). */
   def pivotEvents(s: SparkSession, dir: String): DataFrame = {
