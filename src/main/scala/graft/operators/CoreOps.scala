@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -250,6 +250,10 @@ object CoreOps {
     * per column. */
   def histogram(s: SparkSession, dir: String, buckets: Int = 20,
       loCents: Long = 0L, hiCents: Long = 60000000L): DataFrame = {
+    require(buckets > 0 && hiCents > loCents &&
+      (hiCents - loCents) % buckets == 0,
+      "bucket width must divide the range evenly or the emitted bucket " +
+        "boundaries would drift from the binning formula")
     val xc = Det.e2(col("o_totalprice"))
     val idx = least(lit(buckets - 1L), greatest(lit(0L),
       floor((xc - lit(loCents)) * lit(buckets.toLong) / lit(hiCents - loCents))))
@@ -307,26 +311,34 @@ object CoreOps {
 
   /** #19i funnel_steps — ordered-event funnel (view → click → purchase):
     * a user counts toward step k only if step k's event happens AT OR
-    * AFTER their first step k-1 event. Each stage is a keyed min-
-    * aggregate joined to the (ever-shrinking) previous stage — the stage
-    * frames are per-user scalars, broadcastable at any fact scale. */
+    * AFTER their first step k-1 event.
+    *
+    * ONE scan + ONE shuffle: each user's events group into a sorted
+    * struct array, and the stage times resolve in-group with codegen'd
+    * higher-order functions (filter → transform → array_min), each stage
+    * gated on the previous — no per-stage rescan of the fact table (the
+    * first formulation cost 6 filtered scans) and no join at all. The
+    * per-user array is bounded by that user's event count, the same
+    * bound sessionization already carries. */
   def funnelSteps(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
-    def firstAtOrAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String) =
-      ev.filter(col("event_type") === evType)
-        .join(broadcast(prev), Seq("user_id"))
-        .filter(col("us") >= col(prevCol))
-        .groupBy("user_id").agg(min(col("us")).as(outCol))
-    val t1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("us")).as("t1"))
-    val t2 = firstAtOrAfter("click", t1, "t1", "t2")
-    val t3 = firstAtOrAfter("purchase", t2, "t2", "t3")
-    def stage(idx: Int, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(idx.toLong).as("step"), lit(name).as("event_type"), col("n_users"))
-    stage(1, "view", t1)
-      .unionByName(stage(2, "click", t2))
-      .unionByName(stage(3, "purchase", t3))
+    val perUser = Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("us"), col("event_type")))).as("evs"))
+    def minAtOrAfter(t: Column, typ: String): Column =
+      array_min(transform(
+        filter(col("evs"), e =>
+          e.getField("event_type") === typ && e.getField("us") >= t),
+        e => e.getField("us")))
+    val staged = perUser
+      .withColumn("t1", minAtOrAfter(lit(Long.MinValue), "view"))
+      .withColumn("t2", when(col("t1").isNotNull, minAtOrAfter(col("t1"), "click")))
+      .withColumn("t3", when(col("t2").isNotNull, minAtOrAfter(col("t2"), "purchase")))
+    staged
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+      .select(expr(
+        "stack(3, CAST(1 AS BIGINT), 'view', n1, CAST(2 AS BIGINT), 'click', n2, " +
+          "CAST(3 AS BIGINT), 'purchase', n3) AS (step, event_type, n_users)"))
       .orderBy("step")
   }
 
