@@ -320,9 +320,12 @@ object CoreOps {
     * first formulation cost 6 filtered scans) and no join at all. The
     * per-user array is bounded by that user's event count, the same
     * bound sessionization already carries. */
-  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    funnelStepsFrom(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
+
+  /** Funnel core on any (user_id, us, event_type) frame (testable). */
+  def funnelStepsFrom(ev: DataFrame): DataFrame = {
+    val perUser = ev
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("us"), col("event_type")))).as("evs"))
     def minAtOrAfter(t: Column, typ: String): Column =

@@ -116,6 +116,57 @@ object EventStreams {
         col("c_ts"), col("p_ts"))
   }
 
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelOut(user_id: Long, steps_reached: Long)
+
+  /** Streaming funnel — the streaming twin of CoreOps.funnelSteps: per
+    * user, how far through view → click-after-view → purchase-after-click
+    * the stream got. Events arrive out of order across micro-batches, and
+    * funnel gating is order-SENSITIVE (a late-arriving earlier view can
+    * change every later stage), so the state buffers the user's (ts,
+    * type) pairs and the funnel resolves ONCE, on event-time timeout
+    * (user idle past the gap) — exactly the batch in-group computation,
+    * so streaming output == batch output per user, spec-asserted. State
+    * per user is bounded by that user's events inside one activity
+    * window (the same bound the batch collect_list carries), and is
+    * removed on emit. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[TypedEvent],
+      gapMinutes: Int = 60): org.apache.spark.sql.Dataset[FunnelOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def resolve(evs: Seq[(Long, String)]): Long = {
+      val sorted = evs.sortBy(_._1)
+      def firstAtOrAfter(t: Long, typ: String): Option[Long] =
+        sorted.collectFirst { case (ts, ty) if ty == typ && ts >= t => ts }
+      val t1 = firstAtOrAfter(Long.MinValue, "view")
+      val t2 = t1.flatMap(firstAtOrAfter(_, "click"))
+      val t3 = t2.flatMap(firstAtOrAfter(_, "purchase"))
+      Seq(t1, t2, t3).count(_.isDefined).toLong
+    }
+
+    def update(userId: Long, rows: Iterator[TypedEvent],
+        state: GroupState[List[(Long, String)]]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val steps = resolve(state.get)
+        state.remove()
+        Iterator.single(FunnelOut(userId, steps))
+      } else {
+        val buf = state.getOption.getOrElse(Nil) ++
+          rows.map(e => (e.ts.getTime, e.event_type))
+        state.update(buf)
+        state.setTimeoutTimestamp(buf.map(_._1).max + gapMs)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, n: Long, sumE2: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -29,6 +29,48 @@ class StreamSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel: order gating on crafted users; streaming funnel == batch funnel") {
+    import s.implicits._
+    import graft.streaming.EventStreams.TypedEvent
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    // A completes all 3 stages; B clicked BEFORE viewing (step 1 only);
+    // C never viewed (0 steps); D purchased before clicking (2 steps)
+    val crafted = Seq(
+      (1L, "09:00", "view"), (1L, "09:01", "click"), (1L, "09:02", "purchase"),
+      (2L, "09:01", "click"), (2L, "09:02", "view"),
+      (3L, "09:00", "purchase"), (3L, "09:01", "purchase"),
+      (4L, "09:00", "view"), (4L, "09:01", "purchase"), (4L, "09:02", "click"))
+    val batch = graft.operators.CoreOps.funnelStepsFrom(
+        crafted.map { case (u, hm, ty) => (u, t(hm).getTime * 1000L, ty) }
+          .toDF("user_id", "us", "event_type"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    assert(batch == Map("view" -> 3, "click" -> 2, "purchase" -> 1),
+      s"batch funnel gating wrong: $batch")
+
+    // streaming twin: same events, deliberately out of order across batches
+    val input = MemoryStream[TypedEvent](s)
+    val q = EventStreams.funnelStream(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("graft_funnel")
+      .start()
+    try {
+      val (early, late) = crafted.splitAt(6)
+      input.addData(early.reverse.map { case (u, hm, ty) => TypedEvent(u, t(hm), ty) })
+      q.processAllAvailable()
+      input.addData(late.reverse.map { case (u, hm, ty) => TypedEvent(u, t(hm), ty) })
+      q.processAllAvailable()
+      // push event time forward so every user's buffer times out and emits
+      input.addData(Seq(TypedEvent(99L, t("22:00"), "view")))
+      q.processAllAvailable()
+      input.addData(Seq(TypedEvent(98L, t("23:59"), "view")))
+      q.processAllAvailable()
+      val out = s.table("graft_funnel").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("steps_reached")).toMap
+      assert(out.filterKeys(_ <= 4L).toMap ==
+        Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 2L),
+        s"streaming funnel must equal the batch gating: $out")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on the gap") {
     import s.implicits._
     val input = MemoryStream[SessionEvent](s)
