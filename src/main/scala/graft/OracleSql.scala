@@ -320,6 +320,21 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "outliers" -> {
+      val xc = e2("o_totalprice")
+      s"""WITH m AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         |  SUM(CAST($xc AS HUGEINT)) AS sx,
+         |  SUM(CAST($xc AS HUGEINT)*$xc) AS sxx
+         |FROM orders GROUP BY 1)
+         |SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+         |  CAST(n*$xc - sx AS DOUBLE) /
+         |    sqrt(CAST(n AS DOUBLE) * CAST(n*sxx - sx*sx AS DOUBLE) / (n-1)) AS z
+         |FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+         |WHERE abs(CAST(n*$xc - sx AS DOUBLE) /
+         |    sqrt(CAST(n AS DOUBLE) * CAST(n*sxx - sx*sx AS DOUBLE) / (n-1))) > 3.0
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(FLOOR(l_quantity*100.0+0.5)) AS DOUBLE)/100.0 AS sum_qty

@@ -43,6 +43,7 @@ object SparkEntry {
     "quantiles" -> (CoreOps.quantiles(_, _)),
     "approx_quantiles" -> (CoreOps.approxQuantiles(_, _)),
     "corr_agg" -> (CoreOps.corrAgg(_, _)),
+    "outliers" -> ((s, d) => CoreOps.outliers(s, d)),
     "histogram" -> ((s, d) => CoreOps.histogram(s, d)),
     "latest_by_key" -> (CoreOps.latestByKey(_, _)),
     "profile_table" -> (CoreOps.profileTable(_, _)),

@@ -243,6 +243,31 @@ object CoreOps {
       .orderBy("l_returnflag")
   }
 
+  /** #19e2 outliers — per-group z-score outlier detection (|z| > 3 order
+    * totals within their priority class): group moments come from exact
+    * integer sums (as in [[corrAgg]]) broadcast back onto the fact rows,
+    * and the z-score is computed with one fixed chain of correctly-
+    * rounded double ops — deterministic across engines. Two passes over
+    * the fact (moments, then scoring), both pushed-down scans; the
+    * moments frame is group-count-sized, always a broadcast. */
+  def outliers(s: SparkSession, dir: String, zThreshold: Double = 3.0): DataFrame = {
+    val xc = Det.e2(col("o_totalprice")).cast("decimal(38,0)")
+    val moments = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(xc).as("sx"), sum(xc * xc).as("sxx"))
+    // z = (n·x − sx) / sqrt(n · (n·sxx − sx²) / (n−1)) — the (x−μ)/s form
+    // cleared of per-row divisions so every operand is an exact integer
+    val z = (col("n") * xc - col("sx")).cast("double") /
+      sqrt(col("n").cast("double") *
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / (col("n") - 1))
+    Tables.orders(s, dir)
+      .join(broadcast(moments), Seq("o_orderpriority"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) > zThreshold)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "z")
+      .orderBy("o_orderkey")
+  }
+
   /** #19f histogram — fixed-width histogram of order totals: the bucket
     * index is EXACT integer arithmetic on cents (no float binning drift
     * at bucket edges), out-of-range rows clamp to the edge buckets.
