@@ -37,6 +37,16 @@ object BloomPrune {
     * frame). */
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame, key: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    // integral keys only: the sketch is built over putLong and probed by
+    // mightContainLong — a string key would hash differently on the two
+    // sides and silently prune TRUE matches (false negatives). Fail fast.
+    Seq(probe, build).foreach { df =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(key).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"bloomPrunedJoin requires an integral key, got $key: ${dt.simpleString} " +
+          "— hash non-integral keys to a long (xxhash64) on both sides first")
+    }
     val n = if (expectedItems > 0) expectedItems else build.count()
     val bf = build.stat.bloomFilter(key, math.max(n, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
