@@ -22,14 +22,32 @@ object GraftConfig {
     parse(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8"))
 
+  /** Strip a trailing comment, respecting quotes: '#' inside a quoted
+    * value is content, not a comment. */
+  private def stripComment(raw: String): String = {
+    var quote: Char = 0
+    var i = 0
+    while (i < raw.length) {
+      val c = raw(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '#') return raw.substring(0, i)
+      i += 1
+    }
+    raw
+  }
+
   def parse(text: String): Map[String, String] = {
     val out = mutable.LinkedHashMap[String, String]()
     // stack of (indent, key-path)
     var stack = List.empty[(Int, String)]
     text.linesIterator.zipWithIndex.foreach { case (raw, ln) =>
-      val noComment = raw.takeWhile(_ != '#')
+      val noComment = stripComment(raw)
       val line = noComment.trim
       if (line.nonEmpty) {
+        require(!noComment.takeWhile(c => c == ' ' || c == '\t').contains('\t'),
+          s"line ${ln + 1}: tab indentation is not supported (YAML forbids it; " +
+            "silently counting it would misnest keys) — use spaces")
         val indent = noComment.takeWhile(_ == ' ').length
         require(!line.startsWith("- "),
           s"line ${ln + 1}: block lists are not supported — use an inline [a, b] list")
@@ -49,13 +67,26 @@ object GraftConfig {
     out.toMap
   }
 
-  /** An inline `[a, b, c]` list value as a trimmed, unquoted sequence. */
+  /** An inline `[a, b, c]` list value as a trimmed, unquoted sequence.
+    * Splits on commas OUTSIDE quotes, so `["a,b", c]` is two elements. */
   def list(cfg: Map[String, String], key: String): Seq[String] = {
     val v = cfg(key)
     require(v.startsWith("[") && v.endsWith("]"), s"$key is not an inline list: $v")
     val body = v.substring(1, v.length - 1).trim
     if (body.isEmpty) Seq.empty
-    else body.split(",").map(s => unquote(s.trim)).toSeq
+    else {
+      val parts = mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var quote: Char = 0
+      body.foreach { c =>
+        if (quote != 0) { if (c == quote) quote = 0; cur += c }
+        else if (c == '"' || c == '\'') { quote = c; cur += c }
+        else if (c == ',') { parts += cur.result(); cur.clear() }
+        else cur += c
+      }
+      parts += cur.result()
+      parts.map(s => unquote(s.trim)).toSeq
+    }
   }
 
   private def unquote(s: String): String =

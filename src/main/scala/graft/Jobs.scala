@@ -96,30 +96,42 @@ object Jobs {
     * 100 TB the resulting per-file scheduling overhead dominates scans —
     * periodic compaction is standard table maintenance. Input size comes
     * from the file listing (no data read); the rewrite goes to a temp
-    * sibling and swaps in atomically-per-rename, so a concurrent reader
-    * sees the old or the new layout, never a half-written one. Returns
-    * the resulting file count. */
+    * sibling, then swaps in via a rename PAIR. Each rename is atomic but
+    * the pair is not: a reader racing the swap can see a brief
+    * path-missing window, and a crash between the renames parks the data
+    * in `.dt=<date>.old` — the next run self-heals by restoring it. True
+    * reader-isolated commits belong to a table format (Iceberg/Delta
+    * snapshot commit); this is the plain-filesystem contract, stated
+    * honestly. Returns the resulting file count. */
   def compactPartition(s: SparkSession, baseDir: String, date: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def listParquet[A](dir: Path)(f: Seq[Path] => A): A = {
+      val st = Files.list(dir)
+      try f(st.toArray.map(_.asInstanceOf[Path]).toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet")))
+      finally st.close() // Files.list holds a directory fd until closed
+    }
     val part = Paths.get(s"$baseDir/dt=$date")
+    val old = Paths.get(s"$baseDir/.dt=$date.old")
+    // crash recovery: a previous run that died between the two renames
+    // left the live data in `.old` and no partition — restore it; a
+    // leftover `.old` NEXT TO a live partition is post-swap garbage
+    if (Files.isDirectory(old)) {
+      if (Files.isDirectory(part)) org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      else Files.move(old, part, StandardCopyOption.ATOMIC_MOVE)
+    }
     require(Files.isDirectory(part), s"no partition at $part")
-    val bytes = Files.list(part).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    val bytes = listParquet(part)(_.map(Files.size).sum)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = s.read.parquet(part.toString)
     val tmp = Paths.get(s"$baseDir/.dt=$date.compact.tmp")
     df.repartition(nFiles).write.mode("overwrite")
       .option("compression", "snappy").parquet(tmp.toString)
-    // swap: the rename pair is the only non-crash-safe window; a real
-    // deployment does this via the table format's commit (Iceberg/Delta)
-    val old = Paths.get(s"$baseDir/.dt=$date.old")
     Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    Files.list(part).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    listParquet(part)(_.size)
   }
 
   /** World-map data export (reference: world_map_transformer.py:215–253

@@ -134,6 +134,10 @@ object CoreOps {
   def setOps(s: SparkSession, dir: String): DataFrame = {
     val cut = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     Tables.orders(s, dir)
+      // null order dates belong to NEITHER period (the intersect/except
+      // formulation and the oracle's filtered CTEs both drop them; an
+      // unfiltered max(bool) would mis-tag an all-null customer)
+      .filter(col("o_orderdate").isNotNull)
       .groupBy("o_custkey")
       .agg(max(col("o_orderdate") < cut).as("has_early"),
         max(col("o_orderdate") >= cut).as("has_late"))
@@ -338,13 +342,15 @@ object CoreOps {
     * a user counts toward step k only if step k's event happens AT OR
     * AFTER their first step k-1 event.
     *
-    * ONE scan + ONE shuffle: each user's events group into a sorted
-    * struct array, and the stage times resolve in-group with codegen'd
+    * ONE scan + ONE shuffle: each user's events group into a struct
+    * array, and the stage times resolve in-group with codegen'd
     * higher-order functions (filter → transform → array_min), each stage
     * gated on the previous — no per-stage rescan of the fact table (the
-    * first formulation cost 6 filtered scans) and no join at all. The
-    * per-user array is bounded by that user's event count, the same
-    * bound sessionization already carries. */
+    * first formulation cost 6 filtered scans) and no join at all. No
+    * in-group sort either: every consumer is an array_min over a
+    * filtered array, which is order-independent. The per-user array is
+    * bounded by that user's event count, the same bound sessionization
+    * already carries. */
   def funnelSteps(s: SparkSession, dir: String): DataFrame =
     funnelStepsFrom(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
 
@@ -352,7 +358,7 @@ object CoreOps {
   def funnelStepsFrom(ev: DataFrame): DataFrame = {
     val perUser = ev
       .groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("us"), col("event_type")))).as("evs"))
+      .agg(collect_list(struct(col("us"), col("event_type"))).as("evs"))
     def minAtOrAfter(t: Column, typ: String): Column =
       array_min(transform(
         filter(col("evs"), e =>

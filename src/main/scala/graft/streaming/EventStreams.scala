@@ -117,19 +117,24 @@ object EventStreams {
   }
 
   case class TypedEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
-  case class FunnelOut(user_id: Long, steps_reached: Long)
+  case class FunnelOut(user_id: Long, window_start: java.sql.Timestamp,
+      steps_reached: Long)
 
-  /** Streaming funnel — the streaming twin of CoreOps.funnelSteps: per
-    * user, how far through view → click-after-view → purchase-after-click
-    * the stream got. Events arrive out of order across micro-batches, and
-    * funnel gating is order-SENSITIVE (a late-arriving earlier view can
-    * change every later stage), so the state buffers the user's (ts,
-    * type) pairs and the funnel resolves ONCE, on event-time timeout
-    * (user idle past the gap) — exactly the batch in-group computation,
-    * so streaming output == batch output per user, spec-asserted. State
-    * per user is bounded by that user's events inside one activity
-    * window (the same bound the batch collect_list carries), and is
-    * removed on emit. */
+  /** Streaming funnel — per ACTIVITY WINDOW: how far through view →
+    * click-after-view → purchase-after-click a user got within one burst
+    * of activity (idle past the gap closes the window). Events arrive out
+    * of order across micro-batches, and funnel gating is order-SENSITIVE
+    * (a late-arriving earlier view can change every later stage), so the
+    * state buffers the window's (ts, type) pairs and the funnel resolves
+    * ONCE, on event-time timeout — exactly the batch in-group
+    * computation over that window's events, spec-asserted.
+    *
+    * Contract note: an unbounded stream cannot compute the all-time
+    * batch funnel with bounded state — a user who returns after the gap
+    * starts a NEW window (keyed by `window_start`), which is also the
+    * semantics product funnels usually want. Equality with the batch
+    * operator therefore holds per activity window, not per lifetime.
+    * State per user is one window's events, removed on emit. */
   def funnelStream(events: org.apache.spark.sql.Dataset[TypedEvent],
       gapMinutes: Int = 60): org.apache.spark.sql.Dataset[FunnelOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -149,9 +154,11 @@ object EventStreams {
     def update(userId: Long, rows: Iterator[TypedEvent],
         state: GroupState[List[(Long, String)]]): Iterator[FunnelOut] = {
       if (state.hasTimedOut) {
-        val steps = resolve(state.get)
+        val buf = state.get
+        val steps = resolve(buf)
         state.remove()
-        Iterator.single(FunnelOut(userId, steps))
+        Iterator.single(FunnelOut(userId,
+          new java.sql.Timestamp(buf.map(_._1).min), steps))
       } else {
         val buf = state.getOption.getOrElse(Nil) ++
           rows.map(e => (e.ts.getTime, e.event_type))

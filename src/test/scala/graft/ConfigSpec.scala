@@ -29,6 +29,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(GraftConfig.list(cfg, "lists.mixed") == Seq("1", "two", "three"))
   }
 
+  test("parser: quotes protect '#' and commas; tabs rejected") {
+    val cfg = GraftConfig.parse(
+      """k1: "value#with#hashes"   # this one IS a comment
+        |k2: 'http://x/#frag'
+        |names: ["a,b", 'c,d', e]
+        |""".stripMargin)
+    assert(cfg("k1") == "value#with#hashes")
+    assert(cfg("k2") == "http://x/#frag")
+    assert(GraftConfig.list(cfg, "names") == Seq("a,b", "c,d", "e"))
+    val tabs = intercept[IllegalArgumentException](
+      GraftConfig.parse("a:\n\tb: 1\n"))
+    assert(tabs.getMessage.contains("tab indentation"))
+  }
+
   test("parser: unsupported YAML surfaces as an error, never a silent misread") {
     val block = intercept[IllegalArgumentException](
       GraftConfig.parse("xs:\n  - one\n  - two\n"))

@@ -47,7 +47,10 @@ class StreamSessionSpec extends AnyFunSuite {
     assert(batch == Map("view" -> 3, "click" -> 2, "purchase" -> 1),
       s"batch funnel gating wrong: $batch")
 
-    // streaming twin: same events, deliberately out of order across batches
+    // streaming twin: same events, deliberately out of order across
+    // batches, plus user 5 with TWO activity windows (view-click burst,
+    // 3h idle, then a lone purchase) — per-window semantics emit one row
+    // per burst, keyed by window_start
     val input = MemoryStream[TypedEvent](s)
     val q = EventStreams.funnelStream(input.toDS()).writeStream
       .outputMode("append").format("memory").queryName("graft_funnel")
@@ -56,18 +59,34 @@ class StreamSessionSpec extends AnyFunSuite {
       val (early, late) = crafted.splitAt(6)
       input.addData(early.reverse.map { case (u, hm, ty) => TypedEvent(u, t(hm), ty) })
       q.processAllAvailable()
-      input.addData(late.reverse.map { case (u, hm, ty) => TypedEvent(u, t(hm), ty) })
+      input.addData(late.reverse.map { case (u, hm, ty) => TypedEvent(u, t(hm), ty) }
+        ++ Seq(TypedEvent(5L, t("09:00"), "view"), TypedEvent(5L, t("09:01"), "click")))
       q.processAllAvailable()
-      // push event time forward so every user's buffer times out and emits
+      // advance the watermark past user 5's 10:01 timeout (event-time
+      // timeouts fire when the WATERMARK crosses them — in production
+      // arrival tracks event time, so an idle hour really does close the
+      // window before the user returns)
+      input.addData(Seq(TypedEvent(97L, t("11:30"), "view")))
+      q.processAllAvailable()
+      // user 5 returns after 3h idle: a NEW activity window
+      input.addData(Seq(TypedEvent(5L, t("12:30"), "purchase")))
+      q.processAllAvailable()
+      // push event time forward so every open buffer times out and emits
       input.addData(Seq(TypedEvent(99L, t("22:00"), "view")))
       q.processAllAvailable()
       input.addData(Seq(TypedEvent(98L, t("23:59"), "view")))
       q.processAllAvailable()
       val out = s.table("graft_funnel").collect()
-        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("steps_reached")).toMap
-      assert(out.filterKeys(_ <= 4L).toMap ==
-        Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 2L),
-        s"streaming funnel must equal the batch gating: $out")
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("window_start").toString.take(16),
+          r.getAs[Long]("steps_reached")))
+      val oneWindow = out.filter(_._1 <= 4L).map(r => r._1 -> r._3).toMap
+      assert(oneWindow == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 2L),
+        s"single-window users must equal the batch gating: ${out.mkString(";")}")
+      val u5 = out.filter(_._1 == 5L).sortBy(_._2)
+      assert(u5.map(r => (r._2, r._3)).toSeq ==
+        Seq(("2024-01-01 09:00", 2L), ("2024-01-01 12:30", 0L)),
+        s"idle gap must split into two windows with independent gating: ${u5.mkString(";")}")
     } finally q.stop()
   }
 
