@@ -57,5 +57,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHash32(args.head)
       }))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

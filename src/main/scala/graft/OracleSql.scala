@@ -425,6 +425,16 @@ object OracleSql {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
         |ORDER BY l.event_id""".stripMargin,
 
+    // same semantics, same oracle — asof_join_native runs on graft's custom
+    // physical operator (plans/AsOfJoinExec) instead of the union+window plan
+    "asof_join_native" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000 AS us FROM events),
+        |l AS (SELECT event_id, user_id, us FROM e WHERE event_type='click'),
+        |r AS (SELECT user_id, us, event_id AS p_event, value AS p_value FROM e WHERE event_type='purchase')
+        |SELECT l.event_id, l.user_id, l.us, r.p_event, r.p_value, r.us AS p_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+        |ORDER BY l.event_id""".stripMargin,
+
     "range_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
         |c AS (SELECT event_id AS c_event, user_id, us FROM e WHERE event_type='click'),

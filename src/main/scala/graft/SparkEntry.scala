@@ -60,6 +60,7 @@ object SparkEntry {
     "window_time_range" -> (CoreOps.windowTimeRange(_, _)),
     "sessionize" -> (CoreOps.sessionize(_, _)),
     "asof_join" -> (TemporalOps.asofClickPurchase(_, _)),
+    "asof_join_native" -> (TemporalOps.asofClickPurchaseNative(_, _)),
     "range_join" -> (TemporalOps.rangeClickInPurchaseWindow(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),

@@ -147,6 +147,59 @@ object TemporalOps {
 
   private val HalfHourUs = 1800L * 1000000L
 
+  /** Native as-of join over graft's custom physical operator
+    * ([[graft.plans.AsOfJoinExec]] — one exchange per side, in-partition
+    * sort, single forward merge pass). Same semantics as [[asofJoin]]
+    * (inclusive `right.ts <= left.ts`, LEFT, ties to the tiebreak-largest
+    * right row) with a cheaper plan: no unioned wide schema and no window
+    * state — the right side streams through one buffered row.
+    *
+    * Column names must be disjoint between the sides (rename on the right,
+    * which also keeps a self-join's attribute ids distinct). The strategy
+    * is installed idempotently on the session, so this works on sessions
+    * graft did not build (the driver's) as well as extension-built ones.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"asofJoinNative requires disjoint column names; rename on the right side: ${overlap.mkString(", ")}")
+    val s = left.sparkSession
+    PlanBridge.ensureStrategy(s, graft.plans.AsOfJoinStrategy)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(right)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    val node = graft.plans.AsOfJoin.resolved(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      rightTiebreak.map(attr(rPlan, _)))
+    PlanBridge.ofRows(s, node)
+  }
+
+  /** `asof_join_native` query — the [[asofClickPurchase]] semantics on the
+    * native exec; shares asof_join's DuckDB ASOF oracle. The right-side
+    * tiebreak (p_event, p_value) mirrors the window twin's struct order,
+    * so the two operators are bit-identical even on (key, ts) ties. */
+  def asofClickPurchaseNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+    asofJoinNative(clicks, purchases, "user_id", "p_user", "us", "p_us",
+        rightTiebreak = Seq("p_event", "p_value"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("p_event"), col("p_value"), col("p_us"))
+      .orderBy("event_id")
+  }
+
   /** `asof_join` query — each click joined to the user's latest purchase
     * at or before it (event-time in epoch-µs, matching the oracle's
     * ns→µs truncation). */
