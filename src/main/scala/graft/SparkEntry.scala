@@ -40,6 +40,7 @@ object SparkEntry {
     "topk" -> (CoreOps.topK(_, _)),
     "distinct_agg" -> (CoreOps.distinctAgg(_, _)),
     "approx_distinct" -> (CoreOps.approxDistinct(_, _)),
+    "hll_distinct" -> ((s, d) => SketchOps.hllDistinct(s, d)),
     "quantiles" -> (CoreOps.quantiles(_, _)),
     "approx_quantiles" -> (CoreOps.approxQuantiles(_, _)),
     "corr_agg" -> (CoreOps.corrAgg(_, _)),

@@ -27,7 +27,8 @@ class PlanQualitySpec extends AnyFunSuite {
     val rowsOnly = Set("parquet_sink", "approx_distinct", "approx_quantiles",
       "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_simhash", "dedup_clusters",
       "dedup_embedding_lsh", "ann_lsh", "ann_ivf", "text_fingerprint",
-      "mm_metadata", "mm_features", "mm_frames", "stratified_sample")
+      "mm_metadata", "mm_features", "mm_frames", "stratified_sample",
+      "hll_distinct")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
