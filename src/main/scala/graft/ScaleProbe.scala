@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measured scaling probe for the as-of join implementations.
+  *
+  * Grows the events table Nx with DISJOINT user keys (each replica's users
+  * are shifted into their own id range, so per-key row counts — and thus
+  * per-key work — stay constant while total volume grows Nx). A linear
+  * operator should show ~Nx wall growth and exactly Nx output rows; any
+  * quadratic term shows up immediately as super-linear output.
+  *
+  * `runMain graft.ScaleProbe [sfDir] [factor]` — prints one JSON line per
+  * (impl, scale) with wall seconds and output rows. Results recorded in
+  * SURVEY.md §5.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev = Tables.events(spark, sfDir).withColumn("us", expr("ts div 1000"))
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    def grown(k: Int): DataFrame =
+      (0 until k).map(i => ev.withColumn("user_id", col("user_id") + lit(i * maxUser)))
+        .reduce(_ unionByName _)
+
+    def clicks(e: DataFrame) = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    def purchases(e: DataFrame) = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+
+    def time(label: String, scale: Int, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val rows = df.count()
+      val _ = (System.nanoTime() - t1) // count pass untimed, just for rows
+      println(s"""{"probe":"$label","scale":$scale,"wall_sec":${f"$wall%.2f"},"rows":$rows}""")
+    }
+
+    for (k <- Seq(1, 4, factor)) {
+      val e = grown(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count() // materialize outside the timings
+      val c = clicks(e); val p = purchases(e)
+      time("asof_window", k, graft.operators.TemporalOps.asofJoin(
+        c, p.withColumnRenamed("p_user", "user_id").withColumnRenamed("p_us", "us"),
+        "user_id", "us", "m"))
+      time("asof_native", k, graft.operators.TemporalOps.asofJoinNative(
+        c, p, "user_id", "p_user", "us", "p_us", Seq("p_event", "p_value")))
+      e.unpersist()
+    }
+    spark.stop()
+  }
+}
