@@ -87,6 +87,8 @@ object SparkEntry {
     "mm_frames" -> (MultimodalOps.mmFrameSample(_, _)),
     "corpus_filter" -> ((s, d) => CurationOps.corpusFilter(s, d)),
     "stratified_sample" -> ((s, d) => CurationOps.stratifiedSample(s, d)),
+    // layout (write-path; rows-only — emits the landed pruning geometry)
+    "zorder_layout" -> ((s, d) => LayoutOps.zorderLayout(s, d)),
     // streaming (#36, batch twin — streaming path in EventStreams + spec)
     "stream_window_agg" -> (EventStreams.streamWindowAggBatch(_, _)))
 
