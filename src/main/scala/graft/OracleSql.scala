@@ -355,6 +355,69 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "scd2_history" ->
+      """WITH e AS (SELECT event_id, user_id, event_type AS state, epoch_ns(ts)//1000 AS us FROM events),
+        |l AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |c AS (SELECT * FROM l WHERE prev IS NULL OR prev <> state),
+        |v AS (SELECT user_id, state, us AS valid_from_us,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+        |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version
+        |      FROM c)
+        |SELECT user_id, state, valid_from_us, valid_to_us, version,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    "gap_fill" ->
+      s"""WITH daily AS (SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         |        CAST(COUNT(*) AS BIGINT) AS n_orders, ${sumE2("o_totalprice")} AS revenue
+         |      FROM orders GROUP BY 1, 2),
+         |span AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+         |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+         |spine AS (SELECT priority, d FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) CROSS JOIN days)
+         |SELECT priority, CAST(d AS TIMESTAMP) AS day,
+         |  COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+         |  COALESCE(revenue, 0.0) AS revenue
+         |FROM spine LEFT JOIN daily USING (priority, d)
+         |ORDER BY priority, day""".stripMargin,
+
+    "quantile_buckets" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM documents),
+        |a AS (SELECT doc_id, n_chars,
+        |        CAST(1 + len(list_filter(bs, x -> x < CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
+        |      FROM documents CROSS JOIN b)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "ngram_counts" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS ngram
+        |      FROM t, UNNEST(generate_series(1, len(w)-1)) AS u(i) WHERE len(w) >= 2)
+        |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM g GROUP BY ngram ORDER BY n_total DESC, ngram LIMIT 100""".stripMargin,
+
+    "doc_chunk" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+         |SELECT doc_id, CAST(i // ${graft.operators.TextOps.ChunkStride} AS BIGINT) AS chunk_id,
+         |  CAST(i AS BIGINT) AS start,
+         |  substr(text, CAST(i AS INT) + 1, ${graft.operators.TextOps.ChunkSize}) AS chunk,
+         |  CAST(length(substr(text, CAST(i AS INT) + 1, ${graft.operators.TextOps.ChunkSize})) AS BIGINT) AS chunk_len
+         |FROM t, UNNEST(generate_series(0, greatest(n - 1, 0), ${graft.operators.TextOps.ChunkStride})) AS u(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % ${graft.operators.CurationOps.PackShards} AS shard,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(cum_before // ${graft.operators.CurationOps.PackBudget} AS BIGINT) AS seq_id,
+         |  CAST(cum_before % ${graft.operators.CurationOps.PackBudget} AS BIGINT) AS seq_offset,
+         |  CAST((cum_before + n_tokens - 1) // ${graft.operators.CurationOps.PackBudget}
+         |    - cum_before // ${graft.operators.CurationOps.PackBudget} + 1 AS BIGINT) AS n_splits
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "profile_table" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
       val legs = cs.map { c =>

@@ -55,6 +55,9 @@ object SparkEntry {
     "cube_agg" -> (CoreOps.cubeAgg(_, _)),
     "grouping_sets" -> (CoreOps.groupingSets(_, _)),
     "monthly_revenue" -> (CoreOps.monthlyRevenue(_, _)),
+    "scd2_history" -> (CoreOps.scd2History(_, _)),
+    "gap_fill" -> (CoreOps.gapFill(_, _)),
+    "quantile_buckets" -> (CoreOps.quantileBuckets(_, _)),
     "event_path" -> (CoreOps.eventPath(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),
     "unpivot_events" -> (CoreOps.unpivotEvents(_, _)),
@@ -82,6 +85,9 @@ object SparkEntry {
     "text_pii_scrub" -> (TextOps.textPiiScrub(_, _)),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(s, d)),
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
+    "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s, d)),
+    "doc_chunk" -> (TextOps.docChunk(_, _)),
+    "pack_sequences" -> (CurationOps.packSequences(_, _)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),
     "mm_features" -> (MultimodalOps.mmFeatures(_, _)),
     "mm_frames" -> (MultimodalOps.mmFrameSample(_, _)),

@@ -482,4 +482,71 @@ object CoreOps {
       .select("event_id", "user_id", "session_id")
       .orderBy("user_id", "us", "event_id")
   }
+
+  /** #19j scd2_history — type-2 slowly-changing-dimension build from a
+    * change log: collapse consecutive identical states per key, emit one
+    * versioned row per state RUN with [valid_from, valid_to) bounds and a
+    * current flag — the CDC→warehouse-dimension operator. Both windows
+    * share one (user_id) partitioning and (us, event_id) order, so the
+    * plan is ONE keyed shuffle + one sort reused across lag/lead/
+    * row_number; state per key is O(1), no global sort. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        col("event_type").as("state"), expr("ts div 1000").as("us"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("state"), col("us").as("valid_from_us"),
+        col("valid_to_us"), col("version"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** #13c gap_fill — calendar densification: per-priority daily order
+    * counts with explicit zero rows for missing days. The spine is
+    * sequence(min_day, max_day) × distinct priorities, generated from a
+    * single-row broadcast aggregate (never a driver collect) and joined
+    * to the PRE-aggregated daily frame — the fill cost scales with
+    * days×groups, not with the fact. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val daily = o.groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"), Det.sumE2(col("o_totalprice")).as("revenue"))
+    val span = o.agg(to_date(min(col("o_orderdate"))).as("d0"),
+      to_date(max(col("o_orderdate"))).as("d1"))
+    val spine = o.select(col("o_orderpriority").as("priority")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("priority"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    spine.join(daily, Seq("priority", "d"), "left")
+      .select(col("priority"), col("d").cast("timestamp_ntz").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("priority", "day")
+  }
+
+  /** #19k quantile_buckets — decile bucketing by document length done the
+    * 100 TB way: exact decile boundaries from ONE aggregate (interpolated
+    * percentile over integer n_chars — deterministic doubles), broadcast
+    * back onto the rows, each row assigned by counting boundaries
+    * strictly below its value, then per-bucket stats. Two scans, zero
+    * global sort — where ntile() would drag every row through a
+    * single-partition window. */
+  def quantileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bounds = docs.agg(
+      percentile(col("n_chars"), typedLit((1 to 9).map(_ / 10.0))).as("bs"))
+    docs.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_chars"),
+        aggregate(col("bs"), lit(1),
+          (acc, b) => acc + when(col("n_chars").cast("double") > b, 1).otherwise(0))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bucket")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -54,6 +55,33 @@ object CurationOps {
       .withColumn("_u", u)
       .filter(col("_u") < frac)
       .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val PackBudget = 512L
+  val PackShards = 32L
+
+  /** #35f pack_sequences — concat-and-split sequence packing: documents
+    * are laid out in doc_id order within each of [[PackShards]]
+    * deterministic shards and cut into fixed token-budget context
+    * windows; each doc reports the window its first token lands in
+    * (seq_id), its offset there, and how many windows it spans. Packing
+    * per shard — not globally — is what a 1000-worker loader does anyway
+    * (each worker packs its own shard), and it keeps the running-sum
+    * window PARTITIONED: one keyed shuffle, no single-partition global
+    * ordering at any scale. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $PackBudget").as("seq_id"),
+        pmod(col("cum_before"), lit(PackBudget)).as("seq_offset"),
+        expr(s"(cum_before + n_tokens - 1) div $PackBudget - cum_before div $PackBudget + 1")
+          .as("n_splits"))
       .orderBy("doc_id")
   }
 }

@@ -212,4 +212,40 @@ object TextOps {
         (scrubbed =!= col("text")).as("had_pii"))
       .orderBy("doc_id")
   }
+
+  /** #34e ngram_counts — corpus n-gram vocabulary statistics: per-doc
+    * bigram explode (multiplicity kept) → ONE partial-agg shuffle
+    * counting total occurrences and document frequency → top-N by
+    * frequency with a total-order tiebreak. The vocabulary/boilerplate
+    * census pass of a training-data pipeline; the distinct-doc count
+    * rides the same shuffle as the total. */
+  def ngramCounts(s: SparkSession, dir: String, k: Int = 2, topN: Int = 100): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = transform(sequence(lit(0), size(w) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))
+    Tables.documents(s, dir)
+      .filter(size(w) >= k)
+      .select(col("doc_id"), explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("ngram"))
+      .limit(topN)
+  }
+
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** #34f doc_chunk — overlapping fixed-window character chunking (the
+    * RAG / context-window prep step): chunk starts at 0, stride, 2·stride
+    * … < len; each chunk is substring(start, size), the last one short.
+    * Pure per-row explode — fuses into the scan, zero shuffle. */
+  def docChunk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("start", explode(sequence(lit(0L),
+        greatest(length(col("text")).cast("long") - 1, lit(0L)), lit(ChunkStride.toLong))))
+      .select(col("doc_id"), (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("start"),
+        col("text").substr(col("start").cast("int") + 1, lit(ChunkSize)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .orderBy("doc_id", "chunk_id")
 }

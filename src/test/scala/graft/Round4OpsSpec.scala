@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CoreOps, CurationOps, TextOps}
+
+/** Semantic contracts of the round-4 operators — properties the DuckDB
+  * oracle's value-hash can't state (it only proves cross-engine equality,
+  * not that the semantics are the intended ones). */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("scd2_history: versioned runs partition each user's timeline") {
+    val h = CoreOps.scd2History(s, sf)
+    // adjacent versions chain: valid_to of version v == valid_from of v+1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val chained = h.withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("next_from").isNotNull)
+    assert(chained.filter(col("valid_to_us") =!= col("next_from")).count() == 0,
+      "valid_to must equal the next version's valid_from")
+    // no run repeats the previous state (true compaction)
+    val repeat = h.withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNotNull && col("prev_state") === col("state"))
+    assert(repeat.count() == 0, "consecutive versions must change state")
+    // exactly one open (current) version per user
+    val cur = h.groupBy("user_id").agg(sum(when(col("is_current"), 1).otherwise(0)).as("n"))
+    assert(cur.filter(col("n") =!= 1).count() == 0)
+  }
+
+  test("gap_fill: dense calendar, zero-filled, totals preserved") {
+    val g = CoreOps.gapFill(s, sf).cache()
+    val o = Tables.orders(s, sf)
+    val nPrio = o.select("o_orderpriority").distinct().count()
+    val span = o.agg((datediff(to_date(max(col("o_orderdate"))),
+      to_date(min(col("o_orderdate")))) + 1).as("days")).head.getAs[Int]("days")
+    assert(g.count() == nPrio * span, "spine must be days x priorities, no gaps")
+    val total = g.agg(sum("n_orders")).head.getLong(0)
+    assert(total == o.count(), "zero-filling must not change order totals")
+    assert(g.filter(col("n_orders") === 0).count() > 0, "sf data has gaps to fill")
+    g.unpersist()
+  }
+
+  test("quantile_buckets: partition of the corpus into ordered ranges") {
+    val b = CoreOps.quantileBuckets(s, sf).collect()
+    assert(b.map(_.getAs[Long]("n_docs")).sum == Tables.documents(s, sf).count())
+    // ranges ordered: bucket k's max <= bucket k+1's min (ties allowed on
+    // repeated values; boundaries are interpolated so strict overlap is a bug)
+    b.sortBy(_.getAs[Long]("bucket")).sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("max_chars") <= hi.getAs[Long]("min_chars"),
+          s"bucket ranges overlap: $lo vs $hi")
+      case _ =>
+    }
+  }
+
+  test("ngram_counts: document frequency bounds total frequency") {
+    val n = TextOps.ngramCounts(s, sf).collect()
+    assert(n.nonEmpty && n.length <= 100)
+    n.foreach { r =>
+      assert(r.getAs[Long]("n_total") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_docs") >= 1)
+      assert(r.getAs[String]("ngram").split(" ").length == 2)
+    }
+    // descending by n_total
+    assert(n.map(_.getAs[Long]("n_total")).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("doc_chunk: chunks tile the document at the stride") {
+    val docs = Tables.documents(s, sf).select(col("doc_id"), length(col("text")).as("len"))
+    val counts = TextOps.docChunk(s, sf).groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), max("chunk_len").as("max_len"))
+    val joined = counts.join(docs, "doc_id")
+    // n_chunks == floor((len-1)/stride)+1 for len>=1
+    val bad = joined.filter(col("len") >= 1 &&
+      col("n_chunks") =!= (floor((col("len") - 1) / TextOps.ChunkStride) + 1))
+    assert(bad.count() == 0, "chunk count must follow the stride formula")
+    assert(joined.filter(col("max_len") > TextOps.ChunkSize).count() == 0)
+    // first chunk is the document prefix
+    val first = TextOps.docChunk(s, sf).filter(col("chunk_id") === 0)
+      .join(Tables.documents(s, sf), "doc_id")
+      .filter(col("chunk") =!= substring(col("text"), 1, TextOps.ChunkSize))
+    assert(first.count() == 0)
+  }
+
+  test("pack_sequences: in-shard layout is gapless and within budget") {
+    val p = CurationOps.packSequences(s, sf).cache()
+    assert(p.filter(col("seq_offset") >= CurationOps.PackBudget).count() == 0)
+    assert(p.filter(col("n_splits") < 1).count() == 0)
+    // gapless: each doc starts exactly where the previous doc in its
+    // shard ended (offset arithmetic reconstructs the running sum)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id")
+    val cum = p.withColumn("start", col("seq_id") * CurationOps.PackBudget + col("seq_offset"))
+      .withColumn("prev_end", lag(col("start") + col("n_tokens"), 1).over(w))
+    assert(cum.filter(col("prev_end").isNotNull && col("start") =!= col("prev_end"))
+      .count() == 0, "packing must be gapless concat-and-split")
+    p.unpersist()
+  }
+}
