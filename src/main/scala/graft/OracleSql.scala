@@ -97,6 +97,21 @@ object OracleSql {
   private def stopHits(lang: String): String =
     s"CAST(len(list_filter(string_split(text,' '), x -> list_contains(${stopList(lang)}, x))) AS BIGINT)"
 
+  /** Shared calendar-densification CTE chain (gap_fill and the rolling
+    * window composed on it): `filled` = dense (priority, day) spine with
+    * zero-filled measures. */
+  private val gapFillCtes =
+    s"""daily AS (SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+       |        CAST(COUNT(*) AS BIGINT) AS n_orders, ${sumE2("o_totalprice")} AS revenue
+       |      FROM orders GROUP BY 1, 2),
+       |span AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+       |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+       |spine AS (SELECT priority, d FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) CROSS JOIN days),
+       |filled AS (SELECT priority, CAST(d AS TIMESTAMP) AS day,
+       |    COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       |    COALESCE(revenue, 0.0) AS revenue
+       |  FROM spine LEFT JOIN daily USING (priority, d))""".stripMargin
+
   // ---------- the map ----------
 
   val all: Map[String, String] = Map(
@@ -368,17 +383,25 @@ object OracleSql {
         |FROM v ORDER BY user_id, version""".stripMargin,
 
     "gap_fill" ->
-      s"""WITH daily AS (SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
-         |        CAST(COUNT(*) AS BIGINT) AS n_orders, ${sumE2("o_totalprice")} AS revenue
-         |      FROM orders GROUP BY 1, 2),
-         |span AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
-         |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM span),
-         |spine AS (SELECT priority, d FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) CROSS JOIN days)
-         |SELECT priority, CAST(d AS TIMESTAMP) AS day,
-         |  COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
-         |  COALESCE(revenue, 0.0) AS revenue
-         |FROM spine LEFT JOIN daily USING (priority, d)
+      s"""WITH $gapFillCtes
+         |SELECT priority, day, n_orders, revenue FROM filled
          |ORDER BY priority, day""".stripMargin,
+
+    "rolling_revenue" ->
+      s"""WITH $gapFillCtes
+         |SELECT priority, day, n_orders,
+         |  CAST(SUM(CAST(FLOOR(revenue*100.0+0.5) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS rev_7d,
+         |  CAST(SUM(n_orders) OVER w AS BIGINT) AS orders_7d
+         |FROM filled
+         |WINDOW w AS (PARTITION BY priority ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY priority, day""".stripMargin,
+
+    "mode_agg" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn,
+        |        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types FROM c)
+        |SELECT user_id, event_type AS top_type, cnt, n_types FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     "quantile_buckets" ->
       """WITH b AS (SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM documents),

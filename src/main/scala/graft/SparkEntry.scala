@@ -57,6 +57,8 @@ object SparkEntry {
     "monthly_revenue" -> (CoreOps.monthlyRevenue(_, _)),
     "scd2_history" -> (CoreOps.scd2History(_, _)),
     "gap_fill" -> (CoreOps.gapFill(_, _)),
+    "rolling_revenue" -> (CoreOps.rollingRevenue(_, _)),
+    "mode_agg" -> (CoreOps.modeAgg(_, _)),
     "quantile_buckets" -> (CoreOps.quantileBuckets(_, _)),
     "event_path" -> (CoreOps.eventPath(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),

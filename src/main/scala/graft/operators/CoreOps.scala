@@ -528,6 +528,43 @@ object CoreOps {
       .orderBy("priority", "day")
   }
 
+  /** #13d rolling_revenue — 7-day trailing revenue per priority, composed
+    * ON TOP of the gap-filled calendar: density makes ROWS(-6,0) equal to
+    * a 7-day RANGE frame, and the window runs over the tiny aggregated
+    * frame (days × priorities), never the fact. The rolling sum is an
+    * integer-cents sum divided once at the edge — window accumulation
+    * order can't perturb the double. */
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("priority").orderBy("day").rowsBetween(-6, 0)
+    gapFill(s, dir)
+      .withColumn("cents", floor(col("revenue") * lit(100.0) + lit(0.5)))
+      .select(col("priority"), col("day"), col("n_orders"),
+        (sum(col("cents")).over(w).cast("double") / lit(100.0)).as("rev_7d"),
+        sum(col("n_orders")).over(w).as("orders_7d"))
+      .orderBy("priority", "day")
+  }
+
+  /** #19l mode_agg — modal value per key (most frequent event_type per
+    * user, ties to the lexicographically smallest): count per (key,
+    * value) with map-side partial agg, then a row_number over the
+    * per-key COUNTS frame — the window input is already collapsed to
+    * #distinct values per key, so the sort is over a bounded set, not
+    * the fact. */
+  def modeAgg(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_types", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"), col("cnt"),
+        col("n_types"))
+      .orderBy("user_id")
+  }
+
   /** #19k quantile_buckets — decile bucketing by document length done the
     * 100 TB way: exact decile boundaries from ONE aggregate (interpolated
     * percentile over integer n_chars — deterministic doubles), broadcast

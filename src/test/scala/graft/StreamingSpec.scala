@@ -213,4 +213,25 @@ class StreamingSpec extends AnyFunSuite {
         "late row past the watermark must be dropped")
     } finally q.stop()
   }
+
+  test("streaming dedup: at-least-once re-deliveries collapse to one row each") {
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)](s)
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    // batch 1: ids 1,2 with an in-batch duplicate of 1
+    input.addData(Seq((1L, t(0), 1.0), (2L, t(1), 2.0), (1L, t(0), 1.0)))
+    val q = EventStreams.streamDedup(events).writeStream
+      .outputMode("append").format("memory").queryName("graft_dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: redelivery of 2 (within watermark) + fresh 3
+      input.addData(Seq((2L, t(1), 2.0), (3L, t(5), 3.0)))
+      q.processAllAvailable()
+      val out = s.table("graft_dedup_out").collect()
+      assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"each id exactly once, got ${out.mkString(",")}")
+    } finally q.stop()
+  }
 }
