@@ -429,6 +429,18 @@ object OracleSql {
          |FROM t, UNNEST(generate_series(0, greatest(n - 1, 0), ${graft.operators.TextOps.ChunkStride})) AS u(i)
          |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE source = '${graft.operators.CurationOps.EvalSource}'),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE source <> '${graft.operators.CurationOps.EvalSource}')
+         |SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared,
+         |  CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY tr.doc_id HAVING COUNT(DISTINCT tr.shingle) >= ${graft.operators.CurationOps.DecontMinShingles}
+         |ORDER BY doc_id""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, doc_id % ${graft.operators.CurationOps.PackShards} AS shard,
          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

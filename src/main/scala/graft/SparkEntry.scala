@@ -90,6 +90,7 @@ object SparkEntry {
     "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s, d)),
     "doc_chunk" -> (TextOps.docChunk(_, _)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
+    "decontaminate" -> (CurationOps.decontaminate(_, _)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),
     "mm_features" -> (MultimodalOps.mmFeatures(_, _)),
     "mm_frames" -> (MultimodalOps.mmFrameSample(_, _)),

@@ -58,6 +58,34 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  val DecontMinShingles = 3L
+  val EvalSource = "src0"
+
+  /** #35g decontaminate — benchmark decontamination: flag training
+    * documents sharing ≥ [[DecontMinShingles]] distinct word-3-gram
+    * shingles with any document of the held-out evaluation set (here:
+    * source = [[EvalSource]]). The eval side is the benchmark — tiny
+    * relative to the corpus — so its shingle posting list BROADCASTS:
+    * the train side never shuffles for the join; the only exchange is
+    * the final partial-agg groupBy on doc_id. At 100 TB this is one
+    * corpus scan + a broadcast probe, the only viable shape. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (testable). */
+  def decontaminateDocs(docs: DataFrame, evalSource: String = EvalSource,
+      minShared: Long = DecontMinShingles): DataFrame = {
+    val evalSh = DedupOps.shingles(docs.filter(col("source") === evalSource))
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val trainSh = DedupOps.shingles(docs.filter(col("source") =!= evalSource))
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   val PackBudget = 512L
   val PackShards = 32L
 

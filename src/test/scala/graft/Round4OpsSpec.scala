@@ -86,6 +86,23 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(first.count() == 0)
   }
 
+  test("decontaminate: planted eval overlap flagged, clean doc not; eval side broadcasts") {
+    import s.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, leak + " extra words here", "src1"),            // contaminated
+      (2L, "completely different words in this one doc", "src1"), // clean
+      (3L, leak, "src0"))                                  // the benchmark
+      .toDF("doc_id", "text", "source")
+    val out = CurationOps.decontaminateDocs(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(out.head.getAs[Long]("n_shared") >= 3)
+    assert(out.head.getAs[Long]("n_eval_docs") == 1L)
+    // scale shape: eval posting list must be the broadcast side
+    val plan = CurationOps.decontaminate(s, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe, got:\n$plan")
+  }
+
   test("pack_sequences: in-shard layout is gapless and within budget") {
     val p = CurationOps.packSequences(s, sf).cache()
     assert(p.filter(col("seq_offset") >= CurationOps.PackBudget).count() == 0)
