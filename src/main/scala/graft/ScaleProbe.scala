@@ -61,6 +61,44 @@ object ScaleProbe {
         c, p, "user_id", "p_user", "us", "p_us", Seq("p_event", "p_value")))
       e.unpersist()
     }
+
+    // ---- z-order: pruning fraction must hold as data AND files grow ----
+    // Files scale with data (8 per replica); the probe predicate is a fixed
+    // 1/16 slice of ONE replica's user range. If z-order's box geometry
+    // holds, touched-file FRACTION shrinks ~1/k (absolute touched count
+    // stays ~flat) — that is what stats-based pruning buys at 100 TB.
+    val docsBase = Tables.documents(spark, sfDir)
+    for (k <- Seq(1, 4, factor)) {
+      val e = grown(k).select(col("user_id"), col("us"), col("event_type"))
+      val out = java.nio.file.Files.createTempDirectory(s"graft_probe_z$k").toString
+      val t0 = System.nanoTime()
+      graft.operators.LayoutOps.zorderWrite(e, Seq("user_id", "us"), out, 8 * k)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val b = graft.operators.LayoutOps
+        .fileBounds(spark.read.parquet(out), Seq("user_id")).collect()
+      val (lo, hi) = (maxUser / 2, maxUser / 2 + maxUser / 16)
+      val touched = b.count(r =>
+        r.getAs[Long]("mn_user_id") <= hi && r.getAs[Long]("mx_user_id") >= lo)
+      println(s"""{"probe":"zorder_write","scale":$k,"wall_sec":${f"$wall%.2f"},""" +
+        s""""files":${b.length},"touched":$touched}""")
+    }
+
+    // ---- pack_sequences / decontaminate: linear in corpus size ----
+    val maxDoc = docsBase.agg(max("doc_id")).head().getLong(0) + 1
+    def grownDocs(k: Int): DataFrame =
+      (0 until k).map(i => docsBase.withColumn("doc_id", col("doc_id") + lit(i * maxDoc)))
+        .reduce(_ unionByName _)
+    for (k <- Seq(1, 4, factor)) {
+      val d = grownDocs(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      time("pack_sequences", k, graft.operators.CurationOps.packSequencesDocs(d))
+      // eval set fixed (first replica's src0 docs): broadcast stays constant
+      // while the train side grows kx
+      time("decontaminate", k, graft.operators.CurationOps.decontaminateDocs(
+        d.withColumn("source",
+          when(col("doc_id") < maxDoc, col("source")).otherwise(lit("train")))))
+      d.unpersist()
+    }
     spark.stop()
   }
 }

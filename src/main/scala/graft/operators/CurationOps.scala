@@ -98,10 +98,14 @@ object CurationOps {
     * (each worker packs its own shard), and it keeps the running-sum
     * window PARTITIONED: one keyed shuffle, no single-partition global
     * ordering at any scale. */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (testable / probe-able). */
+  def packSequencesDocs(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
