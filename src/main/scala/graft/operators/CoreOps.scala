@@ -512,13 +512,16 @@ object CoreOps {
     * to the PRE-aggregated daily frame — the fill cost scales with
     * days×groups, not with the fact. */
   def gapFill(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val daily = o.groupBy(col("o_orderpriority").as("priority"),
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
         to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("n_orders"), Det.sumE2(col("o_totalprice")).as("revenue"))
-    val span = o.agg(to_date(min(col("o_orderdate"))).as("d0"),
-      to_date(max(col("o_orderdate"))).as("d1"))
-    val spine = o.select(col("o_orderpriority").as("priority")).distinct()
+      .persist()
+    // span and group set derive from the ALREADY-aggregated daily frame
+    // (every order lands in daily, so min/max/distinct agree with the
+    // fact) — the fact is scanned exactly once.
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select(col("priority")).distinct()
       .crossJoin(broadcast(span))
       .select(col("priority"), explode(sequence(col("d0"), col("d1"))).as("d"))
     spine.join(daily, Seq("priority", "d"), "left")
