@@ -90,6 +90,37 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming sketch landing — incremental distinct counting on an
+    * unbounded feed: each micro-batch computes per-(day, event_type) HLL
+    * sketches over ITS OWN rows and appends them dt-partitioned — the
+    * streaming producer of [[graft.operators.SketchOps]]'s landed store.
+    * Register-wise-max union makes this sound: the union of per-batch
+    * partials equals the sketch of everything seen (no matter how rows
+    * split across batches), so readers answer "distinct so far" by
+    * merging KB-sized partials — state in the STREAM is zero (stateless
+    * per-batch agg), state in the STORE is sketches, not ids. */
+  def landSketchStream(events: DataFrame, baseDir: String, lgK: Int = 14)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("dt").parquet(baseDir)
+      }
+      .start()
+
+  /** Read a [[landSketchStream]] store back: per-event_type distinct
+    * estimate from merging every landed partial — O(#sketches) cost,
+    * independent of the event volume they summarize. */
+  def mergedSketchEstimate(s: SparkSession, baseDir: String): DataFrame =
+    s.read.parquet(baseDir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("approx_users"))
+      .orderBy("event_type")
+
   /** Stream-stream interval join — the streaming twin of
     * TemporalOps.rangeClickInPurchaseWindow: clicks matched to purchases
     * of the same user within [purchase.ts, purchase.ts + windowMinutes).

@@ -214,6 +214,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sketch landing: merged per-batch partials == exact distinct") {
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)](s)
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_stream").toString
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    val q = EventStreams.landSketchStream(events, dir)
+    try {
+      // users deliberately split so several APPEAR IN BOTH batches and
+      // across days — union must not double-count them
+      input.addData(Seq((1L, t(1, 9), "click"), (2L, t(1, 10), "click"),
+        (1L, t(2, 9), "click"), (3L, t(1, 9), "view")))
+      q.processAllAvailable()
+      input.addData(Seq((2L, t(2, 11), "click"), (4L, t(2, 12), "click"),
+        (3L, t(2, 9), "view"), (3L, t(2, 10), "click")))
+      q.processAllAvailable()
+      val est = EventStreams.mergedSketchEstimate(s, dir).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+      // HLL at lgK=14 is exact at these cardinalities
+      assert(est("click") == 4L, s"click distinct users: $est") // 1,2,3,4
+      assert(est("view") == 1L, s"view distinct users: $est")   // 3
+      // the store really is partials: more landed rows than groups
+      assert(s.read.parquet(dir).count() >
+        EventStreams.mergedSketchEstimate(s, dir).count())
+    } finally q.stop()
+  }
+
   test("streaming dedup: at-least-once re-deliveries collapse to one row each") {
     import s.implicits._
     val input = MemoryStream[(Long, Timestamp, Double)](s)
