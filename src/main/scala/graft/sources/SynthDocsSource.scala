@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSourceV2 connector — a deterministic synthetic documents
+  * table (`doc_id, text, lang, source, n_chars`), the full connector
+  * ladder a real source needs at 100 TB:
+  *
+  *   - **partition planning**: `rows` split into `partitions` disjoint
+  *     id ranges, each read by an independent task — the source scales
+  *     out like a parquet directory does;
+  *   - **column pruning** ([[SupportsPushDownRequiredColumns]]): only
+  *     requested columns are GENERATED — `select(doc_id)` never builds
+  *     a text body (the analogue of not reading parquet pages);
+  *   - **filter pushdown** ([[SupportsPushDownFilters]]): `doc_id`
+  *     range/equality predicates narrow each partition's id range BEFORE
+  *     generation, and fully-covered partitions plan away to nothing —
+  *     the analogue of row-group/partition elision.
+  *
+  * Rows are a pure function of (doc_id, seed): reading twice, at any
+  * parallelism, with any pushdown, yields identical data — the property
+  * every test in the repo leans on for parquet inputs, provided here by
+  * construction. Usage:
+  * `spark.read.format(classOf[SynthDocsSource].getName)
+  *   .option("rows", n).option("partitions", p).option("seed", s).load()`
+  */
+class SynthDocsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDocs.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthDocsTable(
+      java.lang.Long.parseLong(properties.getOrDefault("rows", "1000")),
+      Integer.parseInt(properties.getOrDefault("partitions", "8")),
+      java.lang.Long.parseLong(properties.getOrDefault("seed", "42")))
+}
+
+object SynthDocs {
+  val Schema: StructType = new StructType()
+    .add("doc_id", LongType, nullable = false)
+    .add("text", StringType, nullable = false)
+    .add("lang", StringType, nullable = false)
+    .add("source", StringType, nullable = false)
+    .add("n_chars", LongType, nullable = false)
+
+  private val Langs = Array("en", "en", "en", "de", "es", "fr", "zh")
+  private val Vocab = Array("the", "a", "table", "row", "scan", "merge",
+    "hash", "sort", "key", "value", "batch", "window", "stream", "part",
+    "fast", "slow", "spark", "line", "agg", "join")
+
+  /** splitmix64 — the standard public-domain mix; pure function of x. */
+  def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def textOf(id: Long, seed: Long): String = {
+    val h = mix(id ^ seed)
+    val n = 20 + (Math.floorMod(h, 31L)).toInt // 20..50 tokens
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(Vocab(Math.floorMod(mix(h + i), Vocab.length.toLong).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def langOf(id: Long, seed: Long): String =
+    Langs(Math.floorMod(mix(id ^ seed ^ 7L), Langs.length.toLong).toInt)
+
+  def sourceOf(id: Long): String = "src" + Math.floorMod(id, 20L)
+}
+
+class SynthDocsTable(rows: Long, partitions: Int, seed: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"synth_docs($rows)"
+  override def schema(): StructType = SynthDocs.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthDocsScanBuilder(rows, partitions, seed)
+}
+
+/** Builder accumulating pruning + pushdown, then freezing into a Scan. */
+class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = SynthDocs.Schema
+  private var lo: Long = 0L         // inclusive id bound from pushed filters
+  private var hi: Long = rows - 1L  // inclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve generation-schema field order regardless of projection order
+    required = new StructType(
+      SynthDocs.Schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("doc_id", _: Long) => true
+      case GreaterThan("doc_id", _: Long) => true
+      case GreaterThanOrEqual("doc_id", _: Long) => true
+      case LessThan("doc_id", _: Long) => true
+      case LessThanOrEqual("doc_id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
+      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
+      case LessThan(_, v: Long) => hi = math.min(hi, v - 1)
+      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v)
+      case _ =>
+    }
+    pushed = accepted
+    // ranges are applied EXACTLY, so accepted filters need no re-check;
+    // still return them as residuals-free per the v2 contract (empty =
+    // source guarantees them)
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SynthDocsScan(lo, hi, rows, partitions, seed, required)
+}
+
+class SynthDocsScan(lo: Long, hi: Long, rows: Long, partitions: Int,
+    seed: Long, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SynthDocsScan ids=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // partition the ORIGINAL id space, then clip each split by the pushed
+    // range — fully-excluded splits plan away entirely (partition elision)
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0L until rows by per).flatMap { start =>
+      val s0 = math.max(start, lo)
+      val e0 = math.min(start + per - 1, hi)
+      if (s0 <= e0) Some(SynthDocsPartition(s0, e0, seed): InputPartition) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthDocsReaderFactory(required)
+}
+
+case class SynthDocsPartition(from: Long, to: Long, seed: Long) extends InputPartition
+
+class SynthDocsReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SynthDocsPartition]
+    new PartitionReader[InternalRow] {
+      private var id = sp.from - 1
+      private val cols = required.fieldNames
+      override def next(): Boolean = { id += 1; id <= sp.to }
+      override def get(): InternalRow = {
+        // generate ONLY the pruned columns; text is built at most once
+        lazy val text = SynthDocs.textOf(id, sp.seed)
+        val vals: Array[Any] = cols.map {
+          case "doc_id" => id
+          case "text" => UTF8String.fromString(text)
+          case "lang" => UTF8String.fromString(SynthDocs.langOf(id, sp.seed))
+          case "source" => UTF8String.fromString(SynthDocs.sourceOf(id))
+          case "n_chars" => text.length.toLong
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SynthDocsSource
+
+/** The custom DSv2 connector must behave like a well-partitioned parquet
+  * table: deterministic rows, pruned generation, pushed ranges that elide
+  * whole partitions. */
+class SynthDocsSourceSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  private val fmt = classOf[SynthDocsSource].getName
+
+  private def docs(rows: Long = 1000, parts: Int = 8) =
+    s.read.format(fmt).option("rows", rows).option("partitions", parts).load()
+
+  test("deterministic at any parallelism") {
+    assert(docs().count() == 1000)
+    val a = docs(200, 1).orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = docs(200, 7).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b, "row content must not depend on partitioning")
+    // schema + content sanity: n_chars really is the text length
+    assert(docs(50).filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    assert(docs(50).filter(col("source").rlike("^src[0-9]+$")).count() == 50)
+  }
+
+  test("column pruning reaches the scan (only requested columns generated)") {
+    val plan = docs().select("doc_id", "lang").queryExecution.executedPlan.toString
+    assert(plan.contains("cols=doc_id,lang"), s"pruned scan not planned:\n$plan")
+    assert(!plan.contains("cols=doc_id,text"), "text must be pruned away")
+  }
+
+  test("doc_id range pushdown clips ids and elides partitions") {
+    val q = docs(1000, 8).filter(col("doc_id") >= 900 && col("doc_id") < 950)
+    assert(q.count() == 50)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("ids=[900,949]"), s"range not pushed:\n$scan")
+    // 1000 rows / 8 partitions = 125-id splits; [900,949] lives in ONE
+    val parts = q.rdd.getNumPartitions
+    assert(parts == 1, s"expected 1 surviving partition, got $parts")
+    // equality prunes to a single id
+    val one = docs(1000, 8).filter(col("doc_id") === 123L)
+    assert(one.count() == 1 &&
+      one.queryExecution.executedPlan.toString.contains("ids=[123,123]"))
+    // contradictory range plans to zero partitions, zero rows
+    val none = docs(1000, 8).filter(col("doc_id") > 800 && col("doc_id") < 700)
+    assert(none.count() == 0 && none.rdd.getNumPartitions == 0)
+  }
+
+  test("unsupported predicates still filter correctly (residual evaluation)") {
+    val q = docs(300, 4).filter(col("lang") === "en" && col("doc_id") < 100)
+    val manual = docs(300, 4).collect()
+      .filter(r => r.getAs[String]("lang") == "en" && r.getAs[Long]("doc_id") < 100)
+    assert(q.count() == manual.length)
+  }
+}
