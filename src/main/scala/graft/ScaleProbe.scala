@@ -99,6 +99,16 @@ object ScaleProbe {
           when(col("doc_id") < maxDoc, col("source")).otherwise(lit("train")))))
       d.unpersist()
     }
+
+    // ---- connector-fed dedup: generated corpora through MinHash-LSH ----
+    // The DSv2 source generates rows in-task (no I/O), so this measures
+    // the OPERATOR pipeline itself — native signature expression + banded
+    // bucket join — at corpus sizes testdata doesn't reach.
+    for (n <- Seq(100000, 1000000)) {
+      val d = spark.read.format(classOf[graft.sources.SynthDocsSource].getName)
+        .option("rows", n).option("partitions", 64).load()
+      time("synth_minhash_lsh", n, graft.operators.DedupOps.minhashCandidates(d))
+    }
     spark.stop()
   }
 }
