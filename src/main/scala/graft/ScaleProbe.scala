@@ -81,6 +81,10 @@ object ScaleProbe {
         r.getAs[Long]("mn_user_id") <= hi && r.getAs[Long]("mx_user_id") >= lo)
       println(s"""{"probe":"zorder_write","scale":$k,"wall_sec":${f"$wall%.2f"},""" +
         s""""files":${b.length},"touched":$touched}""")
+      // probes are throwaway landings — reclaim the disk immediately
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
     }
 
     // ---- pack_sequences / decontaminate: linear in corpus size ----

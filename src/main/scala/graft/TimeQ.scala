@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Per-query timing harness for iteration: `runMain graft.TimeQ <sfDir>
   * <name1,name2> [reps]` — same session shape as [[Bench]], prints each
   * rep's wall time so plan-vs-noise is visible while tuning. */
@@ -11,15 +9,7 @@ object TimeQ {
     val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq())
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("graft.scan.repartition", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Dev.session(cpus)
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
     names.foreach { name =>

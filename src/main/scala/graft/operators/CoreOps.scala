@@ -510,7 +510,13 @@ object CoreOps {
     * sequence(min_day, max_day) × distinct priorities, generated from a
     * single-row broadcast aggregate (never a driver collect) and joined
     * to the PRE-aggregated daily frame — the fill cost scales with
-    * days×groups, not with the fact. */
+    * days×groups, not with the fact.
+    *
+    * The tiny daily aggregate is persisted so its three consumers cost
+    * ONE fact scan (Spark has no CTE sharing; unpersisted, Catalyst
+    * plans three column-pruned fact scans). Caller-clears contract as
+    * elsewhere in the repo: the entry points (Verify/Bench/TimeQ) run
+    * `spark.catalog.clearCache()` after consuming each query. */
   def gapFill(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority").as("priority"),
@@ -519,7 +525,7 @@ object CoreOps {
       .persist()
     // span and group set derive from the ALREADY-aggregated daily frame
     // (every order lands in daily, so min/max/distinct agree with the
-    // fact) — the fact is scanned exactly once.
+    // fact).
     val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val spine = daily.select(col("priority")).distinct()
       .crossJoin(broadcast(span))

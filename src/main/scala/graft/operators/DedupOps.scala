@@ -28,15 +28,23 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("h")
 
-  /** doc_id + distinct word-k-gram shingles, exploded. */
-  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = transform(
+  /** Word-k-gram array over a text column — THE gram definition, shared
+    * by [[shingles]] and [[graft.operators.TextOps.ngramCounts]] (and
+    * mirrored by their oracle SQL) so tokenization can never diverge
+    * between operators. Multiplicity kept; wrap in `array_distinct` for
+    * set semantics. */
+  def wordGrams(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    transform(
       sequence(lit(0), size(w) - k),
       i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))
-    docs.filter(size(w) >= k)
-      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
+
+  /** doc_id + distinct word-k-gram shingles, exploded. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(col("text"), k))).as("shingle"))
 
   val MinhashK = graft.functions.MinHash32.K // 32: 8 bands x 4 rows
   val MinhashBands = 8

@@ -52,7 +52,9 @@ object LayoutOps {
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], outPath: String,
       numFiles: Int, bits: Int = ZBits): Unit = {
-    require(!df.columns.contains("_z"), "zorderWrite reserves the column name '_z'")
+    val reserved = "_z" +: cols.flatMap(c => Seq(s"_mn_$c", s"_mx_$c"))
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"zorderWrite reserves column names ${clash.mkString(", ")}")
     val aggCols = cols.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
     val agg = df.agg(aggCols.head, aggCols.tail: _*)
     val dims = cols.map(c => normalize(col(c), col(s"_mn_$c"), col(s"_mx_$c"), bits))
@@ -78,7 +80,11 @@ object LayoutOps {
   def zorderLayout(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(s, dir)
       .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
-    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // ONE overwrite-mode landing per (session, input dir): re-invocation
+    // redoes the write (it IS the operator) but never grows /tmp
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_zorder_${s.sparkContext.applicationId}_${dir.hashCode.toHexString}").toString
     zorderWrite(ev, Seq("user_id", "us"), out, numFiles = 8)
     fileBounds(s.read.parquet(out), Seq("user_id", "us"))
       .drop("file")

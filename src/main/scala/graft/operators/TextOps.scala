@@ -219,18 +219,15 @@ object TextOps {
     * frequency with a total-order tiebreak. The vocabulary/boilerplate
     * census pass of a training-data pipeline; the distinct-doc count
     * rides the same shuffle as the total. */
-  def ngramCounts(s: SparkSession, dir: String, k: Int = 2, topN: Int = 100): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = transform(sequence(lit(0), size(w) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))
+  def ngramCounts(s: SparkSession, dir: String, k: Int = 2, topN: Int = 100): DataFrame =
     Tables.documents(s, dir)
-      .filter(size(w) >= k)
-      .select(col("doc_id"), explode(grams).as("ngram"))
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        explode(DedupOps.wordGrams(col("text"), k)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_total").desc, col("ngram"))
       .limit(topN)
-  }
 
   val ChunkSize = 200
   val ChunkStride = 150

@@ -122,9 +122,14 @@ class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
     }
     accepted.foreach {
       case EqualTo(_, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
-      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+      // strict bounds at Long extremes must SATURATE, not wrap — a wrapped
+      // `v + 1` would silently turn an always-false predicate into all-rows
+      // (the filter is accepted, so Spark never re-checks it)
+      case GreaterThan(_, v: Long) =>
+        if (v == Long.MaxValue) { lo = 1; hi = 0 } else lo = math.max(lo, v + 1)
       case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
-      case LessThan(_, v: Long) => hi = math.min(hi, v - 1)
+      case LessThan(_, v: Long) =>
+        if (v == Long.MinValue) { lo = 1; hi = 0 } else hi = math.min(hi, v - 1)
       case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v)
       case _ =>
     }

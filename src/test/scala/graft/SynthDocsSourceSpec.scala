@@ -46,6 +46,10 @@ class SynthDocsSourceSpec extends AnyFunSuite {
     // contradictory range plans to zero partitions, zero rows
     val none = docs(1000, 8).filter(col("doc_id") > 800 && col("doc_id") < 700)
     assert(none.count() == 0 && none.rdd.getNumPartitions == 0)
+    // strict bounds at the Long extremes saturate (no wraparound back to
+    // all-rows: the filter is accepted, Spark won't re-check it)
+    assert(docs(1000, 8).filter(col("doc_id") > Long.MaxValue).count() == 0)
+    assert(docs(1000, 8).filter(col("doc_id") < Long.MinValue).count() == 0)
   }
 
   test("unsupported predicates still filter correctly (residual evaluation)") {
