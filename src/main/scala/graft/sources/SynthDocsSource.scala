@@ -5,7 +5,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -99,12 +101,13 @@ class SynthDocsTable(rows: Long, partitions: Int, seed: Long)
 /** Builder accumulating pruning + pushdown, then freezing into a Scan. */
 class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = SynthDocs.Schema
   private var lo: Long = 0L         // inclusive id bound from pushed filters
   private var hi: Long = rows - 1L  // inclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[Seq[Any]] = None // answered from metadata
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve generation-schema field order regardless of projection order
@@ -142,7 +145,65 @@ class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SynthDocsScan(lo, hi, rows, partitions, seed, required)
+  /** COUNT(*) / COUNT(doc_id) / MIN(doc_id) / MAX(doc_id) are pure
+    * functions of the (filter-clipped) id range — answered from METADATA
+    * with zero row generation, the analogue of answering from parquet
+    * footer stats. Runs AFTER filter pushdown per the v2 contract, so
+    * the clipped [lo,hi] is what gets summarized. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggAnswer(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = aggAnswer(agg)
+    aggResult.isDefined
+  }
+
+  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+
+  private def aggAnswer(agg: Aggregation): Option[Seq[Any]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val n = math.max(0L, hi - lo + 1)
+    val vals = agg.aggregateExpressions.map {
+      case _: CountStar => Some(n)
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if isDocId(c.column) && !c.isDistinct => Some(n)
+      case m: Min if isDocId(m.column) => Some(if (n == 0) null else lo)
+      case m: Max if isDocId(m.column) => Some(if (n == 0) null else hi)
+      case _ => None
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get).toSeq) else None
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some(row) => new SynthDocsAggScan(lo, hi, row)
+    case None => new SynthDocsScan(lo, hi, rows, partitions, seed, required)
+  }
+}
+
+/** Metadata-answered aggregate: one partition, one pre-computed row. */
+class SynthDocsAggScan(lo: Long, hi: Long, row: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = {
+    var st = new StructType()
+    row.indices.foreach(i => st = st.add(s"agg_$i", LongType, nullable = true))
+    st
+  }
+  override def toBatch: Batch = this
+  override def description(): String = s"SynthDocsAggScan ids=[$lo,$hi] metadata-only"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthDocsPartition(0, 0, 0))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val vals = row.toArray
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(vals.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class SynthDocsScan(lo: Long, hi: Long, rows: Long, partitions: Int,

@@ -52,6 +52,30 @@ class SynthDocsSourceSpec extends AnyFunSuite {
     assert(docs(1000, 8).filter(col("doc_id") < Long.MinValue).count() == 0)
   }
 
+  test("aggregate pushdown answers COUNT/MIN/MAX from metadata (no generation)") {
+    // a trillion virtual rows: any plan that actually generates rows
+    // cannot finish; metadata answering must
+    val trillion = s.read.format(fmt)
+      .option("rows", "1000000000000").option("partitions", 8).load()
+    val r = trillion.agg(count(lit(1)), min("doc_id"), max("doc_id")).collect().head
+    assert(r.getLong(0) == 1000000000000L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 999999999999L)
+    // composes with filter pushdown: the clipped range is summarized
+    val f = trillion.filter(col("doc_id") >= 500 && col("doc_id") < 1500)
+      .agg(count(lit(1)), min("doc_id"), max("doc_id")).collect().head
+    assert(f.getLong(0) == 1000L && f.getLong(1) == 500L && f.getLong(2) == 1499L)
+    assert(trillion.agg(count(lit(1))).queryExecution.executedPlan.toString
+      .contains("metadata-only"))
+    // empty range: count 0, null min/max
+    val e = trillion.filter(col("doc_id") < 0)
+      .agg(count(lit(1)), min("doc_id"), max("doc_id")).collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+    // grouped or non-range aggregates fall back to real generation
+    val g = docs(300, 4).groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(g.agg(sum("n")).collect().head.getLong(0) == 300L)
+    assert(!g.queryExecution.executedPlan.toString.contains("metadata-only"))
+  }
+
   test("unsupported predicates still filter correctly (residual evaluation)") {
     val q = docs(300, 4).filter(col("lang") === "en" && col("doc_id") < 100)
     val manual = docs(300, 4).collect()
