@@ -370,6 +370,16 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY 1)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        |  CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY f.cohort, date_diff('day', cohort, d)
+        |ORDER BY cohort, day_offset""".stripMargin,
+
     "scd2_history" ->
       """WITH e AS (SELECT event_id, user_id, event_type AS state, epoch_ns(ts)//1000 AS us FROM events),
         |l AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),

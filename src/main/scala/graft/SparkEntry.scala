@@ -59,6 +59,7 @@ object SparkEntry {
     "gap_fill" -> (CoreOps.gapFill(_, _)),
     "rolling_revenue" -> (CoreOps.rollingRevenue(_, _)),
     "mode_agg" -> (CoreOps.modeAgg(_, _)),
+    "retention" -> (CoreOps.retention(_, _)),
     "quantile_buckets" -> (CoreOps.quantileBuckets(_, _)),
     "event_path" -> (CoreOps.eventPath(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),
@@ -89,6 +90,7 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
     "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s, d)),
     "doc_chunk" -> (TextOps.docChunk(_, _)),
+    "text_winnow" -> (TextOps.textWinnow(_, _)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
     "decontaminate" -> (CurationOps.decontaminate(_, _)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),

@@ -229,6 +229,29 @@ object TextOps {
       .orderBy(col("n_total").desc, col("ngram"))
       .limit(topN)
 
+  val WinnowK = 3 // tokens per gram
+  val WinnowW = 4 // hashes per winnowing window
+
+  /** #34g text_winnow (*rows-only*: 64-bit xxhash not portable to the
+    * oracle) — winnowing fingerprints (the MOSS scheme): k-gram rolling
+    * hashes, minimum of each w-hash window, consecutive duplicates
+    * collapsed. Guarantee: any shared run of ≥ w+k-1 tokens between two
+    * documents shares at least one fingerprint, while only ~2/(w+1) of
+    * hashes are kept. Pure projection + explode over [[DedupOps
+    * .wordGrams]] — fuses into the scan, zero shuffle. */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (testable). */
+  def winnowDocs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    val hs = transform(DedupOps.wordGrams(col("text"), k), g => xxhash64(g))
+    val wins = transform(sequence(lit(0), size(hs) - w),
+      i => array_min(slice(hs, i + 1, lit(w))))
+    docs.filter(size(split(col("text"), " ")) >= k + w - 1)
+      .select(col("doc_id"), explode(array_distinct(wins)).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
   val ChunkSize = 200
   val ChunkStride = 150
 

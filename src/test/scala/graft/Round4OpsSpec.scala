@@ -103,6 +103,39 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe, got:\n$plan")
   }
 
+  test("retention: day-0 cell equals cohort size; actives never exceed it") {
+    val r = CoreOps.retention(s, sf).cache()
+    // every cohort has a day-0 row (the users' own first day)
+    val cohorts = r.filter(col("day_offset") === 0)
+    assert(cohorts.count() == r.select("cohort").distinct().count())
+    // no later day can retain more users than day 0 of the same cohort
+    val d0 = cohorts.select(col("cohort"), col("n_active").as("n0"))
+    assert(r.join(d0, "cohort").filter(col("n_active") > col("n0")).count() == 0)
+    // total day-0 users == total distinct users
+    val users = Tables.eventsMicros(s, sf).select("user_id").distinct().count()
+    assert(cohorts.agg(sum("n_active")).head.getLong(0) == users)
+    r.unpersist()
+  }
+
+  test("winnowing: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    import s.implicits._
+    val leak = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val docs = Seq(
+      (1L, s"one two three $leak four five six"),
+      (2L, s"$leak seven eight nine ten eleven"),
+      (3L, "totally unrelated words that never overlap with anything else"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowDocs(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.map(_.getAs[Long]("fp")).toSet)
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared 6-token run must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty, "unrelated docs must not collide")
+    // compression: strictly fewer fingerprints than grams
+    val grams1 = docs.filter($"doc_id" === 1L)
+      .select(explode(graft.operators.DedupOps.wordGrams(col("text"), TextOps.WinnowK)))
+      .count()
+    assert(fp(1L).size < grams1)
+  }
+
   test("pack_sequences: in-shard layout is gapless and within budget") {
     val p = CurationOps.packSequences(s, sf).cache()
     assert(p.filter(col("seq_offset") >= CurationOps.PackBudget).count() == 0)
