@@ -281,13 +281,17 @@ object DedupOps {
       val viaNeighbor = adj
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
+      // provenance-tagged union: the row's OWN previous label rides the
+      // same aggregation (max over the single own=true row), so the
+      // convergence check is a filter over THIS checkpointed frame — no
+      // second join per round
+      val next = labels.withColumn("own", lit(true))
+        .union(viaNeighbor.withColumn("own", lit(false)))
+        .groupBy("id").agg(min("label").as("label"),
+          max(when(col("own"), col("label"))).as("old"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       i += 1
     }
