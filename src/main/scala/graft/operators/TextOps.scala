@@ -244,10 +244,16 @@ object TextOps {
 
   /** Core on any documents-shaped frame (testable). */
   def winnowDocs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    val hs = transform(DedupOps.wordGrams(col("text"), k), g => xxhash64(g))
-    val wins = transform(sequence(lit(0), size(hs) - w),
-      i => array_min(slice(hs, i + 1, lit(w))))
+    // hs MUST be materialized as its own projection: inlining it into the
+    // window lambda makes Catalyst re-evaluate the whole gram+hash array
+    // construction per window index — O(tokens²) string work per doc
+    // (measured 25 s vs ~1 s at sf0.1). As a column reference it is built
+    // once per row and each window is an O(w) slice.
+    val wins = transform(sequence(lit(0), size(col("hs")) - w),
+      i => array_min(slice(col("hs"), i + 1, lit(w))))
     docs.filter(size(split(col("text"), " ")) >= k + w - 1)
+      .select(col("doc_id"),
+        transform(DedupOps.wordGrams(col("text"), k), g => xxhash64(g)).as("hs"))
       .select(col("doc_id"), explode(array_distinct(wins)).as("fp"))
       .orderBy("doc_id", "fp")
   }
