@@ -525,6 +525,20 @@ object OracleSql {
         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM l ORDER BY user_id, us, event_id""".stripMargin,
 
+    "sessionize_stats" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us, value FROM events),
+         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+         |sess AS (SELECT event_id, user_id, us, value,
+         |  CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |FROM l)
+         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+         |  CAST(MIN(us) AS BIGINT) AS start_us,
+         |  ${sumE2("value")} AS total_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000 AS us FROM events),
         |l AS (SELECT event_id, user_id, us FROM e WHERE event_type='click'),

@@ -66,6 +66,7 @@ object SparkEntry {
     "unpivot_events" -> (CoreOps.unpivotEvents(_, _)),
     "window_time_range" -> (CoreOps.windowTimeRange(_, _)),
     "sessionize" -> (CoreOps.sessionize(_, _)),
+    "sessionize_stats" -> (CoreOps.sessionizeStats(_, _)),
     "asof_join" -> (TemporalOps.asofClickPurchase(_, _)),
     "asof_join_native" -> (TemporalOps.asofClickPurchaseNative(_, _)),
     "range_join" -> (TemporalOps.rangeClickInPurchaseWindow(_, _)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "text_winnow" -> (TextOps.textWinnow(_, _)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
     "decontaminate" -> (CurationOps.decontaminate(_, _)),
+    "dataset_split" -> ((s, d) => CurationOps.datasetSplit(s, d)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),
     "mm_features" -> (MultimodalOps.mmFeatures(_, _)),
     "mm_frames" -> (MultimodalOps.mmFrameSample(_, _)),

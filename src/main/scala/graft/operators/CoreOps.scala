@@ -487,7 +487,14 @@ object CoreOps {
   /** #23 sessionize — 30-minute-gap sessionization via lag + running sum
     * over the bounded user_id key (the batch twin of stateful streaming
     * sessionization; state per user is O(1)). */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .select("event_id", "user_id", "session_id")
+      .orderBy("user_id", "us", "event_id")
+
+  /** Shared sessionization core: every event with its session label and
+    * the (us, value) columns downstream rollups need. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     val us = expr("ts div 1000") // epoch-ns → µs, same truncation as the oracle
     val wLag = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -498,9 +505,21 @@ object CoreOps {
         when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("is_new")).over(wRun))
-      .select("event_id", "user_id", "session_id")
-      .orderBy("user_id", "us", "event_id")
   }
+
+  /** #23g sessionize_stats — per-session rollup composed ON the session
+    * labels: event count, duration, exact-cents value total, start time.
+    * The added groupBy keys on (user_id, session_id) — the same user_id
+    * key family the sessionize window already hash-partitioned on, so
+    * the partial agg runs on co-located data. */
+  def sessionizeStats(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        min(col("us")).as("start_us"),
+        Det.sumE2(col("value")).as("total_value"))
+      .orderBy("user_id", "session_id")
 
   /** #19j scd2_history — type-2 slowly-changing-dimension build from a
     * change log: collapse consecutive identical states per key, emit one

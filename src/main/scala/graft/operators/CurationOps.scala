@@ -86,6 +86,23 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** #35h dataset_split (*rows-only*: the 64-bit keyed hash is not
+    * oracle-portable) — deterministic train/val/test assignment: the
+    * split is a pure function of (doc_id, seed), so it is stable across
+    * reruns, partitionings and cluster sizes, and ADDING documents never
+    * flips an existing document's split (the eval-set stability contract
+    * a training pipeline needs). 98/1/1 by hash bucket; map-side only,
+    * zero shuffle. */
+  def datasetSplit(s: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    val bucket = pmod(xxhash64(col("doc_id"), lit(seed)), lit(10000L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(bucket < 100, "test").when(bucket < 200, "val")
+          .otherwise("train").as("split"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val PackBudget = 512L
   val PackShards = 32L
 

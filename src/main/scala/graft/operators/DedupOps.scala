@@ -281,12 +281,20 @@ object DedupOps {
       val viaNeighbor = adj
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
+      // pointer jump (path halving): also adopt the label OF my label —
+      // labels reach fixpoint in O(log diameter) rounds instead of
+      // O(diameter), so a long path can never exhaust maxIter
+      val viaParent = labels.as("a")
+        .join(labels.select(col("id").as("label"), col("label").as("ll")).as("b"),
+          Seq("label"))
+        .select(col("id"), col("ll").as("label"))
       // provenance-tagged union: the row's OWN previous label rides the
       // same aggregation (max over the single own=true row), so the
       // convergence check is a filter over THIS checkpointed frame — no
-      // second join per round
+      // extra compare join per round
       val next = labels.withColumn("own", lit(true))
         .union(viaNeighbor.withColumn("own", lit(false)))
+        .union(viaParent.withColumn("own", lit(false)))
         .groupBy("id").agg(min("label").as("label"),
           max(when(col("own"), col("label"))).as("old"))
         .localCheckpoint()

@@ -183,6 +183,15 @@ class DedupSpec extends AnyFunSuite {
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
   }
 
+  test("connected components: a 100-node path converges (pointer jumping beats diameter)") {
+    import s.implicits._
+    // diameter 99 >> maxIter 20: pure one-hop min-label propagation would
+    // raise; path halving needs ~log2(99) + c rounds
+    val edges = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(edges).collect()
+    assert(labels.length == 100 && labels.forall(_.getAs[Long]("label") == 0L))
+  }
+
   test("dedup_clusters: every doc labeled, pairs co-clustered, keepers are minima") {
     val clusters = DedupOps.dedupClusters(s, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap

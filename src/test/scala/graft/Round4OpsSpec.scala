@@ -136,6 +136,37 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(fp(1L).size < grams1)
   }
 
+  test("sessionize_stats: session totals cover every event; durations fit the gap rule") {
+    val stats = CoreOps.sessionizeStats(s, sf).cache()
+    val events = Tables.events(s, sf).count()
+    assert(stats.agg(sum("n_events")).head.getLong(0) == events,
+      "every event belongs to exactly one session")
+    // a session's span is bounded by (n_events-1) x the 30-min gap
+    assert(stats.filter(
+      col("duration_us") > (col("n_events") - 1) * lit(1800L * 1000000L)).count() == 0)
+    assert(stats.filter(col("duration_us") < 0).count() == 0)
+    stats.unpersist()
+  }
+
+  test("dataset_split: deterministic, exhaustive, growth-stable eval set") {
+    val a = CurationOps.datasetSplit(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val b = CurationOps.datasetSplit(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a == b, "split must be a pure function of (doc_id, seed)")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // growth stability: the sf0.001 corpus is a prefix of larger corpora in
+    // id space — its docs' splits must not depend on corpus size, so any
+    // subset keeps identical assignments (pure per-row function, no stats)
+    val n = a.size
+    val third = a.keys.toSeq.sorted.take(n / 3).toSet
+    val sub = CurationOps.datasetSplit(s, sf).filter(col("doc_id").isInCollection(third))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(sub == a.view.filterKeys(third).toMap)
+    // rough rate sanity at small n: train dominates
+    assert(a.values.count(_ == "train") > n * 9 / 10)
+  }
+
   test("pack_sequences: in-shard layout is gapless and within budget") {
     val p = CurationOps.packSequences(s, sf).cache()
     assert(p.filter(col("seq_offset") >= CurationOps.PackBudget).count() == 0)
