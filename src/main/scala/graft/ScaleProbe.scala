@@ -82,9 +82,11 @@ object ScaleProbe {
       println(s"""{"probe":"zorder_write","scale":$k,"wall_sec":${f"$wall%.2f"},""" +
         s""""files":${b.length},"touched":$touched}""")
       // probes are throwaway landings — reclaim the disk immediately
-      java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      // (walk streams hold directory handles; close them)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
     }
 
     // ---- pack_sequences / decontaminate: linear in corpus size ----

@@ -422,16 +422,17 @@ object CoreOps {
 
   /** #23f retention — cohort retention: each user joins the cohort of
     * their FIRST active day; every (cohort, day-offset) cell counts the
-    * distinct users still active that day. Two aggregations and one join,
-    * all hash-partitioned on user_id (the per-day distinct frame and the
-    * cohort frame co-partition, so the join adds no extra exchange);
-    * the output is bounded by days², never by the fact. */
+    * distinct users still active that day. The cohort attaches via a
+    * user_id-partitioned window min over the per-(user, day) DISTINCT
+    * frame — no cohort self-join; the plan is the distinct's shuffle,
+    * one window exchange on user_id, and the final cell aggregation.
+    * Output is bounded by days², never by the fact. */
   def retention(s: SparkSession, dir: String): DataFrame = {
     val active = Tables.eventsMicros(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
-    val cohorts = active.groupBy("user_id").agg(min(col("d")).as("cohort"))
-    active.join(cohorts, "user_id")
+    active
+      .withColumn("cohort", min(col("d")).over(Window.partitionBy("user_id")))
       .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
       .select(col("cohort").cast("timestamp_ntz").as("cohort"),

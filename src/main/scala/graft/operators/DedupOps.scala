@@ -32,12 +32,16 @@ object DedupOps {
     * by [[shingles]] and [[graft.operators.TextOps.ngramCounts]] (and
     * mirrored by their oracle SQL) so tokenization can never diverge
     * between operators. Multiplicity kept; wrap in `array_distinct` for
-    * set semantics. */
+    * set semantics. Total: texts with fewer than k tokens yield an empty
+    * array (without the guard, sequence(0, size-k) would run DESCENDING
+    * and element_at would hit index 0 — a mid-job crash). */
   def wordGrams(text: Column, k: Int): Column = {
     val w = split(text, " ")
-    transform(
-      sequence(lit(0), size(w) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))
+    when(size(w) >= k,
+      transform(
+        sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** doc_id + distinct word-k-gram shingles, exploded. */
