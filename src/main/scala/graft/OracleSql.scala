@@ -692,6 +692,80 @@ object OracleSql {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    "repetition_stats" -> {
+      import graft.operators.TextOps.{RepMaxDupBigram, RepMaxTopWord}
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |b AS (SELECT doc_id, w,
+         |  list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS g
+         |FROM t),
+         |c AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS words_n,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS uniq_words,
+         |  CAST(len(g) AS BIGINT) AS bigrams_n,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS uniq_bigrams,
+         |  CAST(list_max(list_transform(list_distinct(w),
+         |    x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_n
+         |FROM b),
+         |m AS (SELECT doc_id, words_n, uniq_words, bigrams_n, top_word_n,
+         |  CAST(words_n - uniq_words AS DOUBLE)/words_n AS dup_word_frac,
+         |  CASE WHEN bigrams_n > 0
+         |    THEN CAST(bigrams_n - uniq_bigrams AS DOUBLE)/bigrams_n
+         |    ELSE 0.0 END AS dup_bigram_frac,
+         |  CAST(top_word_n AS DOUBLE)/words_n AS top_word_frac
+         |FROM c)
+         |SELECT *, dup_bigram_frac <= $RepMaxDupBigram AND top_word_frac <= $RepMaxTopWord AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "bm25_topk" -> {
+      import graft.operators.RetrievalOps.{QueryTerms, K1, B, TopK}
+      // interpolating the Scala doubles guarantees the SQL literal parses
+      // back to the IDENTICAL double (shortest-roundtrip repr)
+      val k1p1 = K1 + 1
+      val tfs = QueryTerms.map(t =>
+        s"CAST(len(list_filter(w, y -> y = '$t')) AS BIGINT) AS tf_$t").mkString(",\n  ")
+      val dfs = QueryTerms.map(t =>
+        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n  ")
+      // every mixed term forces DOUBLE: DuckDB parses bare decimal
+      // literals as exact DECIMALs, and BIGINT±DECIMAL math is exact —
+      // not the IEEE chain Spark computes — unless one operand is DOUBLE
+      val score = QueryTerms.map(t =>
+        s"(CAST(n - df_$t AS DOUBLE) + 0.5)/(CAST(df_$t AS DOUBLE) + 0.5)*(CAST(tf_$t AS DOUBLE)*$k1p1)/(CAST(tf_$t AS DOUBLE) + $K1*(1.0 - $B + $B*(CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n))))")
+        .mkString(" + ")
+      val tfList = QueryTerms.map(t => s"tf_$t").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |  $tfs
+         |FROM t),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+         |  $dfs
+         |FROM d),
+         |sc AS (SELECT doc_id, dl, $tfList,
+         |  $score AS score
+         |FROM d CROSS JOIN st),
+         |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT $TopK)
+         |SELECT doc_id, dl, $tfList, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |FROM top ORDER BY rnk""".stripMargin
+    },
+
+    "source_mix" ->
+      """WITH per AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS docs_n,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens_n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_n
+        |FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, docs_n, tokens_n, chars_n,
+        |  CAST(tokens_n AS DOUBLE)/SUM(tokens_n) OVER () AS token_share
+        |FROM per ORDER BY source, lang""".stripMargin,
+
+    "embedding_centroids" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000.0+0.5) AS BIGINT) AS v6
+        |FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v6) AS DOUBLE)/COUNT(*)/1000000.0 AS centroid
+        |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

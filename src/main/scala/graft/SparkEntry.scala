@@ -92,6 +92,11 @@ object SparkEntry {
     "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s, d)),
     "doc_chunk" -> (TextOps.docChunk(_, _)),
     "text_winnow" -> (TextOps.textWinnow(_, _)),
+    "repetition_stats" -> (TextOps.repetitionStats(_, _)),
+    "bm25_topk" -> ((s, d) => RetrievalOps.bm25Topk(s, d)),
+    "source_mix" -> (CurationOps.sourceMix(_, _)),
+    "mixture_sample" -> ((s, d) => CurationOps.mixtureSample(s, d)),
+    "embedding_centroids" -> (SimilarityOps.embeddingCentroids(_, _)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
     "decontaminate" -> (CurationOps.decontaminate(_, _)),
     "dataset_split" -> ((s, d) => CurationOps.datasetSplit(s, d)),

@@ -103,6 +103,60 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** source_mix — the data-mixture accounting pass: per (source, lang)
+    * document / token / char totals plus each cell's share of corpus
+    * tokens. ONE partial-agg shuffle on the fact; the share divides by a
+    * window total over the COLLAPSED frame (bounded by sources × langs,
+    * like the per-country aggregate — never the fact), so the corpus is
+    * scanned exactly once. Token sums are exact longs; the one division
+    * at the edge keeps shares deterministic. */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs_n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_n"),
+        sum(col("n_chars")).as("chars_n"))
+    // unpartitioned window over ≤ sources×langs rows — dimension-bounded
+    val tot = sum(col("tokens_n")).over(Window.partitionBy())
+    per.select(col("source"), col("lang"), col("docs_n"), col("tokens_n"),
+        col("chars_n"),
+        (col("tokens_n").cast("double") / tot).as("token_share"))
+      .orderBy("source", "lang")
+  }
+
+  val MixAlpha = 0.5   // temperature exponent: p_i ∝ n_i^alpha
+  val MixBudget = 0.5  // keep ~half the corpus overall
+
+  /** mixture_sample (*rows-only*: pow + 64-bit keyed hash are not
+    * oracle-portable) — temperature-based mixture resampling, the
+    * multilingual-training rebalancing step: source i is kept at a rate
+    * making expected contributions ∝ n_i^[[MixAlpha]] (big sources
+    * down-weighted, small ones kept nearly whole), normalized so the
+    * total expected keep is [[MixBudget]] of the corpus. Rates derive
+    * from ONE partial-agg count per source and ride back on a broadcast
+    * join; the accept decision is the same xxhash64(doc_id, seed) coin
+    * as stratified_sample, so the kept set is reproducible across
+    * reruns, partitionings, and corpus growth of OTHER sources. */
+  def mixtureSample(s: SparkSession, dir: String,
+      alpha: Double = MixAlpha, budget: Double = MixBudget,
+      seed: Long = 42L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("src_n"))
+    // normalizer Z = Σ n_i^alpha over the ≤ |sources| collapsed rows
+    val z = sum(pow(col("src_n").cast("double"), alpha)).over(Window.partitionBy())
+    val total = sum(col("src_n")).over(Window.partitionBy())
+    val rates = counts.select(col("source"), col("src_n"),
+      least(lit(1.0),
+        pow(col("src_n").cast("double"), alpha) / z *
+          (total.cast("double") * budget) / col("src_n")).as("rate"))
+    val u = pmod(xxhash64(col("doc_id"), lit(seed)), lit(1048576L))
+      .cast("double") / lit(1048576.0)
+    docs.join(broadcast(rates), "source")
+      .filter(u < col("rate"))
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val PackBudget = 512L
   val PackShards = 32L
 

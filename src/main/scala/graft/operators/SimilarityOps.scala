@@ -161,4 +161,23 @@ object SimilarityOps {
       .select("q_id", "n_id", "cos_sim", "rnk")
       .orderBy("q_id", "rnk")
   }
+
+  /** embedding_centroids — per-label centroid of the embedding column,
+    * element-wise: posexplode to (label, dim, component), scale each
+    * component to an exact e6 integer at the ROW level, sum the integers
+    * (one partial-agg shuffle on (label, dim) — map-side combine makes
+    * shuffle bytes labels × dims × executors, never the corpus), divide
+    * back to a double once at the edge. The cluster-summary pass of an
+    * embedding pipeline (and the exact twin of what annIvf's kmeans fit
+    * iterates); deterministic → fully oracle-checkable. */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("v6")).as("sum_e6"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("sum_e6").cast("double") / col("n") / lit(1000000.0)).as("centroid"))
+      .orderBy("label", "dim")
 }

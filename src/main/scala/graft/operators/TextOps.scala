@@ -258,6 +258,46 @@ object TextOps {
       .orderBy("doc_id", "fp")
   }
 
+  val RepMaxDupBigram = 0.5  // Gopher-style duplicate-bigram gate
+  val RepMaxTopWord = 0.1    // max share of any single word
+
+  /** #34h repetition_stats — Gopher-style per-document repetition gates:
+    * duplicate-word fraction, duplicate-bigram fraction, and the share of
+    * the single most frequent word. Looping generators and boilerplate
+    * score high on all three; the keep flag composes the bigram and
+    * top-word gates. Everything is computed from arrays materialized ONCE
+    * per row (array_distinct / lambda counting — no explode, no shuffle),
+    * so at 100 TB this fuses into the ingest scan like the other text
+    * filters. Exact-integer counts → one division at the edge keeps the
+    * doubles bit-identical to the oracle. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    // materialize w and g as columns: referencing an array-BUILDING
+    // expression inside the counting lambdas would re-evaluate it per
+    // element (the winnowing lesson, SURVEY §5)
+    val arrs = Tables.documents(s, dir).select(col("doc_id"),
+      split(col("text"), " ").as("w"),
+      DedupOps.wordGrams(col("text"), 2).as("g"))
+    val counts = arrs.select(col("doc_id"),
+      size(col("w")).cast("long").as("words_n"),
+      size(array_distinct(col("w"))).cast("long").as("uniq_words"),
+      size(col("g")).cast("long").as("bigrams_n"),
+      size(array_distinct(col("g"))).cast("long").as("uniq_bigrams"),
+      array_max(transform(array_distinct(col("w")),
+        x => size(filter(col("w"), y => y === x)))).cast("long").as("top_word_n"))
+    val dupWord = (col("words_n") - col("uniq_words")).cast("double") / col("words_n")
+    val dupBigram = when(col("bigrams_n") > 0,
+      (col("bigrams_n") - col("uniq_bigrams")).cast("double") / col("bigrams_n"))
+      .otherwise(lit(0.0))
+    val topWord = col("top_word_n").cast("double") / col("words_n")
+    counts.select(col("doc_id"), col("words_n"), col("uniq_words"),
+        col("bigrams_n"), col("top_word_n"),
+        dupWord.as("dup_word_frac"), dupBigram.as("dup_bigram_frac"),
+        topWord.as("top_word_frac"),
+        (dupBigram <= lit(RepMaxDupBigram) && topWord <= lit(RepMaxTopWord))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   val ChunkSize = 200
   val ChunkStride = 150
 

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CurationOps, RetrievalOps, SimilarityOps, TextOps}
+
+/** Round-5 operators: repetition gates, BM25 retrieval, mixture
+  * accounting/resampling, embedding centroids. */
+class Round5OpsSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("repetition_stats: fractions consistent, verified against a Scala recompute") {
+    val out = TextOps.repetitionStats(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val wn = r.getAs[Long]("words_n")
+      val uw = r.getAs[Long]("uniq_words")
+      assert(uw >= 1 && uw <= wn)
+      assert(r.getAs[Double]("dup_word_frac") == (wn - uw).toDouble / wn)
+      val f = r.getAs[Double]("top_word_frac")
+      assert(f > 0.0 && f <= 1.0)
+    }
+    // exact recompute of one document in plain Scala
+    val docId = out.head.getAs[Long]("doc_id")
+    val text = Tables.documents(s, sf).filter(col("doc_id") === docId)
+      .head().getAs[String]("text")
+    val w = text.split(" ", -1)
+    val g = w.sliding(2).map(_.mkString(" ")).toSeq
+    val r = out.head
+    assert(r.getAs[Long]("words_n") == w.length)
+    assert(r.getAs[Long]("uniq_words") == w.distinct.length)
+    assert(r.getAs[Long]("bigrams_n") == (if (w.length >= 2) g.length else 0))
+    assert(r.getAs[Long]("top_word_n") ==
+      w.groupBy(identity).values.map(_.length).max)
+  }
+
+  test("bm25_topk: ranked, and the winner's score matches a Scala recompute") {
+    val out = RetrievalOps.bm25Topk(s, sf).collect()
+    assert(out.length == RetrievalOps.TopK)
+    assert(out.map(_.getAs[Long]("rnk")).toSeq == (1L to RetrievalOps.TopK).toSeq)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+
+    // independent recompute over the raw corpus
+    val docs = Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1)).toMap
+    val n = docs.size.toLong
+    val sumdl = docs.values.map(_.length.toLong).sum
+    val avgdl = sumdl.toDouble / n
+    def tf(id: Long, t: String) = docs(id).count(_ == t).toLong
+    val dfm = RetrievalOps.QueryTerms.map(t =>
+      t -> docs.values.count(_.contains(t)).toLong).toMap
+    val top = out.head
+    val id = top.getAs[Long]("doc_id")
+    val dl = docs(id).length.toLong
+    val expect = RetrievalOps.QueryTerms.map { t =>
+      val (k1, b) = (RetrievalOps.K1, RetrievalOps.B)
+      (n - dfm(t) + 0.5) / (dfm(t) + 0.5) * (tf(id, t) * (k1 + 1)) /
+        (tf(id, t) + k1 * (1.0 - b + b * (dl / avgdl)))
+    }.reduceLeft(_ + _)
+    assert(math.abs(top.getAs[Double]("score") - expect) < 1e-12)
+    // and it really is the corpus argmax
+    val best = docs.keys.map { d =>
+      val ddl = docs(d).length.toLong
+      d -> RetrievalOps.QueryTerms.map { t =>
+        (n - dfm(t) + 0.5) / (dfm(t) + 0.5) * (tf(d, t) * 2.2) /
+          (tf(d, t) + 1.2 * (0.25 + 0.75 * (ddl / avgdl)))
+      }.sum
+    }.maxBy { case (d, sc) => (sc, -d) }
+    assert(best._1 == id)
+  }
+
+  test("source_mix: totals reconcile and shares sum to 1") {
+    val out = CurationOps.sourceMix(s, sf).collect()
+    assert(out.nonEmpty)
+    val totalDocs = out.map(_.getAs[Long]("docs_n")).sum
+    assert(totalDocs == Tables.documents(s, sf).count())
+    val shareSum = out.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+  }
+
+  test("mixture_sample: deterministic, subset, and rates follow n^alpha") {
+    val a = CurationOps.mixtureSample(s, sf).collect()
+    val b = CurationOps.mixtureSample(s, sf).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq ==
+      b.map(_.getAs[Long]("doc_id")).toSeq, "resample must be bit-stable")
+    val nDocs = Tables.documents(s, sf).count()
+    assert(a.nonEmpty && a.length < nDocs, "must keep a strict subset")
+    // kept volume tracks the budget (binomial tolerance)
+    assert(math.abs(a.length.toDouble / nDocs - CurationOps.MixBudget) < 0.1)
+
+    // recompute the per-source rates in Scala and re-apply the same coin:
+    // the kept set must match EXACTLY (validates the normalization+join)
+    val docs = Tables.documents(s, sf).select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val counts = docs.groupBy(_._2).map { case (src, xs) => src -> xs.size.toLong }
+    val z = counts.values.map(n => math.pow(n.toDouble, CurationOps.MixAlpha)).sum
+    val total = counts.values.sum
+    val rates = counts.map { case (src, n) =>
+      src -> math.min(1.0,
+        math.pow(n.toDouble, CurationOps.MixAlpha) / z *
+          (total.toDouble * CurationOps.MixBudget) / n)
+    }
+    val us = Tables.documents(s, sf).select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id"), lit(42L)), lit(1048576L))
+          .cast("double") / lit(1048576.0)).as("u")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("u")).toMap
+    val expected = docs.filter { case (id, src) => us(id) < rates(src) }
+      .map(_._1).sorted.toSeq
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq == expected)
+  }
+
+  test("embedding_centroids: counts right, one cell matches exact recompute") {
+    val out = SimilarityOps.embeddingCentroids(s, sf).collect()
+    assert(out.nonEmpty)
+    val rows = Tables.embeddings(s, sf).select("label", "embedding").collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Float](1))
+    val label = out.head.getAs[Int]("label")
+    val members = rows.filter(_._1 == label).map(_._2)
+    val cell = out.filter(r => r.getAs[Int]("label") == label &&
+      r.getAs[Long]("dim") == 1L).head
+    assert(cell.getAs[Long]("n") == members.length.toLong)
+    val sumE6 = members.map(v => math.floor(v(0).toDouble * 1000000.0 + 0.5).toLong).sum
+    assert(cell.getAs[Double]("centroid") ==
+      sumE6.toDouble / members.length / 1000000.0)
+    // every (label, dim) cell covers all of that label's vectors
+    out.foreach { r =>
+      val lbl = r.getAs[Int]("label")
+      assert(r.getAs[Long]("n") == rows.count(_._1 == lbl).toLong)
+    }
+  }
+}
