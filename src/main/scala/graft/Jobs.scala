@@ -134,6 +134,46 @@ object Jobs {
     listParquet(part)(_.size)
   }
 
+  /** CDC upsert — MERGE INTO semantics on a keyed parquet table: rows of
+    * `changes` replace same-key rows of the stored table (left-anti join
+    * keeps unmatched base rows), `_deleted`-flagged change rows tombstone
+    * their key, everything else unions in. The rewrite lands next to the
+    * live table and swaps in with the same two-rename + crash-recovery
+    * protocol as [[compactPartition]], so readers never observe a
+    * half-written table and a crash between renames is repairable.
+    *
+    * Scale shape: the anti join shuffles base on the key ONCE (or
+    * broadcasts `changes` when the change batch is small — the common CDC
+    * case, left to Catalyst/AQE by keeping the join declarative). Cost is
+    * O(base + changes) with no driver materialization. At warehouse scale
+    * the same protocol applies per PARTITION (pair with dt-partitioned
+    * landing) so a rewrite touches only partitions with changes. */
+  def mergeUpsert(s: SparkSession, tableDir: String, changes: DataFrame,
+      key: String): Long = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(tableDir)
+    val old = Paths.get(s"$tableDir.old")
+    if (Files.isDirectory(old)) { // same crash-recovery contract as compact
+      if (Files.isDirectory(live)) org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      else Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+    require(Files.isDirectory(live), s"no table at $tableDir")
+    val hasTomb = changes.columns.contains("_deleted")
+    val upserts = (if (hasTomb) changes.filter(!col("_deleted")).drop("_deleted")
+                   else changes)
+    val base = s.read.parquet(tableDir)
+    val merged = base.join(changes.select(col(key)), Seq(key), "left_anti")
+      .unionByName(upserts)
+    val tmp = Paths.get(s"$tableDir.upsert.tmp")
+    merged.write.mode("overwrite").option("compression", "snappy")
+      .parquet(tmp.toString)
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    s.read.parquet(tableDir).count()
+  }
+
   /** World-map data export (reference: world_map_transformer.py:215–253
     * get_world_map renders a matplotlib Figure; external_resources.py:
     * 60–68 uploads the PNG). The figure RENDERING is driver-side

@@ -566,6 +566,30 @@ object OracleSql {
         |FROM p JOIN c ON c.user_id = p.user_id AND c.us >= p.w_lo AND c.us < p.w_hi
         |ORDER BY p_event, c_event""".stripMargin,
 
+    "merge_intervals" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS lo,
+        |  epoch_ns(ts)//1000 + 1800000000 AS hi
+        |FROM events WHERE event_type='purchase'),
+        |m AS (SELECT *, max(hi) OVER (PARTITION BY user_id ORDER BY lo, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_hi FROM iv),
+        |f AS (SELECT *, CASE WHEN prev_max_hi IS NULL OR lo >= prev_max_hi
+        |  THEN 1 ELSE 0 END AS is_new FROM m),
+        |g AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY lo, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id FROM f)
+        |SELECT user_id, island_id, MIN(lo) AS start_us, MAX(hi) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals, MAX(hi) - MIN(lo) AS covered_us
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, island_id""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |pr AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE)/SUM(n) OVER (PARTITION BY from_type) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,

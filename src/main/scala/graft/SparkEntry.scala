@@ -70,6 +70,8 @@ object SparkEntry {
     "asof_join" -> (TemporalOps.asofClickPurchase(_, _)),
     "asof_join_native" -> (TemporalOps.asofClickPurchaseNative(_, _)),
     "range_join" -> (TemporalOps.rangeClickInPurchaseWindow(_, _)),
+    "merge_intervals" -> (TemporalOps.mergeIntervals(_, _)),
+    "event_transitions" -> (CoreOps.eventTransitions(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),

@@ -420,6 +420,27 @@ object CoreOps {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** event_transitions — first-order Markov transition matrix over each
+    * user's event sequence: lead(event_type) within the user's (time,
+    * event_id) order pairs every event with its successor, then ONE
+    * partial-agg shuffle counts (from_type → to_type) cells; the row
+    * probability divides by a window total over the COLLAPSED matrix
+    * (bounded by |event types|², never the fact). The sequence-mining /
+    * next-action-model primitive. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(wOrd))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = sum(col("n")).over(Window.partitionBy("from_type"))
+    pairs.select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / rowTotal).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** #23f retention — cohort retention: each user joins the cohort of
     * their FIRST active day; every (cohort, day-offset) cell counts the
     * distinct users still active that day. The cohort attaches via a

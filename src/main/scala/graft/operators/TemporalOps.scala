@@ -230,4 +230,35 @@ object TemporalOps {
       .select("p_event", "c_event", "us", "w_lo")
       .orderBy("p_event", "c_event")
   }
+
+  /** merge_intervals — gaps-and-islands: coalesce each user's overlapping
+    * half-open purchase windows [us, us+30 min) into maximal covered
+    * spans. New island when an interval starts at-or-after the running
+    * max end of every EARLIER interval (half-open ⇒ touching intervals
+    * merge is false: [a,b)+[b,c) are disjoint, so `>=` starts a new one);
+    * island id is the running count of starts. The time-in-state /
+    * coverage operator (uptime, exposure, dedup of retry windows).
+    *
+    * Shape at scale: ONE hash exchange on user_id feeds both windows and
+    * the final groupBy (same key family — no second shuffle); the sort is
+    * in-partition. All-long arithmetic → exact oracle twin. */
+  def mergeIntervals(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us").as("lo"),
+        (col("us") + lit(HalfHourUs)).as("hi"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("lo"), col("event_id"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("prev_max_hi", max(col("hi")).over(wPrev))
+      .withColumn("is_new",
+        when(col("prev_max_hi").isNull || col("lo") >= col("prev_max_hi"), 1L)
+          .otherwise(0L))
+      .withColumn("island_id", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "island_id")
+      .agg(min(col("lo")).as("start_us"), max(col("hi")).as("end_us"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("covered_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "island_id")
+  }
 }

@@ -112,6 +112,68 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("doc_id")).toSeq == expected)
   }
 
+  test("merge_intervals: islands match a brute-force merge per user") {
+    import graft.operators.TemporalOps
+    val out = TemporalOps.mergeIntervals(s, sf).collect()
+    assert(out.nonEmpty)
+    // brute-force recompute from the raw purchase events
+    val iv = Tables.events(s, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("lo")).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("lo"), r.getAs[Long]("lo") + 1800L * 1000000L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
+    def merge(xs: List[(Long, Long)]): List[(Long, Long, Int)] =
+      xs.foldLeft(List.empty[(Long, Long, Int)]) {
+        case (Nil, (lo, hi)) => List((lo, hi, 1))
+        case ((s0, e0, n0) :: rest, (lo, hi)) =>
+          if (lo >= e0) (lo, hi, 1) :: (s0, e0, n0) :: rest
+          else (s0, math.max(e0, hi), n0 + 1) :: rest
+      }.reverse
+    val expected = iv.view.mapValues(merge).toMap
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rows) =>
+      val got = rows.sortBy(_.getAs[Long]("island_id"))
+        .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+          r.getAs[Long]("n_intervals").toInt)).toList
+      assert(got == expected(u), s"user $u islands differ")
+      // covered == end - start and islands strictly ordered, disjoint
+      rows.foreach(r => assert(r.getAs[Long]("covered_us") ==
+        r.getAs[Long]("end_us") - r.getAs[Long]("start_us")))
+      got.sliding(2).foreach {
+        case List((_, e0, _), (s1, _, _)) => assert(s1 >= e0)
+        case _ =>
+      }
+    }
+  }
+
+  test("event_transitions: rows sum to 1 and cells match the pair count") {
+    import graft.operators.CoreOps
+    val out = CoreOps.eventTransitions(s, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+    // total transition count = events − one tail event per active user
+    val ev = Tables.events(s, sf)
+    val expectedPairs = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum == expectedPairs)
+  }
+
+  test("merge_upsert: replaces, inserts, tombstones; base otherwise intact") {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "name", "v").write.parquet(dir)
+    val changes = Seq((2L, "B2", 21L, false), (5L, "e", 50L, false),
+      (3L, "", 0L, true)).toDF("id", "name", "v", "_deleted")
+    val n = Jobs.mergeUpsert(s, dir, changes, "id")
+    assert(n == 4L)
+    val got = s.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Long]("v")))
+      .sortBy(_._1).toList
+    assert(got == List((1L, "a", 10L), (2L, "B2", 21L), (4L, "d", 40L), (5L, "e", 50L)))
+    // idempotent retry: same batch again → same table
+    assert(Jobs.mergeUpsert(s, dir, changes, "id") == 4L)
+  }
+
   test("embedding_centroids: counts right, one cell matches exact recompute") {
     val out = SimilarityOps.embeddingCentroids(s, sf).collect()
     assert(out.nonEmpty)
