@@ -112,6 +112,49 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming heavy hitters, landing side: each micro-batch lands its
+    * own Misra–Gries candidate summary as (tok, w) rows plus the batch
+    * token count. Soundness of the union: a token with global frequency
+    * C > N·φ must satisfy c_i > n_i·φ in at least one batch (else
+    * C = Σc_i ≤ φ·Σn_i = N·φ), and a batch's MG summary with capacity
+    * ⌈1/φ⌉ keeps every token above that batch's n_i·φ — so the UNION of
+    * landed candidates is a superset of every global heavy hitter, ready
+    * for [[heavyHittersFromLanded]]'s exact verify. Stream state: zero
+    * (stateless per-batch agg); store state: Θ(batches/φ) rows. */
+  def landHeavyHitterStream(texts: DataFrame, baseDir: String,
+      phi: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery = {
+    val k = math.ceil(1.0 / phi).toInt
+    texts.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mg = udaf(new graft.functions.MisraGries(k))
+        batch.select(explode(split(col("text"), " ")).as("tok"))
+          .agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n_batch"))
+          .select(explode(col("sketch")).as(Seq("tok", "w")), col("n_batch"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(baseDir)
+      }
+      .start()
+  }
+
+  /** Streaming heavy hitters, read side: exact counts over the corpus
+    * restricted to the landed candidate union, thresholded at N·φ with N
+    * carried as a broadcast single-row aggregate. Output is EXACT (same
+    * rows as a full groupBy+HAVING over all history) at candidate-sized
+    * shuffle cost — the streaming twin of TextOps.heavyHitters. */
+  def heavyHittersFromLanded(s: SparkSession, baseDir: String,
+      corpus: DataFrame, phi: Double = 0.01): DataFrame = {
+    val candidates = s.read.parquet(baseDir).select("tok").distinct()
+    val toks = corpus.select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(candidates), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .join(broadcast(n))
+      .filter(col("c") > col("n") * lit(phi))
+      .select("tok", "c")
+      .orderBy("tok")
+  }
+
   /** Read a [[landSketchStream]] store back: per-event_type distinct
     * estimate from merging every landed partial — O(#sketches) cost,
     * independent of the event volume they summarize. */

@@ -241,6 +241,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: landed candidates verify to the exact batch answer") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[String](s)
+    val texts = input.toDF().toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
+    val phi = 0.2
+    val q = EventStreams.landHeavyHitterStream(texts, dir, phi)
+    // "hot" is heavy only GLOBALLY (present in both batches); each batch
+    // also has local-only noise tokens
+    val b1 = Seq("hot hot hot alpha beta gamma", "hot delta epsilon")
+    val b2 = Seq("hot hot zeta eta theta", "hot iota kappa")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val corpus = (b1 ++ b2).toDF("text")
+      val got = EventStreams.heavyHittersFromLanded(s, dir, corpus, phi)
+        .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("c")).toMap
+      // exact ground truth over the union
+      val all = (b1 ++ b2).flatMap(_.split(" "))
+      val expect = all.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 > all.size * phi).toMap
+      assert(got == expect, s"got $got expect $expect")
+      // and the store holds bounded per-batch summaries, not raw tokens
+      assert(s.read.parquet(dir).count() <= 2 * math.ceil(1 / phi).toLong)
+    } finally q.stop()
+  }
+
   test("streaming dedup: at-least-once re-deliveries collapse to one row each") {
     import s.implicits._
     val input = MemoryStream[(Long, Timestamp, Double)](s)
