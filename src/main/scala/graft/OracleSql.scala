@@ -629,6 +629,37 @@ object OracleSql {
          |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM p)
          |SELECT q_id, n_id, cos_sim, rnk FROM k WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
+    "knn_classify" ->
+      s"""WITH n AS (SELECT vec_id, embedding, label, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label,
+         |  ${cosSim(dotE12("q.embedding", "c.embedding"), "q.nrm", "c.nrm")} AS cos_sim
+         |  FROM q JOIN n c ON q.vec_id <> c.vec_id),
+         |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM p),
+         |v AS (SELECT q_id, label, CAST(COUNT(*) AS BIGINT) AS votes FROM k WHERE rnk <= 5 GROUP BY 1, 2),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS r FROM v)
+         |SELECT w.q_id, w.label AS pred_label, w.votes, q.label AS true_label,
+         |  w.label = q.label AS correct
+         |FROM w JOIN q ON w.q_id = q.vec_id WHERE w.r = 1 ORDER BY q_id""".stripMargin,
+
+    "dq_checks" ->
+      """WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+        |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date,
+        |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ri_orphans
+        |FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range
+        |FROM lineitem),
+        |r AS (SELECT 'orders_pk_unique' AS rule, dup_keys AS violations, n AS checked FROM o
+        |  UNION ALL SELECT 'orders_price_nonneg', neg_price, n FROM o
+        |  UNION ALL SELECT 'orders_date_notnull', null_date, n FROM o
+        |  UNION ALL SELECT 'orders_custkey_ri', ri_orphans, n FROM o
+        |  UNION ALL SELECT 'lineitem_qty_range', qty_range, n FROM l)
+        |SELECT rule, violations, checked, violations = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
+
     "text_langid" -> {
       val scores = graft.operators.TextOps.Langs
         .map(l => s"${stopHits(l)} AS s_$l").mkString(",\n  ")

@@ -82,6 +82,8 @@ object SparkEntry {
     "dedup_embedding" -> (DedupOps.dedupEmbedding(_, _)),
     "dedup_embedding_lsh" -> ((s, d) => DedupOps.dedupEmbeddingLsh(s, d)),
     "ann_cosine_topk" -> (SimilarityOps.annCosineTopK(_, _)),
+    "knn_classify" -> ((s, d) => SimilarityOps.knnClassify(s, d)),
+    "dq_checks" -> (QualityOps.dqChecks(_, _)),
     "ann_lsh" -> (SimilarityOps.annLsh(_, _)),
     "ann_ivf" -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "text_langid" -> (TextOps.textLangid(_, _)),

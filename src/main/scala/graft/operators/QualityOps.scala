@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality assertion pass — the ingest gate a 100 TB pipeline runs
+  * before promoting a drop: one row per rule (uniqueness, ranges,
+  * null-rates, referential integrity) with violation counts.
+  *
+  * Shape at scale: ALL orders-side rules — including the customer
+  * referential-integrity probe — ride ONE pass over orders (a left join
+  * + a single conditional aggregation, unpivoted to rule rows by a
+  * stack() over the one-row result); lineitem rules ride one more scan.
+  * No rule adds a pass over the fact, so adding assertions is free.
+  */
+object QualityOps {
+
+  /** dq_checks — fixed rule set over orders/customer/lineitem:
+    * primary-key uniqueness, non-negative totals, date completeness,
+    * orders→customer referential integrity, and lineitem quantity range.
+    * All counts exact longs → oracle hash-compares bit-identically. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val customer = Tables.customer(s, dir).select(col("c_custkey"))
+    // one pass over orders answers every orders rule, RI included
+    val o = orders.join(customer, col("o_custkey") === col("c_custkey"), "left_outer")
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        sum((col("o_totalprice") < 0).cast("long")).as("neg_price"),
+        sum(col("o_orderdate").isNull.cast("long")).as("null_date"),
+        sum(col("c_custkey").isNull.cast("long")).as("ri_orphans"))
+    val oRules = o.select(
+      expr("stack(4, 'orders_pk_unique', dup_keys, 'orders_price_nonneg', neg_price, " +
+        "'orders_date_notnull', null_date, 'orders_custkey_ri', ri_orphans) AS (rule, violations)"),
+      col("n").as("checked"))
+    val lRules = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long")).as("qty_range"))
+      .select(lit("lineitem_qty_range").as("rule"),
+        col("qty_range").as("violations"), col("n").as("checked"))
+    oRules.unionByName(lRules)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("rule")
+  }
+}

@@ -162,6 +162,31 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** knn_classify — k-nearest-neighbor label prediction for the query
+    * subset: majority vote over the [[annCosineTopK]] neighbor labels
+    * (ties break to the smallest label), scored against the query's own
+    * label. Composes ON the existing top-k — the extra work is a
+    * broadcast label join, a vote groupBy bounded by queries × labels,
+    * and a top-1 window over ≤ |labels| rows per query. At 100×, swap
+    * the brute-force neighbor source for [[annLsh]]/[[annIvf]] — the
+    * vote/score stages are unchanged (the recall-transfer spec shows the
+    * candidate sets agree in the operating regime). */
+  def knnClassify(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val votes = annCosineTopK(s, dir, k)
+      .join(broadcast(labels.withColumnRenamed("vec_id", "n_id")), "n_id")
+      .groupBy("q_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      .join(broadcast(labels.select(col("vec_id").as("q_id"),
+        col("label").as("true_label"))), "q_id")
+      .select(col("q_id"), col("pred_label"), col("votes"), col("true_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
   /** embedding_centroids — per-label centroid of the embedding column,
     * element-wise: posexplode to (label, dim, component), scale each
     * component to an exact e6 integer at the ROW level, sum the integers

@@ -174,6 +174,48 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(Jobs.mergeUpsert(s, dir, changes, "id") == 4L)
   }
 
+  test("dq_checks: violation counts match direct recomputes") {
+    import graft.operators.QualityOps
+    val out = QualityOps.dqChecks(s, sf).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("violations"), r.getAs[Long]("checked"), r.getAs[Boolean]("pass"))).toMap
+    assert(out.size == 5)
+    val orders = Tables.orders(s, sf)
+    val nOrders = orders.count()
+    assert(out("orders_pk_unique")._2 == nOrders)
+    assert(out("orders_pk_unique")._1 ==
+      nOrders - orders.select("o_orderkey").distinct().count())
+    assert(out("orders_price_nonneg")._1 ==
+      orders.filter(col("o_totalprice") < 0).count())
+    val orphans = orders.join(Tables.customer(s, sf),
+      col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(out("orders_custkey_ri")._1 == orphans)
+    assert(out("lineitem_qty_range")._2 == Tables.lineitem(s, sf).count())
+    out.foreach { case (_, (v, _, pass)) => assert(pass == (v == 0L)) }
+  }
+
+  test("knn_classify: majority vote over the top-k neighbor labels") {
+    import graft.operators.SimilarityOps
+    val out = SimilarityOps.knnClassify(s, sf).collect()
+    assert(out.nonEmpty)
+    val labels = Tables.embeddings(s, sf).select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val nn = SimilarityOps.annCosineTopK(s, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(out.length == nn.size)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val voteCounts = nn(q).map(x => labels(x.getAs[Long]("n_id")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expectPred = voteCounts.toSeq.minBy { case (l, c) => (-c, l) }
+      assert(r.getAs[Int]("pred_label") == expectPred._1)
+      assert(r.getAs[Long]("votes") == expectPred._2.toLong)
+      assert(r.getAs[Int]("true_label") == labels(q))
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("pred_label") == labels(q)))
+    }
+  }
+
   test("embedding_centroids: counts right, one cell matches exact recompute") {
     val out = SimilarityOps.embeddingCentroids(s, sf).collect()
     assert(out.nonEmpty)
