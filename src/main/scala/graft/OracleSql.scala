@@ -580,6 +580,19 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_intervals, MAX(hi) - MIN(lo) AS covered_us
         |FROM g GROUP BY 1, 2 ORDER BY user_id, island_id""".stripMargin,
 
+    "asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |c AS (SELECT event_id, user_id, us FROM e WHERE event_type='click'),
+        |p AS (SELECT event_id AS p_event, user_id, us AS p_us FROM e WHERE event_type='purchase'),
+        |j AS (SELECT c.event_id, c.user_id, c.us, p.p_event, p.p_us,
+        |  abs(c.us - p.p_us) AS delta_us,
+        |  row_number() OVER (PARTITION BY c.event_id
+        |    ORDER BY abs(c.us - p.p_us), p.p_us, p.p_event) AS r
+        |FROM c JOIN p USING (user_id))
+        |SELECT event_id, user_id, us, p_event, p_us, delta_us,
+        |  CASE WHEN p_us <= us THEN 'past' ELSE 'future' END AS direction
+        |FROM j WHERE r = 1 ORDER BY event_id""".stripMargin,
+
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
         |pr AS (SELECT event_type AS from_type,

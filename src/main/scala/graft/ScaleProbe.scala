@@ -59,6 +59,9 @@ object ScaleProbe {
         "user_id", "us", "m"))
       time("asof_native", k, graft.operators.TemporalOps.asofJoinNative(
         c, p, "user_id", "p_user", "us", "p_us", Seq("p_event", "p_value")))
+      // gaps-and-islands shares the disjoint-key growth: per-user island
+      // structure repeats per replica, so rows must grow EXACTLY kx
+      time("merge_intervals", k, graft.operators.TemporalOps.mergeIntervalsEvents(e))
       e.unpersist()
     }
 
@@ -103,6 +106,9 @@ object ScaleProbe {
       time("decontaminate", k, graft.operators.CurationOps.decontaminateDocs(
         d.withColumn("source",
           when(col("doc_id") < maxDoc, col("source")).otherwise(lit("train")))))
+      // BM25 output is top-k (fixed rows) — the probe measures that wall
+      // stays scan-bound as the corpus grows (stats stay one broadcast row)
+      time("bm25", k, graft.operators.RetrievalOps.bm25Docs(d))
       d.unpersist()
     }
 

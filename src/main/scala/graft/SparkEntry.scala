@@ -71,6 +71,7 @@ object SparkEntry {
     "asof_join_native" -> (TemporalOps.asofClickPurchaseNative(_, _)),
     "range_join" -> (TemporalOps.rangeClickInPurchaseWindow(_, _)),
     "merge_intervals" -> (TemporalOps.mergeIntervals(_, _)),
+    "asof_nearest" -> (TemporalOps.asofNearest(_, _)),
     "event_transitions" -> (CoreOps.eventTransitions(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),

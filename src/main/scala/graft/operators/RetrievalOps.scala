@@ -35,11 +35,15 @@ object RetrievalOps {
     * double chain is written with IDENTICAL association in the DuckDB
     * oracle, so scores hash-compare bit-identically — a transcendental
     * ln idf would be libm-specific. */
-  def bm25Topk(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+  def bm25Topk(s: SparkSession, dir: String, k: Int = TopK): DataFrame =
+    bm25Docs(Tables.documents(s, dir), k)
+
+  /** Core on any documents-shaped frame (testable / probe-able). */
+  def bm25Docs(docs: DataFrame, k: Int = TopK): DataFrame = {
     // materialize the split ONCE as a column (the winnowing lesson:
     // expressions referenced inside array lambdas are re-evaluated per
     // element if left as expressions)
-    val base = Tables.documents(s, dir)
+    val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
     val tfCols = QueryTerms.map(t =>

@@ -231,6 +231,53 @@ object TemporalOps {
       .orderBy("p_event", "c_event")
   }
 
+  /** asof_nearest — nearest-direction as-of join (pandas merge_asof
+    * direction='nearest'): each click matches the purchase of the same
+    * user minimizing (|Δt|, p_us, p_event) — a UNIFORM argmin key, so
+    * ties (past vs future at equal distance, simultaneous purchases)
+    * resolve identically in the window algorithm here and the
+    * brute-force oracle. The global argmin is always either the latest
+    * at-or-before purchase or the earliest after — so ONE user_id
+    * exchange + two in-partition sorted windows (backward last, forward
+    * first over the tagged union) replace any join: cost O(n log n) per
+    * user partition, never clicks × purchases. */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("event_type") === "purchase", 0L).otherwise(1L).as("kind_b"),
+        when(col("event_type") === "purchase", col("event_id")).as("p_event_src"),
+        when(col("event_type") === "purchase", col("us")).as("p_us_src"))
+      .withColumn("kind_f", lit(1L) - col("kind_b"))
+    // backward: purchases sort BEFORE a same-us click (kind_b), latest us
+    // wins, then SMALLEST event id (event_id desc ⇒ last row = min id)
+    val wB = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("kind_b"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: purchases sort AFTER a same-us click (kind_f), earliest us
+    // wins, then smallest event id
+    val wF = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("kind_f"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withCands = tagged
+      .withColumn("b_event", last(col("p_event_src"), ignoreNulls = true).over(wB))
+      .withColumn("b_us", last(col("p_us_src"), ignoreNulls = true).over(wB))
+      .withColumn("f_event", first(col("p_event_src"), ignoreNulls = true).over(wF))
+      .withColumn("f_us", first(col("p_us_src"), ignoreNulls = true).over(wF))
+    val bKey = struct(abs(col("b_us") - col("us")), col("b_us"), col("b_event"))
+    val fKey = struct(abs(col("f_us") - col("us")), col("f_us"), col("f_event"))
+    val takeB = col("f_event").isNull || (col("b_event").isNotNull && bKey <= fKey)
+    withCands.filter(col("kind_b") === 1L)
+      .filter(col("b_event").isNotNull || col("f_event").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(takeB, col("b_event")).otherwise(col("f_event")).as("p_event"),
+        when(takeB, col("b_us")).otherwise(col("f_us")).as("p_us"))
+      .withColumn("delta_us", abs(col("p_us") - col("us")))
+      .withColumn("direction",
+        when(col("p_us") <= col("us"), "past").otherwise("future"))
+      .orderBy("event_id")
+  }
+
   /** merge_intervals — gaps-and-islands: coalesce each user's overlapping
     * half-open purchase windows [us, us+30 min) into maximal covered
     * spans. New island when an interval starts at-or-after the running
@@ -242,8 +289,11 @@ object TemporalOps {
     * Shape at scale: ONE hash exchange on user_id feeds both windows and
     * the final groupBy (same key family — no second shuffle); the sort is
     * in-partition. All-long arithmetic → exact oracle twin. */
-  def mergeIntervals(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+  def mergeIntervals(s: SparkSession, dir: String): DataFrame =
+    mergeIntervalsEvents(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
+
+  /** Core on any events-shaped frame (testable / probe-able). */
+  def mergeIntervalsEvents(ev: DataFrame): DataFrame = {
     val iv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("us").as("lo"),
         (col("us") + lit(HalfHourUs)).as("hi"))

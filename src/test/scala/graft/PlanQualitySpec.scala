@@ -28,7 +28,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_simhash", "dedup_clusters",
       "dedup_embedding_lsh", "ann_lsh", "ann_ivf", "text_fingerprint",
       "mm_metadata", "mm_features", "mm_frames", "stratified_sample",
-      "hll_distinct", "zorder_layout", "text_winnow", "dataset_split")
+      "hll_distinct", "zorder_layout", "text_winnow", "dataset_split",
+      "mixture_sample")
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")

@@ -144,6 +144,38 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof_nearest: matches brute-force argmin under the uniform key") {
+    import graft.operators.TemporalOps
+    val out = TemporalOps.asofNearest(s, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type")).collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+      .groupBy(_.getAs[Long]("user_id"))
+    val expected = clicks.flatMap { c =>
+      val u = c.getAs[Long]("user_id"); val cus = c.getAs[Long]("us")
+      purchases.get(u).map { ps =>
+        val best = ps.minBy(p => (math.abs(p.getAs[Long]("us") - cus),
+          p.getAs[Long]("us"), p.getAs[Long]("event_id")))
+        (c.getAs[Long]("event_id"),
+          (best.getAs[Long]("event_id"), math.abs(best.getAs[Long]("us") - cus)))
+      }
+    }.toMap
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val e = expected(r.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("p_event") == e._1,
+        s"click ${r.getAs[Long]("event_id")}: got ${r.getAs[Long]("p_event")} want ${e._1}")
+      assert(r.getAs[Long]("delta_us") == e._2)
+      assert((r.getAs[String]("direction") == "past") ==
+        (r.getAs[Long]("p_us") <= r.getAs[Long]("us")))
+    }
+    // both directions must actually occur in real data
+    assert(out.map(_.getAs[String]("direction")).toSet == Set("past", "future"))
+  }
+
   test("event_transitions: rows sum to 1 and cells match the pair count") {
     import graft.operators.CoreOps
     val out = CoreOps.eventTransitions(s, sf).collect()
