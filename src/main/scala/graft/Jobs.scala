@@ -159,9 +159,20 @@ object Jobs {
       else Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
     }
     require(Files.isDirectory(live), s"no table at $tableDir")
+    // MERGE contract: at most one change row per key (Delta/SQL MERGE
+    // raise on multiple matches too — silently picking one would hide a
+    // CDC compaction bug). The check is one agg over the small batch.
+    val dup = changes.groupBy(col(key)).count().filter(col("count") > 1).limit(1)
+    require(dup.isEmpty,
+      s"mergeUpsert: changes batch has multiple rows for key " +
+        s"${dup.head.get(0)} — compact the batch to last-wins first")
+    // a NULL _deleted flag means "not deleted" (common CDC encoding that
+    // only stamps deletes); filter(!col) would DROP null-flagged updates
+    // from the upsert set while still anti-joining their keys away
     val hasTomb = changes.columns.contains("_deleted")
-    val upserts = (if (hasTomb) changes.filter(!col("_deleted")).drop("_deleted")
-                   else changes)
+    val upserts = (if (hasTomb)
+      changes.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else changes)
     val base = s.read.parquet(tableDir)
     val merged = base.join(changes.select(col(key)), Seq(key), "left_anti")
       .unionByName(upserts)

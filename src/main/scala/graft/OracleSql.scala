@@ -656,12 +656,16 @@ object OracleSql {
          |FROM w JOIN q ON w.q_id = q.vec_id WHERE w.r = 1 ORDER BY q_id""".stripMargin,
 
     "dq_checks" ->
-      """WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      """WITH cu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS dup_keys
+        |FROM customer),
+        |ck AS (SELECT DISTINCT c_custkey FROM customer),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
         |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
         |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date,
-        |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ri_orphans
-        |FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey),
+        |  CAST(SUM(CASE WHEN ck.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ri_orphans
+        |FROM orders LEFT JOIN ck ON o_custkey = ck.c_custkey),
         |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range
         |FROM lineitem),
@@ -669,7 +673,8 @@ object OracleSql {
         |  UNION ALL SELECT 'orders_price_nonneg', neg_price, n FROM o
         |  UNION ALL SELECT 'orders_date_notnull', null_date, n FROM o
         |  UNION ALL SELECT 'orders_custkey_ri', ri_orphans, n FROM o
-        |  UNION ALL SELECT 'lineitem_qty_range', qty_range, n FROM l)
+        |  UNION ALL SELECT 'lineitem_qty_range', qty_range, n FROM l
+        |  UNION ALL SELECT 'customer_pk_unique', dup_keys, n FROM cu)
         |SELECT rule, violations, checked, violations = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
 

@@ -142,9 +142,16 @@ object CurationOps {
       seed: Long = 42L): DataFrame = {
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("src_n"))
-    // normalizer Z = Σ n_i^alpha over the ≤ |sources| collapsed rows
-    val z = sum(pow(col("src_n").cast("double"), alpha)).over(Window.partitionBy())
-    val total = sum(col("src_n")).over(Window.partitionBy())
+    // normalizer Z = Σ n_i^alpha over the ≤ |sources| collapsed rows.
+    // The window is ORDERED by source with an unbounded frame: the
+    // double accumulation order is then the source sort order, not
+    // whatever partitioning the shuffle produced — without it an
+    // ulp-level reorder of Z could flip a doc whose coin lands exactly
+    // on the rate boundary, breaking the reproducibility contract.
+    val wAll = Window.partitionBy().orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val z = sum(pow(col("src_n").cast("double"), alpha)).over(wAll)
+    val total = sum(col("src_n")).over(wAll)
     val rates = counts.select(col("source"), col("src_n"),
       least(lit(1.0),
         pow(col("src_n").cast("double"), alpha) / z *

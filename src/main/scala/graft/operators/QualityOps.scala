@@ -23,9 +23,19 @@ object QualityOps {
     * All counts exact longs → oracle hash-compares bit-identically. */
   def dqChecks(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
-    val customer = Tables.customer(s, dir).select(col("c_custkey"))
+    // the RI probe must NOT assume the dim is clean: a duplicated
+    // c_custkey would fan orders rows out through the join and corrupt
+    // every orders-side count — exactly the defect a DQ gate exists to
+    // catch. Join on the DISTINCT key set (tiny extra dim shuffle) and
+    // check dim-key uniqueness as its own rule from the same dim scan.
+    val cust = Tables.customer(s, dir)
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("dup_keys"))
+    val custRules = cust.select(lit("customer_pk_unique").as("rule"),
+      col("dup_keys").as("violations"), col("n").as("checked"))
+    val custKeys = Tables.customer(s, dir).select(col("c_custkey")).distinct()
     // one pass over orders answers every orders rule, RI included
-    val o = orders.join(customer, col("o_custkey") === col("c_custkey"), "left_outer")
+    val o = orders.join(custKeys, col("o_custkey") === col("c_custkey"), "left_outer")
       .agg(count(lit(1)).as("n"),
         (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
         sum((col("o_totalprice") < 0).cast("long")).as("neg_price"),
@@ -40,7 +50,7 @@ object QualityOps {
         sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long")).as("qty_range"))
       .select(lit("lineitem_qty_range").as("rule"),
         col("qty_range").as("violations"), col("n").as("checked"))
-    oRules.unionByName(lRules)
+    oRules.unionByName(lRules).unionByName(custRules)
       .withColumn("pass", col("violations") === 0L)
       .orderBy("rule")
   }

@@ -138,16 +138,21 @@ object EventStreams {
   }
 
   /** Streaming heavy hitters, read side: exact counts over the corpus
-    * restricted to the landed candidate union, thresholded at N·φ with N
-    * carried as a broadcast single-row aggregate. Output is EXACT (same
-    * rows as a full groupBy+HAVING over all history) at candidate-sized
+    * restricted to the landed candidate union, thresholded at N·φ. N
+    * comes from the STORE (one n_batch per landed batch, summed — that
+    * is what the landing writes it for), so the corpus is scanned
+    * exactly once, for the candidate counts. Output is EXACT (same rows
+    * as a full groupBy+HAVING over all history) at candidate-sized
     * shuffle cost — the streaming twin of TextOps.heavyHitters. */
   def heavyHittersFromLanded(s: SparkSession, baseDir: String,
       corpus: DataFrame, phi: Double = 0.01): DataFrame = {
-    val candidates = s.read.parquet(baseDir).select("tok").distinct()
-    val toks = corpus.select(explode(split(col("text"), " ")).as("tok"))
-    val n = toks.agg(count(lit(1)).as("n"))
-    toks.join(broadcast(candidates), "tok")
+    val store = s.read.parquet(baseDir)
+    val candidates = store.select("tok").distinct()
+    // n_batch is denormalized onto each candidate row; one row per batch
+    val n = store.select("batch_id", "n_batch").distinct()
+      .agg(sum(col("n_batch")).as("n"))
+    corpus.select(explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(candidates), "tok")
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .join(broadcast(n))
       .filter(col("c") > col("n") * lit(phi))

@@ -204,6 +204,17 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got == List((1L, "a", 10L), (2L, "B2", 21L), (4L, "d", 40L), (5L, "e", 50L)))
     // idempotent retry: same batch again → same table
     assert(Jobs.mergeUpsert(s, dir, changes, "id") == 4L)
+    // a NULL _deleted flag means "not deleted": the row must be UPSERTED,
+    // not silently removed (common CDC encoding stamps only deletes)
+    val nullFlag = Seq((4L, "D4", 41L)).toDF("id", "name", "v")
+      .withColumn("_deleted", lit(null).cast("boolean"))
+    assert(Jobs.mergeUpsert(s, dir, nullFlag, "id") == 4L)
+    val after = s.read.parquet(dir).filter(col("id") === 4L).collect()
+    assert(after.length == 1 && after.head.getAs[String]("name") == "D4")
+    // two change rows for one key must be rejected, not land as dup rows
+    val dupBatch = Seq((7L, "x", 1L), (7L, "y", 2L)).toDF("id", "name", "v")
+    val e = intercept[IllegalArgumentException](Jobs.mergeUpsert(s, dir, dupBatch, "id"))
+    assert(e.getMessage.contains("multiple rows"))
   }
 
   test("dq_checks: violation counts match direct recomputes") {
@@ -211,7 +222,8 @@ class Round5OpsSpec extends AnyFunSuite {
     val out = QualityOps.dqChecks(s, sf).collect()
       .map(r => r.getAs[String]("rule") ->
         (r.getAs[Long]("violations"), r.getAs[Long]("checked"), r.getAs[Boolean]("pass"))).toMap
-    assert(out.size == 5)
+    assert(out.size == 6)
+    assert(out("customer_pk_unique")._2 == Tables.customer(s, sf).count())
     val orders = Tables.orders(s, sf)
     val nOrders = orders.count()
     assert(out("orders_pk_unique")._2 == nOrders)
