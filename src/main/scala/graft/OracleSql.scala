@@ -714,6 +714,17 @@ object OracleSql {
         |FROM w, t GROUP BY tok, t.n HAVING COUNT(*) > t.n*0.01
         |ORDER BY tok""".stripMargin,
 
+    "group_heavy_hitters" ->
+      // CAST(n AS DOUBLE) forces the same IEEE threshold Spark computes
+      // (a DECIMAL 0.05 × BIGINT would be exact and could differ at a
+      // boundary count)
+      """WITH w AS (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents),
+        |t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1)
+        |SELECT w.lang AS lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM w JOIN t ON w.lang = t.lang
+        |GROUP BY w.lang, tok, t.n HAVING COUNT(*) > CAST(t.n AS DOUBLE)*0.01
+        |ORDER BY w.lang, tok""".stripMargin,
+
     "text_pii_scrub" -> {
       val pats = graft.operators.TextOps.PiiPatterns
       val scrub = pats.foldLeft("text") { case (acc, (pat, tag)) =>

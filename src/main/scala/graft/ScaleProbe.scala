@@ -62,6 +62,7 @@ object ScaleProbe {
       // gaps-and-islands shares the disjoint-key growth: per-user island
       // structure repeats per replica, so rows must grow EXACTLY kx
       time("merge_intervals", k, graft.operators.TemporalOps.mergeIntervalsEvents(e))
+      time("asof_nearest", k, graft.operators.TemporalOps.asofNearestEvents(e))
       e.unpersist()
     }
 

@@ -94,6 +94,7 @@ object SparkEntry {
     "text_pii_scrub" -> (TextOps.textPiiScrub(_, _)),
     "text_tfidf" -> ((s, d) => TextOps.textTfidf(s, d)),
     "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
+    "group_heavy_hitters" -> ((s, d) => TextOps.groupHeavyHitters(s, d)),
     "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s, d)),
     "doc_chunk" -> (TextOps.docChunk(_, _)),
     "text_winnow" -> (TextOps.textWinnow(_, _)),

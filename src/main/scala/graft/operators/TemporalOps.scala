@@ -241,8 +241,11 @@ object TemporalOps {
     * exchange + two in-partition sorted windows (backward last, forward
     * first over the tagged union) replace any join: cost O(n log n) per
     * user partition, never clicks × purchases. */
-  def asofNearest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+  def asofNearest(s: SparkSession, dir: String): DataFrame =
+    asofNearestEvents(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
+
+  /** Core on any events-shaped frame (testable / probe-able). */
+  def asofNearestEvents(ev: DataFrame): DataFrame = {
     val tagged = ev.filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("us"),
         when(col("event_type") === "purchase", 0L).otherwise(1L).as("kind_b"),

@@ -145,6 +145,33 @@ object TextOps {
       .orderBy("tok")
   }
 
+  /** group_heavy_hitters — heavy tokens PER GROUP (lang): a Misra–Gries
+    * sketch pass per group, then an exact verify pass restricted to the
+    * per-group candidates. Unlike the global [[heavyHitters]] (whose
+    * candidate list is driver-side model metadata), the candidates here
+    * stay IN the plan: the sketch maps explode to a (lang, tok)
+    * candidate frame that broadcast-joins the verify pass — no driver
+    * materialization, so group count can scale to whatever the sketch
+    * budget (groups × ⌈1/φ⌉ entries) allows. Output is EXACT per group
+    * (superset guarantee per partition-merged sketch), same rows as a
+    * per-group HAVING. */
+  def groupHeavyHitters(s: SparkSession, dir: String, phi: Double = 0.01): DataFrame = {
+    val k = math.ceil(1.0 / phi).toInt
+    val mg = udaf(new MisraGries(k))
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val sketches = toks.groupBy("lang")
+      .agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n"))
+    val candidates = sketches
+      .select(col("lang"), col("n"), explode(map_keys(col("sketch"))).as("tok"))
+    toks.join(broadcast(candidates), Seq("lang", "tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("c"), first(col("n")).as("n"))
+      .filter(col("c") > col("n").cast("double") * lit(phi))
+      .select(col("lang"), col("tok"), col("c"))
+      .orderBy("lang", "tok")
+  }
+
   // ---------- TF-IDF ----------
 
   /** text_tfidf — top-3 characteristic terms per document by TF-IDF.

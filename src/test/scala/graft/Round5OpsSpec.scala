@@ -217,6 +217,23 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("multiple rows"))
   }
 
+  test("group_heavy_hitters: per-lang exact counts above the group threshold") {
+    val out = TextOps.groupHeavyHitters(s, sf).collect()
+    assert(out.nonEmpty)
+    // brute-force ground truth per lang
+    val docs = Tables.documents(s, sf).select("lang", "text").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[String]("text"))
+    val byLang = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" ", -1))).toMap
+    val expect = byLang.flatMap { case (lang, toks) =>
+      toks.groupBy(identity).collect {
+        case (t, xs) if xs.length > toks.length * 0.01 => (lang, t) -> xs.length.toLong
+      }
+    }
+    val got = out.map(r => (r.getAs[String]("lang"), r.getAs[String]("tok")) ->
+      r.getAs[Long]("c")).toMap
+    assert(got == expect, s"diff: ${(got.keySet diff expect.keySet) ++ (expect.keySet diff got.keySet)}")
+  }
+
   test("dq_checks: violation counts match direct recomputes") {
     import graft.operators.QualityOps
     val out = QualityOps.dqChecks(s, sf).collect()
