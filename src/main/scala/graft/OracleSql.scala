@@ -525,6 +525,18 @@ object OracleSql {
         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM l ORDER BY user_id, us, event_id""".stripMargin,
 
+    "session_window_agg" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, value FROM events),
+         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+         |sess AS (SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |FROM l)
+         |SELECT make_timestamp(MIN(us)) AS session_start,
+         |  make_timestamp(MAX(us) + 1800000000) AS session_end,
+         |  user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(${e2("value")}) AS DOUBLE)/100.0 AS total_value
+         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
     "sessionize_stats" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us, value FROM events),
          |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),

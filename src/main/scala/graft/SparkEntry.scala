@@ -67,6 +67,7 @@ object SparkEntry {
     "window_time_range" -> (CoreOps.windowTimeRange(_, _)),
     "sessionize" -> (CoreOps.sessionize(_, _)),
     "sessionize_stats" -> (CoreOps.sessionizeStats(_, _)),
+    "session_window_agg" -> (CoreOps.sessionWindowAgg(_, _)),
     "asof_join" -> (TemporalOps.asofClickPurchase(_, _)),
     "asof_join_native" -> (TemporalOps.asofClickPurchaseNative(_, _)),
     "range_join" -> (TemporalOps.rangeClickInPurchaseWindow(_, _)),

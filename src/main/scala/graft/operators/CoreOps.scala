@@ -420,6 +420,26 @@ object CoreOps {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** session_window_agg — sessionization via Spark's NATIVE session_window
+    * operator in BATCH (the same operator the streaming path uses, so the
+    * two paths share semantics by construction): gap-merged [start,
+    * last+gap) windows per user with count + exact-cents totals. The
+    * oracle derives identical sessions from the lag-gap formulation —
+    * note session_window opens a NEW session at exactly gap distance
+    * (event at prev_end is outside the half-open window), so the twin
+    * uses `>= gap`, unlike `sessionize`'s `> gap` convention. One keyed
+    * exchange; the session merge is in-partition sort + scan. */
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsMicros(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.functions.Det.e2(col("value"))).cast("double") / lit(100.0))
+          .as("total_value"))
+      .select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   /** event_transitions — first-order Markov transition matrix over each
     * user's event sequence: lead(event_type) within the user's (time,
     * event_id) order pairs every event with its successor, then ONE

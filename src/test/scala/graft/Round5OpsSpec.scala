@@ -217,6 +217,27 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("multiple rows"))
   }
 
+  test("session_window_agg: native batch session_window matches the lag-gap core") {
+    import graft.operators.CoreOps
+    val out = CoreOps.sessionWindowAgg(s, sf).collect()
+    assert(out.nonEmpty)
+    // events are partitioned exactly: per-user n_events sums to the feed
+    val perUser = out.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_events")).sum).toMap
+    val feed = Tables.events(s, sf).groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(perUser == feed)
+    // same session structure as the lag-gap sessionization (no event in
+    // this corpus lands exactly ON a gap boundary, where the native
+    // operator's >= rule and sessionize's > rule legitimately differ)
+    val lagGap = CoreOps.sessionizeStats(s, sf).collect()
+    assert(out.length == lagGap.length)
+    out.foreach { r =>
+      assert(r.getAs[java.time.LocalDateTime]("session_end")
+        .isAfter(r.getAs[java.time.LocalDateTime]("session_start")))
+    }
+  }
+
   test("group_heavy_hitters: per-lang exact counts above the group threshold") {
     val out = TextOps.groupHeavyHitters(s, sf).collect()
     assert(out.nonEmpty)
