@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,7 +45,8 @@ class SynthDocsSource extends TableProvider {
     new SynthDocsTable(
       java.lang.Long.parseLong(properties.getOrDefault("rows", "1000")),
       Integer.parseInt(properties.getOrDefault("partitions", "8")),
-      java.lang.Long.parseLong(properties.getOrDefault("seed", "42")))
+      java.lang.Long.parseLong(properties.getOrDefault("seed", "42")),
+      java.lang.Long.parseLong(properties.getOrDefault("rowsPerBatch", "100")))
 }
 
 object SynthDocs {
@@ -87,19 +89,21 @@ object SynthDocs {
   def sourceOf(id: Long): String = "src" + Math.floorMod(id, 20L)
 }
 
-class SynthDocsTable(rows: Long, partitions: Int, seed: Long)
+class SynthDocsTable(rows: Long, partitions: Int, seed: Long,
+    rowsPerBatch: Long = 100L)
     extends Table with SupportsRead {
   override def name(): String = s"synth_docs($rows)"
   override def schema(): StructType = SynthDocs.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthDocsScanBuilder(rows, partitions, seed)
+    new SynthDocsScanBuilder(rows, partitions, seed, rowsPerBatch)
 }
 
 /** Builder accumulating pruning + pushdown, then freezing into a Scan. */
-class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
+class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long,
+    rowsPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -180,7 +184,7 @@ class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
 
   override def build(): Scan = aggResult match {
     case Some(row) => new SynthDocsAggScan(lo, hi, row)
-    case None => new SynthDocsScan(lo, hi, rows, partitions, seed, required)
+    case None => new SynthDocsScan(lo, hi, rows, partitions, seed, required, rowsPerBatch)
   }
 }
 
@@ -207,9 +211,12 @@ class SynthDocsAggScan(lo: Long, hi: Long, row: Seq[Any]) extends Scan with Batc
 }
 
 class SynthDocsScan(lo: Long, hi: Long, rows: Long, partitions: Int,
-    seed: Long, required: StructType) extends Scan with Batch {
+    seed: Long, required: StructType, rowsPerBatch: Long = 100L)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthDocsMicroBatch(rows, partitions, seed, required, rowsPerBatch)
   override def description(): String =
     s"SynthDocsScan ids=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
 
@@ -221,6 +228,47 @@ class SynthDocsScan(lo: Long, hi: Long, rows: Long, partitions: Int,
       val s0 = math.max(start, lo)
       val e0 = math.min(start + per - 1, hi)
       if (s0 <= e0) Some(SynthDocsPartition(s0, e0, seed): InputPartition) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthDocsReaderFactory(required)
+}
+
+/** Offset = count of doc ids emitted so far (ids arrive in order). */
+case class SynthDocsOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch side of the connector: the same deterministic id space
+  * arrives `rowsPerBatch` ids per trigger until `rows` is reached.
+  * Offsets are plain emitted-row counts — restart from a checkpoint
+  * resumes mid-stream and regenerates IDENTICAL rows (purity of
+  * (doc_id, seed) is what makes the source exactly-once replayable,
+  * the property a real log-backed source gets from its log). Column
+  * pruning flows through the same ScanBuilder as the batch path. */
+class SynthDocsMicroBatch(rows: Long, partitions: Int, seed: Long,
+    required: StructType, rowsPerBatch: Long) extends MicroBatchStream {
+  private var reported = 0L // driver-side high-watermark for latestOffset
+
+  override def initialOffset(): Offset = SynthDocsOffset(0L)
+  override def latestOffset(): Offset = {
+    reported = math.min(rows, reported + rowsPerBatch)
+    SynthDocsOffset(reported)
+  }
+  override def deserializeOffset(json: String): Offset =
+    SynthDocsOffset(java.lang.Long.parseLong(json))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[SynthDocsOffset].n
+    val e0 = end.asInstanceOf[SynthDocsOffset].n - 1 // offsets are exclusive-end
+    if (s0 > e0) return Array.empty
+    val span = e0 - s0 + 1
+    val per = math.max(1L, (span + partitions - 1) / partitions)
+    (s0 to e0 by per).map { from =>
+      SynthDocsPartition(from, math.min(from + per - 1, e0), seed): InputPartition
     }.toArray
   }
 

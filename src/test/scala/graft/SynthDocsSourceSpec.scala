@@ -82,4 +82,25 @@ class SynthDocsSourceSpec extends AnyFunSuite {
       .filter(r => r.getAs[String]("lang") == "en" && r.getAs[Long]("doc_id") < 100)
     assert(q.count() == manual.length)
   }
+
+  test("micro-batch streaming: batch-identical rows, delivered in offset slices") {
+    val stream = s.readStream.format(fmt)
+      .option("rows", 50).option("partitions", 4).option("rowsPerBatch", 20)
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_synth_stream").start()
+    try {
+      q.processAllAvailable()
+      val out = s.table("graft_synth_stream").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 50L))
+      // purity: streamed rows identical to the batch read of the same ids
+      val batch = docs(50).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      out.foreach(r =>
+        assert(r.getAs[String]("text") == batch(r.getAs[Long]("doc_id"))))
+      // the cap really paced delivery: ≥3 non-empty micro-batches (20/20/10)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
 }
