@@ -605,6 +605,16 @@ object OracleSql {
         |  CASE WHEN p_us <= us THEN 'past' ELSE 'future' END AS direction
         |FROM j WHERE r = 1 ORDER BY event_id""".stripMargin,
 
+    "time_weighted_avg" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, value FROM events),
+         |l AS (SELECT *, lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us FROM e),
+         |iv AS (SELECT user_id, CAST(${e2("value")} AS HUGEINT) AS cents,
+         |  CAST(next_us - us AS HUGEINT) AS dur FROM l WHERE next_us IS NOT NULL)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         |  CAST(SUM(dur) AS BIGINT) AS held_us,
+         |  CAST(SUM(cents*dur) AS DOUBLE)/CAST(SUM(dur) AS DOUBLE)/100.0 AS twa
+         |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
         |pr AS (SELECT event_type AS from_type,

@@ -281,6 +281,35 @@ object TemporalOps {
       .orderBy("event_id")
   }
 
+  /** time_weighted_avg — the state-held-until-next-sample mean (sensor /
+    * gauge semantics, TimescaleDB's time_weight): each event's value is
+    * held until the user's next event; the per-user TWA weights each
+    * value by its holding duration. Last events (no successor) carry
+    * zero weight — the held-interval convention. Exact arithmetic: cents
+    * × µs-duration products sum as DECIMAL(38,0) (a 10⁸-cent value held
+    * 10¹² µs already overflows a long), ONE division at the edge.
+    * Shape: lead over the user_id window + a groupBy on the SAME key
+    * family — one exchange total. */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("next_us", lead(col("us"), 1).over(wOrd))
+      .filter(col("next_us").isNotNull)
+      .select(col("user_id"),
+        graft.functions.Det.e2(col("value")).cast("decimal(38,0)").as("cents"),
+        (col("next_us") - col("us")).cast("decimal(38,0)").as("dur"))
+      .groupBy("user_id")
+      .agg(sum(col("cents") * col("dur")).as("wsum"),
+        sum(col("dur")).as("wtot"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"), col("n_intervals"),
+        col("wtot").cast("long").as("held_us"),
+        (col("wsum").cast("double") / col("wtot").cast("double") / lit(100.0))
+          .as("twa"))
+      .orderBy("user_id")
+  }
+
   /** merge_intervals — gaps-and-islands: coalesce each user's overlapping
     * half-open purchase windows [us, us+30 min) into maximal covered
     * spans. New island when an interval starts at-or-after the running

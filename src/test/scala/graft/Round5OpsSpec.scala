@@ -176,6 +176,31 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("direction")).toSet == Set("past", "future"))
   }
 
+  test("time_weighted_avg: one user matches an exact BigInt recompute") {
+    import graft.operators.TemporalOps
+    val out = TemporalOps.timeWeightedAvg(s, sf).collect()
+    assert(out.nonEmpty)
+    val u = out.head.getAs[Long]("user_id")
+    val ev = Tables.events(s, sf).filter(col("user_id") === u)
+      .select(expr("ts div 1000").as("us"), col("event_id"), col("value")).collect()
+      .map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .sortBy(t => (t._1, t._2))
+    val ivs = ev.zip(ev.tail).map { case ((us, _, v), (nus, _, _)) =>
+      (BigInt(math.floor(v * 100.0 + 0.5).toLong), BigInt(nus - us))
+    }
+    val wsum = ivs.map { case (c, d) => c * d }.sum
+    val wtot = ivs.map(_._2).sum
+    val r = out.head
+    assert(r.getAs[Long]("n_intervals") == ivs.length.toLong)
+    assert(r.getAs[Long]("held_us") == wtot.toLong)
+    assert(math.abs(r.getAs[Double]("twa") -
+      wsum.toDouble / wtot.toDouble / 100.0) < 1e-9)
+    // a TWA must sit inside the observed value range
+    val vals = ev.map(_._3)
+    assert(r.getAs[Double]("twa") >= vals.min - 1e-9 &&
+      r.getAs[Double]("twa") <= vals.max + 1e-9)
+  }
+
   test("event_transitions: rows sum to 1 and cells match the pair count") {
     import graft.operators.CoreOps
     val out = CoreOps.eventTransitions(s, sf).collect()
