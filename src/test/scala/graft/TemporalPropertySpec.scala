@@ -133,4 +133,66 @@ class TemporalPropertySpec extends AnyFunSuite {
       assert(est >= trueCounts(t) - n.toLong / k, "undercount bound violated")
     }
   }
+
+  test("asofNearest equals brute-force argmin on colliding random timestamps") {
+    import s.implicits._
+    // tiny time domain on purpose: equal click/purchase timestamps and
+    // equal past/future deltas must hit the tie-break path constantly
+    val gen = for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 10L)
+      kind <- Gen.oneOf("click", "purchase")
+    } yield (u, t, kind)
+    val rows = Gen.listOfN(150, gen).sample.get.zipWithIndex
+      .map { case ((u, t, k), i) => (i.toLong, u, t, k) }
+    val ev = rows.toDF("event_id", "user_id", "us", "event_type")
+
+    val got = TemporalOps.asofNearestEvents(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("p_event"), r.getAs[Long]("delta_us"))).toMap
+
+    val purchases = rows.filter(_._4 == "purchase")
+    val want = rows.filter(_._4 == "click").flatMap { case (cid, u, cus, _) =>
+      val cands = purchases.filter(_._2 == u)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy { case (pid, _, pus, _) =>
+          (math.abs(pus - cus), pus, pid)
+        }
+        Some(cid -> (best._1, math.abs(best._3 - cus)))
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("mergeIntervals equals brute-force island merge incl. exact-touch boundaries") {
+    import s.implicits._
+    val half = 1800L * 1000000L
+    // half-width grid → intervals that exactly TOUCH (half-open: must NOT
+    // merge) and exactly coincide, per user
+    val gen = for {
+      u <- Gen.choose(1L, 3L)
+      g <- Gen.choose(0L, 16L)
+    } yield (u, g * (half / 2))
+    val rows = Gen.listOfN(80, gen).sample.get.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t, "purchase") }
+    val ev = rows.toDF("event_id", "user_id", "us", "event_type")
+
+    val got = TemporalOps.mergeIntervalsEvents(ev).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("island_id"))
+        .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+          r.getAs[Long]("n_intervals"))).toList).toMap
+
+    val want = rows.groupBy(_._2).view.mapValues { rs =>
+      rs.map(r => (r._3, r._3 + half)).sortBy(_._1)
+        .foldLeft(List.empty[(Long, Long, Long)]) {
+          case (Nil, (lo, hi)) => List((lo, hi, 1L))
+          case ((s0, e0, n0) :: rest, (lo, hi)) =>
+            if (lo >= e0) (lo, hi, 1L) :: (s0, e0, n0) :: rest
+            else (s0, math.max(e0, hi), n0 + 1L) :: rest
+        }.reverse
+    }.toMap
+    assert(got == want)
+  }
 }
