@@ -525,6 +525,17 @@ object OracleSql {
         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM l ORDER BY user_id, us, event_id""".stripMargin,
 
+    "rolling_median" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us,
+         |  ${e2("value")} AS cents FROM events)
+         |SELECT event_id, user_id,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+         |  CAST(median(cents) OVER w AS DOUBLE)/100.0 AS rolling_median
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, us, event_id""".stripMargin,
+
     "session_window_agg" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, value FROM events),
          |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),

@@ -65,6 +65,7 @@ object SparkEntry {
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),
     "unpivot_events" -> (CoreOps.unpivotEvents(_, _)),
     "window_time_range" -> (CoreOps.windowTimeRange(_, _)),
+    "rolling_median" -> (CoreOps.rollingMedian(_, _)),
     "sessionize" -> (CoreOps.sessionize(_, _)),
     "sessionize_stats" -> (CoreOps.sessionizeStats(_, _)),
     "session_window_agg" -> (CoreOps.sessionWindowAgg(_, _)),

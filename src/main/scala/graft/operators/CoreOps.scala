@@ -420,6 +420,33 @@ object CoreOps {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** rolling_median — exact median of the trailing 10 events per user
+    * (the robust-baseline pass of monitoring/anomaly pipelines; rolling
+    * MEAN is one codegen'd window sum, but an exact rolling median needs
+    * the frame values). collect_list over the ROWS frame keeps ≤10
+    * integer cents per row — bounded state, one keyed exchange — and the
+    * median interpolates two exact ints, so (lo+hi)/2 is an EXACT double
+    * (half-integers are representable) and hash-matches DuckDB's
+    * quantile_cont regardless of its interpolation formula. */
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    val sorted = array_sort(col("arr"))
+    val n = size(col("arr"))
+    val med = when(n % 2 === 1,
+      element_at(sorted, ((n + 1) / 2).cast("int")).cast("double"))
+      .otherwise((element_at(sorted, (n / 2).cast("int")) +
+        element_at(sorted, (n / 2).cast("int") + 1))
+        .cast("double") / lit(2.0))
+    Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("cents", graft.functions.Det.e2(col("value")).cast("long"))
+      .withColumn("arr", collect_list(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), n.cast("long").as("n_window"),
+        (med / lit(100.0)).as("rolling_median"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** session_window_agg — sessionization via Spark's NATIVE session_window
     * operator in BATCH (the same operator the streaming path uses, so the
     * two paths share semantics by construction): gap-merged [start,

@@ -176,6 +176,29 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("direction")).toSet == Set("past", "future"))
   }
 
+  test("rolling_median: windows bounded at 10, one user matches a Scala recompute") {
+    import graft.operators.CoreOps
+    val out = CoreOps.rollingMedian(s, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_window") >= 1 &&
+      r.getAs[Long]("n_window") <= 10))
+    val u = out.head.getAs[Long]("user_id")
+    val ev = Tables.events(s, sf).filter(col("user_id") === u)
+      .select(expr("ts div 1000").as("us"), col("event_id"), col("value")).collect()
+      .map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"),
+        math.floor(r.getAs[Double]("value") * 100.0 + 0.5).toLong))
+      .sortBy(t => (t._1, t._2))
+    val mine = out.filter(_.getAs[Long]("user_id") == u)
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("rolling_median")).toMap
+    ev.indices.foreach { i =>
+      val frame = ev.slice(math.max(0, i - 9), i + 1).map(_._3).sorted
+      val n = frame.length
+      val med = if (n % 2 == 1) frame(n / 2).toDouble
+        else (frame(n / 2 - 1) + frame(n / 2)).toDouble / 2.0
+      assert(mine(ev(i)._2) == med / 100.0, s"row $i of user $u")
+    }
+  }
+
   test("time_weighted_avg: one user matches an exact BigInt recompute") {
     import graft.operators.TemporalOps
     val out = TemporalOps.timeWeightedAvg(s, sf).collect()
