@@ -433,11 +433,11 @@ object CoreOps {
       .rowsBetween(-9, Window.currentRow)
     val sorted = array_sort(col("arr"))
     val n = size(col("arr"))
-    val med = when(n % 2 === 1,
-      element_at(sorted, ((n + 1) / 2).cast("int")).cast("double"))
-      .otherwise((element_at(sorted, (n / 2).cast("int")) +
-        element_at(sorted, (n / 2).cast("int") + 1))
-        .cast("double") / lit(2.0))
+    // one formula for both parities: odd n picks the same middle element
+    // twice ((x+x)/2 == x exactly for integer cents), even n interpolates
+    val med = (element_at(sorted, ((n + 1) / 2).cast("int")) +
+      element_at(sorted, ((n + 2) / 2).cast("int")))
+      .cast("double") / lit(2.0)
     Tables.events(s, dir)
       .withColumn("us", expr("ts div 1000"))
       .withColumn("cents", graft.functions.Det.e2(col("value")).cast("long"))

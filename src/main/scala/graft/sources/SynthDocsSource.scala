@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,12 +41,16 @@ class SynthDocsSource extends TableProvider {
     SynthDocs.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // options are case-insensitive everywhere else in DSv2 — wrap the
+    // raw map so `rowsPerBatch`/`rowsperbatch`/`ROWSPERBATCH` all bind
+    val opts = new CaseInsensitiveStringMap(properties)
     new SynthDocsTable(
-      java.lang.Long.parseLong(properties.getOrDefault("rows", "1000")),
-      Integer.parseInt(properties.getOrDefault("partitions", "8")),
-      java.lang.Long.parseLong(properties.getOrDefault("seed", "42")),
-      java.lang.Long.parseLong(properties.getOrDefault("rowsPerBatch", "100")))
+      opts.getLong("rows", 1000L),
+      opts.getInt("partitions", 8),
+      opts.getLong("seed", 42L),
+      opts.getLong("rowsperbatch", 100L))
+  }
 }
 
 object SynthDocs {
@@ -216,7 +220,7 @@ class SynthDocsScan(lo: Long, hi: Long, rows: Long, partitions: Int,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SynthDocsMicroBatch(rows, partitions, seed, required, rowsPerBatch)
+    new SynthDocsMicroBatch(lo, hi, rows, partitions, seed, required, rowsPerBatch)
   override def description(): String =
     s"SynthDocsScan ids=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
 
@@ -245,10 +249,24 @@ case class SynthDocsOffset(n: Long) extends Offset {
   * Offsets are plain emitted-row counts — restart from a checkpoint
   * resumes mid-stream and regenerates IDENTICAL rows (purity of
   * (doc_id, seed) is what makes the source exactly-once replayable,
-  * the property a real log-backed source gets from its log). Column
-  * pruning flows through the same ScanBuilder as the batch path. */
-class SynthDocsMicroBatch(rows: Long, partitions: Int, seed: Long,
-    required: StructType, rowsPerBatch: Long) extends MicroBatchStream {
+  * the property a real log-backed source gets from its log).
+  *
+  * Restart safety: `latestOffset` must never REGRESS below an offset
+  * the engine has already committed — a fresh instance starts its pace
+  * counter at 0, so the counter is clamped up by every offset the
+  * engine echoes back through `deserializeOffset`/`planInputPartitions`
+  * (those carry the checkpointed positions on recovery). Under
+  * Trigger.AvailableNow the engine snapshots ONE target offset up
+  * front, so `prepareForTriggerAvailableNow` reports the full cap —
+  * run-to-completion processes everything, as that trigger promises.
+  * Note: Spark's micro-batch planner builds this via
+  * `newScanBuilder(options).build()` WITHOUT pruning/pushdown today;
+  * the pushed [lo,hi] id bounds are still honored here defensively so
+  * a future planner that does push filters cannot make the stream emit
+  * rows the plan no longer re-filters. */
+class SynthDocsMicroBatch(lo: Long, hi: Long, rows: Long, partitions: Int,
+    seed: Long, required: StructType, rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private var reported = 0L // driver-side high-watermark for latestOffset
 
   override def initialOffset(): Offset = SynthDocsOffset(0L)
@@ -256,14 +274,29 @@ class SynthDocsMicroBatch(rows: Long, partitions: Int, seed: Long,
     reported = math.min(rows, reported + rowsPerBatch)
     SynthDocsOffset(reported)
   }
-  override def deserializeOffset(json: String): Offset =
-    SynthDocsOffset(java.lang.Long.parseLong(json))
-  override def commit(end: Offset): Unit = ()
+  // admission-control variant (the one the engine calls for a source
+  // implementing SupportsAdmissionControl): paces from the ENGINE's start
+  // offset, so a freshly-constructed instance can never regress below a
+  // checkpointed position even before deserializeOffset clamps it
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[SynthDocsOffset].n
+    reported = math.min(rows, math.max(reported, s0) + rowsPerBatch)
+    SynthDocsOffset(reported)
+  }
+  override def prepareForTriggerAvailableNow(): Unit = reported = rows
+  override def deserializeOffset(json: String): Offset = {
+    val n = java.lang.Long.parseLong(json)
+    reported = math.max(reported, n) // recovery: never pace below a checkpoint
+    SynthDocsOffset(n)
+  }
+  override def commit(end: Offset): Unit =
+    reported = math.max(reported, end.asInstanceOf[SynthDocsOffset].n)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[SynthDocsOffset].n
-    val e0 = end.asInstanceOf[SynthDocsOffset].n - 1 // offsets are exclusive-end
+    val s0 = math.max(start.asInstanceOf[SynthDocsOffset].n, lo)
+    val e0 = math.min(end.asInstanceOf[SynthDocsOffset].n - 1, hi) // excl-end offset
+    reported = math.max(reported, end.asInstanceOf[SynthDocsOffset].n)
     if (s0 > e0) return Array.empty
     val span = e0 - s0 + 1
     val per = math.max(1L, (span + partitions - 1) / partitions)

@@ -103,4 +103,19 @@ class SynthDocsSourceSpec extends AnyFunSuite {
         q.recentProgress.map(_.numInputRows).mkString(","))
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains the whole id space (case-insensitive option)") {
+    val stream = s.readStream.format(fmt)
+      .option("rows", 45).option("ROWSPERBATCH", 20) // odd casing must bind
+      .load()
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").format("memory").queryName("graft_synth_avail")
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+      assert(s.table("graft_synth_avail").count() == 45,
+        "run-to-completion must emit every id, not just the first batch")
+    } finally q.stop()
+  }
 }
