@@ -525,6 +525,15 @@ object OracleSql {
         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM l ORDER BY user_id, us, event_id""".stripMargin,
 
+    "cumulative_reach" ->
+      """WITH f AS (SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS DATE) AS first_d
+        |FROM events GROUP BY user_id),
+        |d AS (SELECT first_d, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY first_d)
+        |SELECT CAST(first_d AS TIMESTAMP) AS day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY first_d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+
     "rolling_median" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us,
          |  ${e2("value")} AS cents FROM events)

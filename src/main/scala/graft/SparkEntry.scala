@@ -60,6 +60,7 @@ object SparkEntry {
     "rolling_revenue" -> (CoreOps.rollingRevenue(_, _)),
     "mode_agg" -> (CoreOps.modeAgg(_, _)),
     "retention" -> (CoreOps.retention(_, _)),
+    "cumulative_reach" -> (CoreOps.cumulativeReach(_, _)),
     "quantile_buckets" -> (CoreOps.quantileBuckets(_, _)),
     "event_path" -> (CoreOps.eventPath(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),

@@ -420,6 +420,28 @@ object CoreOps {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** cumulative_reach — running DISTINCT user count by day (audience
+    * reach). The classic trap is count(distinct) over an expanding
+    * window — quadratic state. Instead each user collapses to their
+    * FIRST active day (one partial-agg shuffle on user_id), days count
+    * their new users, and the running sum rides a window over the
+    * COLLAPSED days frame (bounded by the calendar, like the per-country
+    * aggregate) — cumulative distinct at linear cost, any scale. */
+  def cumulativeReach(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.eventsMicros(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("first_d"))
+    val perDay = firstDay.groupBy("first_d")
+      .agg(count(lit(1)).as("new_users"))
+    val wRun = Window.orderBy("first_d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("cum_users", sum(col("new_users")).over(wRun))
+      .select(col("first_d").cast("timestamp_ntz").as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
   /** rolling_median — exact median of the trailing 10 events per user
     * (the robust-baseline pass of monitoring/anomaly pipelines; rolling
     * MEAN is one codegen'd window sum, but an exact rolling median needs

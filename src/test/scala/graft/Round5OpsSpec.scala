@@ -176,6 +176,17 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("direction")).toSet == Set("past", "future"))
   }
 
+  test("cumulative_reach: monotone and totals to the exact distinct user count") {
+    import graft.operators.CoreOps
+    val out = CoreOps.cumulativeReach(s, sf).collect()
+    assert(out.nonEmpty)
+    val cums = out.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a }, "strictly rising")
+    val distinctUsers = Tables.events(s, sf).select("user_id").distinct().count()
+    assert(cums.last == distinctUsers)
+    assert(out.map(_.getAs[Long]("new_users")).sum == distinctUsers)
+  }
+
   test("rolling_median: windows bounded at 10, one user matches a Scala recompute") {
     import graft.operators.CoreOps
     val out = CoreOps.rollingMedian(s, sf).collect()
