@@ -545,6 +545,20 @@ object OracleSql {
          |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, us, event_id""".stripMargin,
 
+    "rolling_mad_outliers" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us,
+         |  ${e2("value")} AS cents FROM events),
+         |l AS (SELECT *, list(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr FROM e),
+         |m AS (SELECT *, CAST(list_aggregate(arr, 'median') AS DOUBLE) AS med FROM l),
+         |d AS (SELECT *, CAST(list_aggregate(
+         |  list_transform(arr, x -> CAST(abs(x - med) AS DOUBLE)), 'median') AS DOUBLE) AS mad FROM m)
+         |SELECT event_id, user_id, CAST(len(arr) AS BIGINT) AS n_window,
+         |  med/100.0 AS med_price, mad/100.0 AS mad_price,
+         |  CASE WHEN mad > 0 THEN abs(cents - med) > 3.0*mad
+         |       ELSE abs(cents - med) > 0.0 END AS is_outlier
+         |FROM d ORDER BY user_id, us, event_id""".stripMargin,
+
     "session_window_agg" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, value FROM events),
          |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),

@@ -67,6 +67,7 @@ object SparkEntry {
     "unpivot_events" -> (CoreOps.unpivotEvents(_, _)),
     "window_time_range" -> (CoreOps.windowTimeRange(_, _)),
     "rolling_median" -> (CoreOps.rollingMedian(_, _)),
+    "rolling_mad_outliers" -> ((s, d) => CoreOps.rollingMadOutliers(s, d)),
     "sessionize" -> (CoreOps.sessionize(_, _)),
     "sessionize_stats" -> (CoreOps.sessionizeStats(_, _)),
     "session_window_agg" -> (CoreOps.sessionWindowAgg(_, _)),

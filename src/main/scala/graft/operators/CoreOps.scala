@@ -453,19 +453,52 @@ object CoreOps {
   def rollingMedian(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
       .rowsBetween(-9, Window.currentRow)
-    val sorted = array_sort(col("arr"))
+    val med = medOfSorted(array_sort(col("arr")), size(col("arr")))
     val n = size(col("arr"))
-    // one formula for both parities: odd n picks the same middle element
-    // twice ((x+x)/2 == x exactly for integer cents), even n interpolates
-    val med = (element_at(sorted, ((n + 1) / 2).cast("int")) +
-      element_at(sorted, ((n + 2) / 2).cast("int")))
-      .cast("double") / lit(2.0)
     Tables.events(s, dir)
       .withColumn("us", expr("ts div 1000"))
       .withColumn("cents", graft.functions.Det.e2(col("value")).cast("long"))
       .withColumn("arr", collect_list(col("cents")).over(w))
       .select(col("event_id"), col("user_id"), n.cast("long").as("n_window"),
         (med / lit(100.0)).as("rolling_median"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
+  /** Interpolated median of a SORTED numeric array column — one formula
+    * for both parities ((x+x)/2 == x exactly). Shared by rolling_median
+    * and rolling_mad_outliers. */
+  private def medOfSorted(sorted: Column, n: Column): Column =
+    (element_at(sorted, ((n + 1) / 2).cast("int")) +
+      element_at(sorted, ((n + 2) / 2).cast("int")))
+      .cast("double") / lit(2.0)
+
+  /** rolling_mad_outliers — robust anomaly flags: a value is anomalous
+    * when it sits more than k median-absolute-deviations from the
+    * trailing-10 median (the MAD rule — unlike z-scores, one spike
+    * cannot inflate its own baseline). Exactness chain: integer cents →
+    * half-integer median → half-integer deviations → quarter-exact MAD;
+    * every double along the way is exactly representable, so the flags
+    * hash-match the oracle's list_aggregate medians bit-for-bit. The
+    * med column is materialized BEFORE the deviation lambda references
+    * it (the winnowing lesson). */
+  def rollingMadOutliers(s: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    val base = Tables.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("cents", graft.functions.Det.e2(col("value")).cast("long"))
+      .withColumn("arr", collect_list(col("cents")).over(w))
+      .withColumn("med", medOfSorted(array_sort(col("arr")), size(col("arr"))))
+      .withColumn("mad", medOfSorted(
+        array_sort(transform(col("arr"), x => abs(x.cast("double") - col("med")))),
+        size(col("arr"))))
+    base.select(col("event_id"), col("user_id"),
+        size(col("arr")).cast("long").as("n_window"),
+        (col("med") / lit(100.0)).as("med_price"),
+        (col("mad") / lit(100.0)).as("mad_price"),
+        when(col("mad") > 0,
+          abs(col("cents") - col("med")) > lit(k) * col("mad"))
+          .otherwise(abs(col("cents") - col("med")) > lit(0.0)).as("is_outlier"))
       .orderBy("user_id", "us", "event_id")
   }
 

@@ -210,6 +210,35 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling_mad_outliers: flags match a Scala MAD recompute for one user") {
+    import graft.operators.CoreOps
+    val out = CoreOps.rollingMadOutliers(s, sf).collect()
+    assert(out.nonEmpty)
+    val u = out.head.getAs[Long]("user_id")
+    val ev = Tables.events(s, sf).filter(col("user_id") === u)
+      .select(expr("ts div 1000").as("us"), col("event_id"), col("value")).collect()
+      .map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"),
+        math.floor(r.getAs[Double]("value") * 100.0 + 0.5).toLong))
+      .sortBy(t => (t._1, t._2))
+    def med(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted; val n = s0.length
+      (s0((n - 1) / 2) + s0(n / 2)) / 2.0
+    }
+    val mine = out.filter(_.getAs[Long]("user_id") == u)
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    ev.indices.foreach { i =>
+      val frame = ev.slice(math.max(0, i - 9), i + 1).map(_._3.toDouble)
+      val m = med(frame)
+      val mad = med(frame.map(x => math.abs(x - m)))
+      val r = mine(ev(i)._2)
+      assert(r.getAs[Double]("med_price") == m / 100.0)
+      assert(r.getAs[Double]("mad_price") == mad / 100.0)
+      val expectFlag = if (mad > 0) math.abs(ev(i)._3 - m) > 3.0 * mad
+        else math.abs(ev(i)._3 - m) > 0.0
+      assert(r.getAs[Boolean]("is_outlier") == expectFlag, s"row $i user $u")
+    }
+  }
+
   test("time_weighted_avg: one user matches an exact BigInt recompute") {
     import graft.operators.TemporalOps
     val out = TemporalOps.timeWeightedAvg(s, sf).collect()
