@@ -525,6 +525,13 @@ object OracleSql {
         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM l ORDER BY user_id, us, event_id""".stripMargin,
 
+    "daily_active" ->
+      s"""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(${e2("value")}) AS DOUBLE)/100.0 AS total_value
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
     "cumulative_reach" ->
       """WITH f AS (SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS DATE) AS first_d
         |FROM events GROUP BY user_id),

@@ -61,6 +61,7 @@ object SparkEntry {
     "mode_agg" -> (CoreOps.modeAgg(_, _)),
     "retention" -> (CoreOps.retention(_, _)),
     "cumulative_reach" -> (CoreOps.cumulativeReach(_, _)),
+    "daily_active" -> (CoreOps.dailyActive(_, _)),
     "quantile_buckets" -> (CoreOps.quantileBuckets(_, _)),
     "event_path" -> (CoreOps.eventPath(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),

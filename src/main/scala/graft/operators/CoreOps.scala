@@ -420,6 +420,23 @@ object CoreOps {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** daily_active — the DAU panel: per-day distinct users, event count,
+    * exact-cents value total. One partial-agg shuffle on the day key;
+    * the distinct count is exact (per-day cardinalities are the one
+    * place exact distinct is cheap — the day partitions the fact). The
+    * approx twins for cross-day unions are hll_distinct's landed
+    * sketches. */
+  def dailyActive(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsMicros(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"),
+        (sum(graft.functions.Det.e2(col("value"))).cast("double") / lit(100.0))
+          .as("total_value"))
+      .select(col("d").cast("timestamp_ntz").as("day"),
+        col("dau"), col("n_events"), col("total_value"))
+      .orderBy("day")
+
   /** cumulative_reach — running DISTINCT user count by day (audience
     * reach). The classic trap is count(distinct) over an expanding
     * window — quadratic state. Instead each user collapses to their

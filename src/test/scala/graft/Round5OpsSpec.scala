@@ -176,6 +176,17 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("direction")).toSet == Set("past", "future"))
   }
 
+  test("daily_active: totals reconcile with the raw feed") {
+    import graft.operators.CoreOps
+    val out = CoreOps.dailyActive(s, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(s, sf)
+    assert(out.map(_.getAs[Long]("n_events")).sum == ev.count())
+    val distinctUsers = ev.select("user_id").distinct().count()
+    assert(out.forall(_.getAs[Long]("dau") <= distinctUsers))
+    assert(out.map(_.getAs[Long]("dau")).max <= distinctUsers)
+  }
+
   test("cumulative_reach: monotone and totals to the exact distinct user count") {
     import graft.operators.CoreOps
     val out = CoreOps.cumulativeReach(s, sf).collect()
