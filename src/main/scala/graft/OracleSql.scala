@@ -525,6 +525,13 @@ object OracleSql {
         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM l ORDER BY user_id, us, event_id""".stripMargin,
 
+    "hourly_profile" ->
+      s"""SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+         |  CAST(SUM(${e2("value")}) AS DOUBLE)/100.0 AS total_value
+         |FROM events GROUP BY 1 ORDER BY hr""".stripMargin,
+
     "daily_active" ->
       s"""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,

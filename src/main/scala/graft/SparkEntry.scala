@@ -62,6 +62,7 @@ object SparkEntry {
     "retention" -> (CoreOps.retention(_, _)),
     "cumulative_reach" -> (CoreOps.cumulativeReach(_, _)),
     "daily_active" -> (CoreOps.dailyActive(_, _)),
+    "hourly_profile" -> (CoreOps.hourlyProfile(_, _)),
     "quantile_buckets" -> (CoreOps.quantileBuckets(_, _)),
     "event_path" -> (CoreOps.eventPath(_, _)),
     "pivot_events" -> (CoreOps.pivotEvents(_, _)),

@@ -420,6 +420,19 @@ object CoreOps {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** hourly_profile — hour-of-day seasonality panel: event count,
+    * distinct users, exact-cents totals per hour 0–23. Output bounded at
+    * 24 rows whatever the fact size; one partial-agg shuffle. The
+    * load-shaping / anomaly-baseline companion to daily_active. */
+  def hourlyProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsMicros(s, dir)
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("users"),
+        (sum(graft.functions.Det.e2(col("value"))).cast("double") / lit(100.0))
+          .as("total_value"))
+      .orderBy("hr")
+
   /** daily_active — the DAU panel: per-day distinct users, event count,
     * exact-cents value total. One partial-agg shuffle on the day key;
     * the distinct count is exact (per-day cardinalities are the one

@@ -187,6 +187,14 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("dau")).max <= distinctUsers)
   }
 
+  test("hourly_profile: 24-row panel reconciles with the feed") {
+    import graft.operators.CoreOps
+    val out = CoreOps.hourlyProfile(s, sf).collect()
+    assert(out.nonEmpty && out.length <= 24)
+    assert(out.map(_.getAs[Long]("hr")).forall(h => h >= 0 && h <= 23))
+    assert(out.map(_.getAs[Long]("n_events")).sum == Tables.events(s, sf).count())
+  }
+
   test("cumulative_reach: monotone and totals to the exact distinct user count") {
     import graft.operators.CoreOps
     val out = CoreOps.cumulativeReach(s, sf).collect()
