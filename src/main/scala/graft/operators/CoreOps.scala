@@ -767,16 +767,23 @@ object CoreOps {
   }
 
   /** #19k quantile_buckets — decile bucketing by document length done the
-    * 100 TB way: exact decile boundaries from ONE aggregate (interpolated
-    * percentile over integer n_chars — deterministic doubles), broadcast
-    * back onto the rows, each row assigned by counting boundaries
-    * strictly below its value, then per-bucket stats. Two scans, zero
-    * global sort — where ntile() would drag every row through a
-    * single-partition window. */
+    * 100 TB way: the fact first COLLAPSES to a (n_chars, count) histogram
+    * on a normal partial-agg shuffle, then ONE frequency-weighted exact
+    * percentile over that collapsed frame yields the interpolated decile
+    * boundaries — identical doubles to percentile-over-rows (same counts
+    * map, same interpolation), but the aggregation buffer holds one entry
+    * per DISTINCT length (bounded by the length domain, ~10^5 entries at
+    * any corpus size), never one per row. Boundaries broadcast back onto
+    * the rows, each row assigned by counting boundaries strictly below
+    * its value, then per-bucket stats. Two scans, zero global sort —
+    * where ntile() would drag every row through a single-partition
+    * window, and a row-fed exact percentile would buffer ~10^11 values
+    * per partial at 100 TB. */
   def quantileBuckets(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val bounds = docs.agg(
-      percentile(col("n_chars"), typedLit((1 to 9).map(_ / 10.0))).as("bs"))
+    val bounds = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      .agg(percentile(col("n_chars"), typedLit((1 to 9).map(_ / 10.0)),
+        col("cnt")).as("bs"))
     docs.crossJoin(broadcast(bounds))
       .select(col("doc_id"), col("n_chars"),
         aggregate(col("bs"), lit(1),

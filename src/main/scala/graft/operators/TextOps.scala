@@ -304,13 +304,29 @@ object TextOps {
     val arrs = Tables.documents(s, dir).select(col("doc_id"),
       split(col("text"), " ").as("w"),
       DedupOps.wordGrams(col("text"), 2).as("g"))
+    // top_word_n = longest equal-run in the SORTED word array: one
+    // O(L log L) sort + one O(L) run-length fold — never the O(uniq×L)
+    // nested count lambda, which is quadratic exactly on the long
+    // repetitive documents this gate exists to catch (a 100k-word doc is
+    // ~10^10 comparisons under the nested form, ~10^6 here; see
+    // LongDocSpec for the measured ceiling).
+    val topWordN = aggregate(
+      array_sort(col("w")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x,
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val counts = arrs.select(col("doc_id"),
       size(col("w")).cast("long").as("words_n"),
       size(array_distinct(col("w"))).cast("long").as("uniq_words"),
       size(col("g")).cast("long").as("bigrams_n"),
       size(array_distinct(col("g"))).cast("long").as("uniq_bigrams"),
-      array_max(transform(array_distinct(col("w")),
-        x => size(filter(col("w"), y => y === x)))).cast("long").as("top_word_n"))
+      topWordN.cast("long").as("top_word_n"))
     val dupWord = (col("words_n") - col("uniq_words")).cast("double") / col("words_n")
     val dupBigram = when(col("bigrams_n") > 0,
       (col("bigrams_n") - col("uniq_bigrams")).cast("double") / col("bigrams_n"))
