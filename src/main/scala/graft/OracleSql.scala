@@ -112,6 +112,23 @@ object OracleSql {
        |    COALESCE(revenue, 0.0) AS revenue
        |  FROM spine LEFT JOIN daily USING (priority, d))""".stripMargin
 
+  /** Brute-force-ranked nearest as-of, shared by the window-algorithm
+    * query (asof_nearest) and the native-exec twin (asof_nearest_native):
+    * the (|Δt|, p_us, p_event) argmin spelled as a row_number over the
+    * full click × same-user-purchase join. */
+  private val asofNearestSql =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+      |c AS (SELECT event_id, user_id, us FROM e WHERE event_type='click'),
+      |p AS (SELECT event_id AS p_event, user_id, us AS p_us FROM e WHERE event_type='purchase'),
+      |j AS (SELECT c.event_id, c.user_id, c.us, p.p_event, p.p_us,
+      |  abs(c.us - p.p_us) AS delta_us,
+      |  row_number() OVER (PARTITION BY c.event_id
+      |    ORDER BY abs(c.us - p.p_us), p.p_us, p.p_event) AS r
+      |FROM c JOIN p USING (user_id))
+      |SELECT event_id, user_id, us, p_event, p_us, delta_us,
+      |  CASE WHEN p_us <= us THEN 'past' ELSE 'future' END AS direction
+      |FROM j WHERE r = 1 ORDER BY event_id""".stripMargin
+
   // ---------- the map ----------
 
   val all: Map[String, String] = Map(
@@ -640,18 +657,10 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n_intervals, MAX(hi) - MIN(lo) AS covered_us
         |FROM g GROUP BY 1, 2 ORDER BY user_id, island_id""".stripMargin,
 
-    "asof_nearest" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
-        |c AS (SELECT event_id, user_id, us FROM e WHERE event_type='click'),
-        |p AS (SELECT event_id AS p_event, user_id, us AS p_us FROM e WHERE event_type='purchase'),
-        |j AS (SELECT c.event_id, c.user_id, c.us, p.p_event, p.p_us,
-        |  abs(c.us - p.p_us) AS delta_us,
-        |  row_number() OVER (PARTITION BY c.event_id
-        |    ORDER BY abs(c.us - p.p_us), p.p_us, p.p_event) AS r
-        |FROM c JOIN p USING (user_id))
-        |SELECT event_id, user_id, us, p_event, p_us, delta_us,
-        |  CASE WHEN p_us <= us THEN 'past' ELSE 'future' END AS direction
-        |FROM j WHERE r = 1 ORDER BY event_id""".stripMargin,
+    "asof_nearest" -> asofNearestSql,
+    // the native-exec twin shares the brute-force-ranked oracle: both
+    // engines implement the same (|Δt|, p_us, p_event) argmin
+    "asof_nearest_native" -> asofNearestSql,
 
     "time_weighted_avg" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, value FROM events),

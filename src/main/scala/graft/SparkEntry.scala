@@ -78,6 +78,7 @@ object SparkEntry {
     "range_join" -> (TemporalOps.rangeClickInPurchaseWindow(_, _)),
     "merge_intervals" -> (TemporalOps.mergeIntervals(_, _)),
     "asof_nearest" -> (TemporalOps.asofNearest(_, _)),
+    "asof_nearest_native" -> (TemporalOps.asofClickPurchaseNearestNative(_, _)),
     "time_weighted_avg" -> (TemporalOps.timeWeightedAvg(_, _)),
     "event_transitions" -> (CoreOps.eventTransitions(_, _)),
     // LLM-training-data (#24–35)

@@ -161,7 +161,7 @@ object TemporalOps {
     */
   def asofJoinNative(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil, nearest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
@@ -178,8 +178,33 @@ object TemporalOps {
     val node = graft.plans.AsOfJoin.resolved(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTs), attr(rPlan, rightTs),
-      rightTiebreak.map(attr(rPlan, _)))
+      rightTiebreak.map(attr(rPlan, _)), nearest)
     PlanBridge.ofRows(s, node)
+  }
+
+  /** `asof_nearest_native` query — [[asofNearest]]'s argmin semantics on
+    * the native exec's nearest direction: one buffered past row + a
+    * peeked future row per partition instead of two window passes over
+    * the tagged union. p_event (unique) is the full tiebreak, so the
+    * output is bit-identical to the window twin and shares asof_nearest's
+    * brute-force-ranked DuckDB oracle. Clicks with no purchase drop
+    * (join-style, as the oracle's inner join). */
+  def asofClickPurchaseNearestNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"),
+        col("event_id").as("p_event"))
+    asofJoinNative(clicks, purchases, "user_id", "p_user", "us", "p_us",
+        rightTiebreak = Seq("p_event"), nearest = true)
+      .filter(col("p_event").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("p_event"), col("p_us"),
+        abs(col("p_us") - col("us")).as("delta_us"),
+        when(col("p_us") <= col("us"), "past").otherwise("future")
+          .as("direction"))
+      .orderBy("event_id")
   }
 
   /** `asof_join_native` query — the [[asofClickPurchase]] semantics on the

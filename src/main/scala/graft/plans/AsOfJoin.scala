@@ -32,6 +32,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Null semantics match SQL joins: a null key or null timestamp on either
   * side never matches (`NULL = x` and `NULL >= x` are not true).
+  *
+  * `nearest = true` switches to merge_asof direction='nearest' semantics:
+  * each left row matches the right row minimizing (|rightTs − leftTs|,
+  * rightTs, tiebreak) — equidistant past/future ties resolve to the past
+  * row (smaller ts), same-ts ties to the tiebreak-SMALLEST row, matching
+  * [[graft.operators.TemporalOps.asofNearestEvents]]'s uniform argmin key.
+  * The merge pass buffers the latest at-or-before row and peeks the first
+  * after row — still O(1) state. Nearest requires a long-backed timestamp
+  * (long / timestamp) so the distance compare is exact integer math.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -41,6 +50,7 @@ case class AsOfJoin(
     leftTs: Expression,
     rightTs: Expression,
     rightTiebreak: Seq[Expression],
+    nearest: Boolean,
     rightSource: Seq[Attribute],
     rightOutput: Seq[Attribute]) extends BinaryNode {
 
@@ -64,17 +74,24 @@ object AsOfJoin {
   def resolved(left: LogicalPlan, right: LogicalPlan,
       leftKey: Expression, rightKey: Expression,
       leftTs: Expression, rightTs: Expression,
-      rightTiebreak: Seq[Expression]): AsOfJoin = {
+      rightTiebreak: Seq[Expression],
+      nearest: Boolean = false): AsOfJoin = {
     require(leftKey.dataType == rightKey.dataType,
       s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
     require(leftTs.dataType == rightTs.dataType,
       s"as-of timestamp types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
     require(RowOrdering.isOrderable(leftTs.dataType) && RowOrdering.isOrderable(leftKey.dataType),
       "as-of key and timestamp types must be orderable")
+    require(!nearest || (leftTs.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }), s"nearest as-of requires a long-backed timestamp, got ${leftTs.dataType}")
     val minted = right.output.map(a =>
       AttributeReference(a.name, a.dataType, nullable = true, a.metadata)())
     AsOfJoin(left, right, leftKey, rightKey, leftTs, rightTs, rightTiebreak,
-      right.output, minted)
+      nearest, right.output, minted)
   }
 }
 
@@ -84,7 +101,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs, j.rightTiebreak,
-        j.rightSource, j.rightOutput, planLater(j.left), planLater(j.right)) :: Nil
+        j.nearest, j.rightSource, j.rightOutput,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -98,6 +116,7 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTiebreak: Seq[Expression],
+    nearest: Boolean,
     rightSource: Seq[Attribute],
     rightOutput: Seq[Attribute],
     left: SparkPlan,
@@ -155,7 +174,84 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
-      new Iterator[InternalRow] {
+      if (nearest) new Iterator[InternalRow] {
+        // merge pass, nearest direction: buffer the latest at-or-before
+        // row (FIRST of its ts group — smallest tiebreak, which the
+        // argmin prefers on ties) and peek rHead as the earliest-after
+        // candidate (first in sort order past lt ⇒ earliest ts, smallest
+        // tiebreak). Equidistant past/future resolves to past. Timestamps
+        // are long-backed (enforced in AsOfJoin.resolved), so distances
+        // are exact integer math.
+        private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var bestMatch: InternalRow = null // copy of latest rt<=lt row
+        private var bestKey: InternalRow = null   // its key (copied)
+        private var bestTs: Long = 0L
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lkNull = lk.isNullAt(0)
+          val lt = lTsProj(l)
+          val ltNull = lt.isNullAt(0)
+          var fut: InternalRow = null // rHead iff same-key, rt > lt
+          if (!lkNull && !ltNull) {
+            val ltv = lt.getLong(0)
+            var done = false
+            while (!done && rHead != null) {
+              val rk = rKeyProj(rHead)
+              if (rk.isNullAt(0)) {
+                advance()
+              } else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0) {
+                  advance()
+                } else if (c > 0) {
+                  done = true
+                } else {
+                  val rt = rTsProj(rHead)
+                  if (rt.isNullAt(0)) {
+                    advance() // nulls sort first within the key; skip
+                  } else if (rt.getLong(0) <= ltv) {
+                    val rtv = rt.getLong(0)
+                    // strictly-newer ts supersedes; an equal-ts row is a
+                    // LARGER tiebreak under the child sort — keep first
+                    if (bestMatch == null || keyOrd.compare(bestKey, lk) != 0
+                        || rtv > bestTs) {
+                      bestMatch = rHead.copy()
+                      bestKey = lk.copy()
+                      bestTs = rtv
+                    }
+                    advance()
+                  } else {
+                    done = true
+                    fut = rHead
+                  }
+                }
+              }
+            }
+          }
+          val pastOk = !lkNull && !ltNull && bestMatch != null &&
+            keyOrd.compare(bestKey, lk) == 0
+          val r =
+            if (!pastOk && fut == null) nullRight
+            else if (fut == null) bestMatch
+            else if (!pastOk) fut
+            else {
+              val ltv = lt.getLong(0)
+              // ties (dPast == dFuture) go to the past row: smaller ts,
+              // matching the (|Δ|, ts, tiebreak) argmin
+              if (ltv - bestTs <= rTsProj(fut).getLong(0) - ltv) bestMatch
+              else fut
+            }
+          outProj(joined(l, r))
+        }
+
+        private def advance(): Unit =
+          rHead = if (rIter.hasNext) rIter.next() else null
+      }
+      else new Iterator[InternalRow] {
         // rHead: the next not-yet-consumed right row (sort iterators reuse
         // row objects, but only calling next() invalidates the previous
         // reference — holding rHead across left rows is safe, buffering a

@@ -72,6 +72,90 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${plan.take(1500)}")
   }
 
+  private def nativeNearest(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, tiebreak: Seq[String] = Nil) =
+    TemporalOps.asofJoinNative(left, right, "k", "rk", "t", "rt", tiebreak,
+      nearest = true)
+
+  test("nearest: argmin (|Δ|, ts, tiebreak) — past wins equidistant ties") {
+    val left = Seq((1L, 10L, "mid"), (1L, 2L, "early"), (1L, 30L, "late"),
+      (2L, 10L, "lonely")).toDF("k", "t", "tag")
+    val right = Seq((1L, 6L, "p6"), (1L, 14L, "p14"), (1L, 20L, "p20"))
+      .toDF("rk", "rt", "rtag")
+    val out = nativeNearest(left, right)
+      .select(col("tag"), col("rtag")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("mid") == "p6")     // |10−6| == |10−14| → past (smaller ts) wins
+    assert(out("early") == "p6")   // only future candidates: earliest after
+    assert(out("late") == "p20")   // only past candidates: latest before
+    assert(out("lonely") == null)  // no same-key right row
+  }
+
+  test("nearest: same-ts ties resolve to the tiebreak-SMALLEST right row") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // both a past tie group (rt=8) and a future tie group (rt=11):
+    // past Δ=2 < future Δ=1? no — future is closer; among rt=11 rows the
+    // smallest pri must win (the argmin's last component)
+    val right = Seq((1L, 8L, 9L, "past_hi"), (1L, 8L, 1L, "past_lo"),
+      (1L, 11L, 7L, "fut_hi"), (1L, 11L, 2L, "fut_lo"))
+      .toDF("rk", "rt", "pri", "tag")
+    val out = nativeNearest(left, right, tiebreak = Seq("pri")).collect().head
+    assert(out.getAs[String]("tag") == "fut_lo")
+    // and when the past group is the closer one, its smallest pri wins
+    val left2 = Seq((1L, 9L)).toDF("k", "t") // Δpast=1, Δfut=2
+    val out2 = nativeNearest(left2, right, tiebreak = Seq("pri")).collect().head
+    assert(out2.getAs[String]("tag") == "past_lo")
+  }
+
+  test("nearest: matches the two-window asofNearest bit-for-bit on sf events") {
+    val nat = TemporalOps.asofClickPurchaseNearestNative(s, sf).collect()
+    val win = TemporalOps.asofNearest(s, sf).collect()
+    assert(nat.length == win.length && nat.length > 0)
+    assert(nat.sameElements(win))
+  }
+
+  test("nearest: property test vs brute-force argmin on adversarial keys") {
+    val rnd = new scala.util.Random(1105)
+    // small ts domain forces heavy (key, ts) collisions on both sides
+    val left = Seq.tabulate(400)(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = Seq.tabulate(300)(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong, i.toLong))
+      .toDF("rk", "rt", "rid")
+    val got = nativeNearest(left, right, tiebreak = Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val ls = left.select("k", "t", "lid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rs = right.select("rk", "rt", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ls.foreach { case (k, t, lid) =>
+      val cands = rs.filter(_._1 == k)
+      val want = if (cands.isEmpty) -1L
+        else cands.minBy { case (_, rt, rid) => ((rt - t).abs, rt, rid) }._3
+      assert(got(lid) == want, s"lid=$lid k=$k t=$t: got ${got(lid)}, want $want")
+    }
+  }
+
+  test("nearest: plan is the same merge shape (no window, 2 exchanges)") {
+    val df = TemporalOps.asofClickPurchaseNearestNative(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec"))
+    assert(!plan.contains("Window") && !plan.contains("Union"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${plan.take(1500)}")
+  }
+
+  test("nearest: rejects non-long-backed timestamps") {
+    val l = Seq((1L, "x")).toDF("k", "t")
+    val r = Seq((1L, "y")).toDF("rk", "rt")
+    intercept[IllegalArgumentException] {
+      nativeNearest(l, r).collect()
+    }
+  }
+
   test("works via a GraftExtensions-built session (strategy injected)") {
     import org.apache.spark.sql.SparkSession
     // force a NEW session sharing the JVM's context (ExtensionsSpec pattern)
