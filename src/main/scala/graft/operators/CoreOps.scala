@@ -202,7 +202,16 @@ object CoreOps {
 
   /** #19c quantiles — exact interpolated p50/p90/p99 of order totals per
     * priority, over exact integer cents (both engines use the standard
-    * (n-1)p linear interpolation, so the doubles are deterministic). */
+    * (n-1)p linear interpolation, so the doubles are deterministic).
+    *
+    * SCALE NOTE: Spark's exact `percentile` buffers every value of a
+    * group in the aggregation buffer — memory is O(group size), which
+    * OOMs an executor at warehouse scale (5 priorities × ~10¹¹ values).
+    * This entry is the correctness baseline at test SFs; the production
+    * path is [[approxQuantiles]] (GK sketch: single-pass, mergeable,
+    * bounded memory), and CoreOpsSpec's bound-transfer test proves the
+    * approx twin stays within the sketch's rank-error guarantee of these
+    * exact results, so the swap-at-scale is tested, not asserted. */
   def quantiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy("o_orderpriority")

@@ -124,6 +124,26 @@ object CurationOps {
       .orderBy("source", "lang")
   }
 
+  /** token_histogram — per-source power-of-two histogram of document
+    * token counts: bucket = bit-length of the token count (an EXACT
+    * integer log2 — `length(bin(n))`, identical in DuckDB, where
+    * floor(log2(x)) in doubles is not ulp-portable). The
+    * sequence-length panel that sizes packing ([[packSequences]]) and
+    * spots truncation cliffs before a training run. One partial-agg
+    * shuffle on (source, bucket) — output bounded by sources × ~20
+    * buckets whatever the corpus size. */
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .select(col("source"), col("toks"),
+        length(bin(greatest(col("toks"), lit(1L)))).cast("long").as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens_n"),
+        min(col("toks")).as("min_toks"), max(col("toks")).as("max_toks"))
+      .orderBy("source", "bucket")
+
   val MixAlpha = 0.5   // temperature exponent: p_i ∝ n_i^alpha
   val MixBudget = 0.5  // keep ~half the corpus overall
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -28,6 +29,41 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("h")
 
+  /** Documents with `doc_id < this` stand in for the already-ingested
+    * corpus in [[dedupIncremental]]; the rest are the "new batch".
+    * Mirrored verbatim in the oracle SQL. */
+  val IncrementalSplit = 400L
+
+  /** dedup_incremental — the production ingest shape: dedup a NEW BATCH
+    * of documents against an EXISTING corpus without ever re-pairing the
+    * corpus with itself. Each new doc is flagged `dup_of_corpus` (its
+    * content hash already exists in the corpus) and/or `dup_in_batch`
+    * (an earlier new doc in the same batch has the same hash); `keep` is
+    * the admission verdict. daily-ingest cost is O(batch + corpus) ONCE
+    * on the hash key — at 100 TB the corpus side is a pre-bucketed hash
+    * index you ANTI-JOIN against (corpus never re-shuffles against
+    * itself, unlike a full-corpus re-dedup), and the in-batch window is
+    * keyed by hash so it shuffles only the (small) batch.
+    *
+    * Reference analogue: the latest-drop ingest path
+    * (external_resources.py:91–99 picks the newest object and appends) —
+    * this is what admission control for that append becomes at scale. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("h", md5(col("text")))
+    val corpusHashes = docs.filter(col("doc_id") < IncrementalSplit)
+      .select(col("h")).distinct()
+    val batch = docs.filter(col("doc_id") >= IncrementalSplit)
+    val wBatch = Window.partitionBy("h").orderBy("doc_id")
+    batch
+      .join(corpusHashes.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("in_corpus"), lit(false)))
+      .withColumn("dup_in_batch", row_number().over(wBatch) > 1)
+      .select(col("doc_id"), col("h"),
+        col("dup_of_corpus"), col("dup_in_batch"),
+        (!col("dup_of_corpus") && !col("dup_in_batch")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Word-k-gram array over a text column — THE gram definition, shared
     * by [[shingles]] and [[graft.operators.TextOps.ngramCounts]] (and
     * mirrored by their oracle SQL) so tokenization can never diverge
@@ -36,12 +72,21 @@ object DedupOps {
     * array (without the guard, sequence(0, size-k) would run DESCENDING
     * and element_at would hit index 0 — a mid-job crash). */
   def wordGrams(text: Column, k: Int): Column = {
-    val w = split(text, " ")
-    when(size(w) >= k,
-      transform(
-        sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    // `w` must be a LAMBDA VARIABLE, not a named expression: Catalyst
+    // substitutes a named Column into every reference inside the gram
+    // lambda, so element_at(split(text), ·) would re-split the ENTIRE
+    // text once per gram — O(L²) per document (LongDocSpec caught a
+    // 10⁷-char doc pegging a core for 13+ min; the winnowing lesson,
+    // SURVEY §5, applied one level deeper). Routing the split through a
+    // one-element transform binds the array once per row; each gram is
+    // then an O(k) slice + join.
+    val grams = transform(array(split(text, " ")), w =>
+      when(size(w) >= k,
+        transform(
+          sequence(lit(0), size(w) - k),
+          i => array_join(slice(w, i + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
+    element_at(grams, 1)
   }
 
   /** doc_id + distinct word-k-gram shingles, exploded. */

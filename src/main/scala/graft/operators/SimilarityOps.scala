@@ -17,6 +17,15 @@ import graft.functions.VectorFunctions.{dotE12, normE12}
   */
 object SimilarityOps {
 
+  /** Query-subset convention: vectors whose id is a multiple of this are
+    * the query set. Single source of truth for annCosineTopK / annLsh /
+    * annIvf / knnClassify AND the DuckDB oracle (OracleSql interpolates
+    * it) — an inner join on q_id means a silent divergence would drop or
+    * mislabel queries rather than fail. */
+  val QueryModulus = 100
+  def isQuery(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    id % QueryModulus === 0
+
   /** Embeddings with the exact scaled-int squared norm attached. */
   private def withNorm(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -27,7 +36,7 @@ object SimilarityOps {
     * corpus streams once; TakeOrdered per query via window row_number. */
   def annCosineTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = withNorm(s, dir)
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -103,7 +112,7 @@ object SimilarityOps {
       (i, arr, cNorm)
     }.toSeq.toDF("cell", "c_emb", "c_norm")
     val wProbe = Window.partitionBy("q_id").orderBy(col("score"), col("cell"))
-    val q = corpus.filter(col("vec_id") % 100 === 0)
+    val q = corpus.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       .crossJoin(broadcast(centroids))
       .withColumn("score", col("c_norm") - lit(2L) * dotE12(col("q_emb"), col("c_emb")))
@@ -146,7 +155,7 @@ object SimilarityOps {
     // `probeBits` (sign bits flipped) — the standard recall lever, costing
     // probes× the (tiny) query side, not the corpus side
     val probes = array(probeMasks(probeBits).map(lit): _*)
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
         explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
@@ -180,7 +189,7 @@ object SimilarityOps {
     val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))
     votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("q_id"), col("label").as("pred_label"), col("votes"))
-      .join(broadcast(labels.filter(col("vec_id") % 100 === 0)
+      .join(broadcast(labels.filter(isQuery(col("vec_id")))
         .select(col("vec_id").as("q_id"), col("label").as("true_label"))), "q_id")
       .select(col("q_id"), col("pred_label"), col("votes"), col("true_label"),
         (col("pred_label") === col("true_label")).as("correct"))

@@ -341,6 +341,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  val RareMaxFreq = 2L     // a token is "rare" at corpus frequency <= this
+  val RareMaxFrac = 0.2    // OOV-ratio admission gate
+
+  /** rare_token_stats — per-document OOV/rare-word ratio against the
+    * corpus's own unigram frequencies: a document whose tokens are mostly
+    * corpus-rare is gibberish, a language the model isn't training on, or
+    * OCR noise (the same signal perplexity filters extract from a
+    * language model, kept EXACT-integer so it oracle-checks — no
+    * transcendental whose last ulp differs between libms). Plan: one
+    * explode → vocab-keyed partial-agg (frequency table) → token-keyed
+    * join back → doc-keyed partial-agg. All three exchanges are keyed and
+    * map-side combined; the frequency table is vocab-bounded (Heaps' law:
+    * ≪ corpus size), never driver-materialized. One division at the edge. */
+  def rareTokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    toks.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("freq") <= RareMaxFreq, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"),
+        (col("n_rare").cast("double") / col("n_tokens") <= RareMaxFrac).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val ChunkSize = 200
   val ChunkStride = 150
 

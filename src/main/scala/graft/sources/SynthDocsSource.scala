@@ -267,7 +267,12 @@ case class SynthDocsOffset(n: Long) extends Offset {
 class SynthDocsMicroBatch(lo: Long, hi: Long, rows: Long, partitions: Int,
     seed: Long, required: StructType, rowsPerBatch: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private var reported = 0L // driver-side high-watermark for latestOffset
+  // Driver-side high-watermark for latestOffset. MicroBatchExecution
+  // drives every mutator (latestOffset/deserializeOffset/commit/
+  // planInputPartitions) from its single stream-execution thread today;
+  // @volatile makes the watermark safe if the engine ever splits those
+  // calls across threads (they are never concurrent, only re-threaded).
+  @volatile private var reported = 0L
 
   override def initialOffset(): Offset = SynthDocsOffset(0L)
   override def latestOffset(): Offset = {

@@ -148,9 +148,13 @@ object EventStreams {
       corpus: DataFrame, phi: Double = 0.01): DataFrame = {
     val store = s.read.parquet(baseDir)
     val candidates = store.select("tok").distinct()
-    // n_batch is denormalized onto each candidate row; one row per batch
-    val n = store.select("batch_id", "n_batch").distinct()
-      .agg(sum(col("n_batch")).as("n"))
+    // n_batch is denormalized onto each candidate row: recover one count
+    // per batch as max(n_batch) — not distinct(batch_id, n_batch) — so a
+    // foreachBatch REPLAY that lands a batch_id with a different row
+    // count (possible for non-deterministic sources) contributes one N
+    // term, never two
+    val n = store.groupBy("batch_id").agg(max(col("n_batch")).as("nb"))
+      .agg(sum(col("nb")).as("n"))
     corpus.select(explode(split(col("text"), " ")).as("tok"))
       .join(broadcast(candidates), "tok")
       .groupBy("tok").agg(count(lit(1)).as("c"))

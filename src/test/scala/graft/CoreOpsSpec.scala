@@ -43,6 +43,37 @@ class CoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_quantiles stay within GK error bounds of the exact percentiles") {
+    import org.apache.spark.sql.functions._
+    // percentile_approx(accuracy=10000) is a Greenwald–Khanna sketch with
+    // guaranteed rank error <= n/accuracy. The exact `quantiles` entry is
+    // the documented swap-to-approx-at-scale baseline (its per-group
+    // buffer is unbounded); this spec makes the swap claim TESTED: every
+    // approx value's true rank must sit within eps·n of the target rank.
+    val acc = 10000.0
+    val byPriority = Tables.orders(s, sf)
+      .select(col("o_orderpriority").as("pr"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getAs[String]("pr"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("c")).sorted }
+    val approx = CoreOps.approxQuantiles(s, sf).collect()
+    assert(approx.length == byPriority.size)
+    approx.foreach { r =>
+      val vs = byPriority(r.getAs[String]("o_orderpriority"))
+      val n = vs.length.toDouble
+      val eps = n / acc + 1 // +1 absorbs the cents round-trip on ties
+      for ((p, colName) <- Seq(0.5 -> "p50", 0.99 -> "p99")) {
+        val v = math.round(r.getAs[Double](colName) * 100.0)
+        val rankLo = vs.count(_ < v) // rank interval of v among the exact
+        val rankHi = vs.count(_ <= v) // values (duplicates widen it)
+        val target = p * n
+        assert(rankLo - eps <= target && target <= rankHi + eps,
+          s"$colName=$v true-rank [$rankLo,$rankHi] vs target $target ± $eps (n=$n)")
+      }
+    }
+  }
+
   test("window_rank: at most 3 per customer, rank starts at 1") {
     val rows = CoreOps.windowRank(s, sf).collect()
     val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))

@@ -136,6 +136,51 @@ class JobsSpec extends AnyFunSuite {
     assert(back.columns.contains("alpha3") && back.columns.contains("usd_dif"))
   }
 
+  test("geojson export: valid FeatureCollection, one feature per country, zero-join render frame") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_geojson")
+    val path = Jobs.exportWorldMapGeoJson(s, sf, dir.toString, "2024-01-05")
+    // parse with Spark's own JSON reader — if this succeeds the artifact
+    // is well-formed JSON a plotting layer can consume directly
+    val back = s.read.option("multiLine", "true").json(path)
+    val doc = back.collect()
+    assert(doc.length == 1)
+    assert(doc(0).getAs[String]("type") == "FeatureCollection")
+    val feats = back.select(explode(col("features")).as("f")).select(
+      col("f.type").as("ftype"),
+      col("f.properties.alpha3").as("alpha3"),
+      col("f.properties.usd_dif").as("usd_dif"),
+      col("f.geometry.type").as("gtype"),
+      col("f.geometry.coordinates").as("coords"))
+    val rows = feats.collect()
+    assert(rows.length == 25, "one feature per geo-dim country")
+    assert(rows.forall(_.getAs[String]("ftype") == "Feature"))
+    assert(rows.forall(_.getAs[String]("gtype") == "Polygon"))
+    rows.foreach { r =>
+      val ring = r.getAs[collection.Seq[collection.Seq[collection.Seq[Double]]]]("coords").head
+      assert(ring.length == 5 && ring.head == ring.last, "closed ring")
+      ring.foreach { p =>
+        assert(p(0) >= -180 && p(0) <= 180 && p(1) >= -90 && p(1) <= 90,
+          s"coords in GeoJSON lon/lat domain: $p")
+      }
+    }
+    // measures match the EU-propagated world table (zero-join contract:
+    // what the renderer reads IS the pipeline output)
+    val expected = graft.operators.SteamOps
+      .withEuPropagatedDif(graft.operators.SteamOps.worldTable(s, sf))
+      .select("alpha3", "usd_dif").collect()
+      .map(r => r.getAs[String]("alpha3") ->
+        Option(r.get(r.fieldIndex("usd_dif")))).toMap
+    rows.foreach { r =>
+      val got = Option(r.get(r.fieldIndex("usd_dif")))
+      val want = expected(r.getAs[String]("alpha3"))
+      (got, want) match {
+        case (Some(g: Double), Some(w: Double)) => assert(math.abs(g - w) < 1e-9)
+        case (g, w) => assert(g.isEmpty == w.isEmpty, s"null mismatch: $g vs $w")
+      }
+    }
+  }
+
   test("compaction: small-file partition rewritten to target count, rows identical") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, TextOps}
+
+/** Long-document robustness sweep: a 100 TB corpus WILL contain 10⁵-word
+  * and 10⁷-char documents, and the text/dedup family must stay near-linear
+  * on them — the operators that screen pathological documents cannot
+  * themselves be quadratic in document length (the round-4 verdict found
+  * exactly that in repetition_stats' old nested count lambda: ~10¹²
+  * comparisons on the all-distinct 10⁷-char doc below; the run-length
+  * rewrite is ~10⁶).
+  *
+  * Each op gets a generous wall ceiling — the point is catching O(L²)
+  * (hours), not benchmarking (a contended box inflates constants 4–40×,
+  * round-4 verdict), so the ceiling only fails on complexity blowups. */
+class LongDocSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+
+  val Ceiling = 120.0 // seconds per op — quadratic forms take hours
+
+  // doc 1: 100k words as a 50-word cycle — every bigram duplicated
+  // (dup_bigram_frac → 1), the looping-generator shape the Gopher gate
+  // flags; uniq×words = 5M comparisons under a quadratic top-word count
+  private val cycle = (0 until 50).map(i => s"tok$i").mkString(" ")
+  private def doc1 = Seq.fill(2000)(cycle).mkString(" ")
+  // doc 2: ~10⁷ chars of ALL-DISTINCT words — uniq ≈ L ≈ 1.2M, the true
+  // worst case for any O(uniq·L) per-document lambda
+  private def doc2 = (0 until 1200000).map(i => s"w$i").mkString(" ")
+  // doc 3: one word repeated 100k times — top_word_frac = 1.0
+  private def doc3 = Seq.fill(100000)("spam").mkString(" ")
+  // all-distinct words: top_word_frac 1/20 and zero duplicate bigrams,
+  // safely inside both gates (a "the ... the" sentence legitimately trips
+  // the 0.1 top-word gate at 9 words)
+  private val doc4 = "alpha bravo charlie delta echo foxtrot golf hotel " +
+    "india juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-longdoc").toString
+    val rows = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4))
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synthetic").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def timed[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"$label: $sec%.1f s")
+    assert(sec < Ceiling, f"$label took $sec%.1f s — complexity blowup on long docs")
+    r
+  }
+
+  test("repetition gates stay near-linear and still flag the pathological docs") {
+    val rows = timed("repetition_stats") {
+      TextOps.repetitionStats(s, dir).collect()
+    }
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId(1L).getAs[Boolean]("keep"), "cycled doc must fail the bigram gate")
+    assert(byId(1L).getAs[Double]("dup_bigram_frac") > 0.9)
+    assert(byId(1L).getAs[Long]("top_word_n") == 2000L)
+    assert(byId(2L).getAs[Double]("top_word_frac") < 0.001, "all-distinct doc")
+    assert(!byId(3L).getAs[Boolean]("keep"), "single-word doc must fail the top-word gate")
+    assert(byId(3L).getAs[Double]("top_word_frac") == 1.0)
+    assert(byId(3L).getAs[Long]("top_word_n") == 100000L)
+    assert(byId(4L).getAs[Boolean]("keep"), "control doc must pass")
+  }
+
+  test("tokens, winnow, minhash, simhash, chunking survive the long docs") {
+    val docs = Tables.documents(s, dir)
+    timed("text_tokens") {
+      val n = TextOps.textTokens(s, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ws_tokens")).toMap
+      assert(n(2L) == 1200000L, s"10⁷-char doc tokenized: ${n(2L)}")
+    }
+    timed("text_winnow") {
+      // fingerprint density ~2/(w+1); the guarantee spec covers semantics —
+      // here just force full evaluation over the monster docs
+      assert(TextOps.winnowDocs(docs).groupBy("doc_id").count().collect()
+        .map(r => r.getAs[Long]("count")).sum > 0)
+    }
+    timed("minhash_signatures") {
+      val sigs = DedupOps.minhashSignatures(docs).collect()
+      assert(sigs.length == 4 && sigs.forall(_.getAs[Seq[Long]]("sig").length == DedupOps.MinhashK))
+    }
+    timed("simhash_signatures") {
+      assert(DedupOps.simhashSignatures(docs).collect().length == 4)
+    }
+    timed("doc_chunk") {
+      val chunks = TextOps.docChunk(s, dir).groupBy("doc_id").count().collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+      // ceil(10⁷-ish chars / 150-stride) chunks for the monster doc
+      assert(chunks(2L) > 50000L, s"chunk count ${chunks(2L)}")
+    }
+  }
+}

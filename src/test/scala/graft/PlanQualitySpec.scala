@@ -23,16 +23,18 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("oracle SQL exists exactly for the SQL-expressible queries") {
-    val rowsOnly = Set("parquet_sink", "approx_distinct", "approx_quantiles",
-      "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_simhash", "dedup_clusters",
-      "dedup_embedding_lsh", "ann_lsh", "ann_ivf", "text_fingerprint",
-      "mm_metadata", "mm_features", "mm_frames", "stratified_sample",
-      "hll_distinct", "zorder_layout", "text_winnow", "dataset_split",
-      "mixture_sample")
+  test("every query is either oracle-checked or in the rows-only contract") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
+    val ro = SparkEntry.rowsOnly.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
-    assert(qs -- os == rowsOnly, s"rows-only drift: ${(qs -- os) -- rowsOnly} / missing ${rowsOnly -- (qs -- os)}")
+    assert(qs -- os == ro,
+      s"rows-only drift: undeclared ${(qs -- os) -- ro} / stale ${ro -- (qs -- os)}")
+    assert((os intersect ro).isEmpty,
+      s"keys claiming both an oracle and rows-only: ${os intersect ro}")
+    SparkEntry.rowsOnly.foreach { case (k, (why, spec)) =>
+      assert(why.nonEmpty && spec.contains("Spec"),
+        s"$k rows-only entry must name a reason and a covering *Spec")
+    }
   }
 }
