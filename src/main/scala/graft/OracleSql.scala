@@ -912,6 +912,35 @@ object OracleSql {
          |FROM top ORDER BY rnk""".stripMargin
     },
 
+    "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |c AS (SELECT DISTINCT h FROM d WHERE doc_id < ${graft.operators.DedupOps.IncrementalSplit}),
+         |b AS (SELECT doc_id, h,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id) > 1 AS dup_in_batch
+         |      FROM d WHERE doc_id >= ${graft.operators.DedupOps.IncrementalSplit})
+         |SELECT b.doc_id, b.h, c.h IS NOT NULL AS dup_of_corpus, b.dup_in_batch,
+         |  (c.h IS NULL AND NOT b.dup_in_batch) AS keep
+         |FROM b LEFT JOIN c ON b.h = c.h ORDER BY b.doc_id""".stripMargin,
+
+    "rare_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY tok)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN f.freq <= ${graft.operators.TextOps.RareMaxFreq} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(SUM(CASE WHEN f.freq <= ${graft.operators.TextOps.RareMaxFreq} THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS rare_frac,
+         |  CAST(SUM(CASE WHEN f.freq <= ${graft.operators.TextOps.RareMaxFreq} THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) <= ${graft.operators.TextOps.RareMaxFrac} AS keep
+         |FROM t JOIN f USING (tok) GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "token_histogram" ->
+      """WITH d AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |b AS (SELECT source, toks,
+        |  CAST(length(bin(GREATEST(toks, 1))) AS BIGINT) AS bucket FROM d)
+        |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens_n,
+        |  MIN(toks) AS min_toks, MAX(toks) AS max_toks
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "source_mix" ->
       """WITH per AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS docs_n,
         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens_n,

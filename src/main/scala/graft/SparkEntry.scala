@@ -83,6 +83,9 @@ object SparkEntry {
     "event_transitions" -> (CoreOps.eventTransitions(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),
+    "dedup_incremental" -> (DedupOps.dedupIncremental(_, _)),
+    "rare_token_stats" -> (TextOps.rareTokenStats(_, _)),
+    "token_histogram" -> (CurationOps.tokenHistogram(_, _)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashVerified(s, d)),
     "dedup_clusters" -> (DedupOps.dedupClusters(_, _)),

@@ -48,11 +48,15 @@ object DedupOps {
     * Reference analogue: the latest-drop ingest path
     * (external_resources.py:91–99 picks the newest object and appends) —
     * this is what admission control for that append becomes at scale. */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).withColumn("h", md5(col("text")))
-    val corpusHashes = docs.filter(col("doc_id") < IncrementalSplit)
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalFrom(Tables.documents(s, dir), IncrementalSplit)
+
+  /** Admission core on any documents-shaped frame (testable). */
+  def dedupIncrementalFrom(docs: DataFrame, split: Long): DataFrame = {
+    val hashed = docs.withColumn("h", md5(col("text")))
+    val corpusHashes = hashed.filter(col("doc_id") < split)
       .select(col("h")).distinct()
-    val batch = docs.filter(col("doc_id") >= IncrementalSplit)
+    val batch = hashed.filter(col("doc_id") >= split)
     val wBatch = Window.partitionBy("h").orderBy("doc_id")
     batch
       .join(corpusHashes.withColumn("in_corpus", lit(true)), Seq("h"), "left")

@@ -3,13 +3,89 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CurationOps, RetrievalOps, SimilarityOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, RetrievalOps, SimilarityOps, TextOps}
 
 /** Round-5 operators: repetition gates, BM25 retrieval, mixture
   * accounting/resampling, embedding centroids. */
 class Round5OpsSpec extends AnyFunSuite {
   lazy val s = TestSpark.spark
   val sf = TestSpark.sf
+
+  test("dedup_incremental: corpus dups, in-batch dups, and keeps recompute exactly") {
+    val docs = Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val split = DedupOps.IncrementalSplit
+    val corpus = docs.filter(_._1 < split).map(_._2).toSet
+    val batch = docs.filter(_._1 >= split).sortBy(_._1)
+    val rows = DedupOps.dedupIncremental(s, sf).collect()
+    assert(rows.length == batch.length, "one verdict per new-batch doc")
+    val seen = collection.mutable.Map.empty[String, Long]
+    val expect = batch.map { case (id, text) =>
+      val inBatch = seen.contains(text)
+      if (!inBatch) seen(text) = id
+      id -> ((corpus.contains(text), inBatch))
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (ofCorpus, inBatch) = expect(id)
+      assert(r.getAs[Boolean]("dup_of_corpus") == ofCorpus, s"doc $id corpus flag")
+      assert(r.getAs[Boolean]("dup_in_batch") == inBatch, s"doc $id batch flag")
+      assert(r.getAs[Boolean]("keep") == (!ofCorpus && !inBatch), s"doc $id keep")
+    }
+  }
+
+  test("dedup_incremental: manufactured corpus/batch dups get every flag combination") {
+    import s.implicits._
+    // corpus: ids 0,1; batch: 10 (dup of corpus), 11+12 (in-batch dup pair),
+    // 13 (dup of corpus AND of 10), 14 (fresh)
+    val docs = Seq(
+      (0L, "aaa"), (1L, "bbb"),
+      (10L, "aaa"), (11L, "ccc"), (12L, "ccc"), (13L, "aaa"), (14L, "ddd"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.dedupIncrementalFrom(docs, 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("dup_of_corpus"), r.getAs[Boolean]("dup_in_batch"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(10L) == ((true, false, false)), "corpus dup, first in batch")
+    assert(got(11L) == ((false, false, true)), "first of an in-batch pair keeps")
+    assert(got(12L) == ((false, true, false)), "second of the pair drops")
+    assert(got(13L) == ((true, true, false)), "dup of corpus and of batch")
+    assert(got(14L) == ((false, false, true)), "fresh doc admitted")
+    assert(got.size == 5)
+  }
+
+  test("rare_token_stats: flags match a Scala frequency recompute") {
+    val texts = Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val freq = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { case (_, t) => t.split(" ", -1).foreach(w => freq(w) += 1) }
+    val rows = TextOps.rareTokenStats(s, sf).collect()
+    assert(rows.length == texts.length)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val rare = toks.count(w => freq(w) <= TextOps.RareMaxFreq)
+      val r = byId(id)
+      assert(r.getAs[Long]("n_tokens") == toks.length, s"doc $id tokens")
+      assert(r.getAs[Long]("n_rare") == rare, s"doc $id rare")
+      assert(r.getAs[Boolean]("keep") ==
+        (rare.toDouble / toks.length <= TextOps.RareMaxFrac), s"doc $id keep")
+    }
+  }
+
+  test("token_histogram: buckets are bit-lengths and totals reconcile") {
+    val rows = CurationOps.tokenHistogram(s, sf).collect()
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"),
+        r.getAs[Long]("min_toks"), r.getAs[Long]("max_toks"))
+      assert(lo <= hi)
+      // every doc in the bucket has bit_length(toks) == bucket
+      assert(java.lang.Long.toBinaryString(math.max(lo, 1L)).length == b, s"lo $lo bucket $b")
+      assert(java.lang.Long.toBinaryString(math.max(hi, 1L)).length == b, s"hi $hi bucket $b")
+    }
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(s, sf).count(), "histogram covers every doc")
+  }
 
   test("repetition_stats: fractions consistent, verified against a Scala recompute") {
     val out = TextOps.repetitionStats(s, sf).collect()
