@@ -973,6 +973,81 @@ object OracleSql {
       s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type,
          |  COUNT(*) AS n,
          |  CAST(SUM(${e2("value")}) AS DOUBLE)/100.0 AS v
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ---------- ML feature generation / mining ----------
+
+    "lag_features" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us,
+         |  ${e2("value")} AS cents FROM events)
+         |SELECT event_id, user_id, event_type, us, cents,
+         |  lag(cents, 1) OVER w AS prev_cents,
+         |  cents - lag(cents, 1) OVER w AS delta_cents,
+         |  us - lag(us, 1) OVER w AS gap_us,
+         |  CAST(COUNT(*) OVER w3 AS BIGINT) AS n_prev3,
+         |  CAST(SUM(cents) OVER w3 AS BIGINT) AS sum_prev3_cents
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id),
+         |  w3 AS (PARTITION BY user_id ORDER BY us, event_id
+         |         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+         |ORDER BY event_id""".stripMargin,
+
+    "rank_normalize" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+        |FROM documents)
+        |SELECT doc_id, source, n_chars, pr,
+        |  LEAST(CAST(FLOOR(pr*10) AS BIGINT), 9) AS decile
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "string_sim_join" ->
+      """WITH v AS (SELECT DISTINCT tok FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 4)
+        |SELECT a.tok AS a, b.tok AS b,
+        |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+        |FROM v a JOIN v b
+        |  ON abs(length(a.tok) - length(b.tok)) <= 2 AND a.tok < b.tok
+        |WHERE levenshtein(a.tok, b.tok) <= 2
+        |ORDER BY a, b""".stripMargin,
+
+    "cooccurrence_pairs" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+        |p AS (SELECT x.event_type AS a, y.event_type AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM ud x JOIN ud y ON x.user_id = y.user_id AND x.d = y.d
+        |        AND x.event_type < y.event_type
+        |      GROUP BY 1, 2),
+        |tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ud GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups FROM
+        |      (SELECT DISTINCT user_id, d FROM ud))
+        |SELECT p.a, p.b, p.n_ab,
+        |  CAST(p.n_ab * g.n_groups AS DOUBLE) / CAST(ta.c * tb.c AS DOUBLE) AS lift
+        |FROM p JOIN tc ta ON p.a = ta.event_type
+        |       JOIN tc tb ON p.b = tb.event_type
+        |       CROSS JOIN g
+        |ORDER BY a, b""".stripMargin,
+
+    "attribution_last_touch" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS us,
+         |  ${e2("value")} AS cents FROM events),
+         |t AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |  OVER (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM e)
+         |SELECT COALESCE(touch, 'none') AS touch,
+         |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         |  CAST(SUM(cents) AS DOUBLE)/100.0 AS attributed_value
+         |FROM t WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY touch""".stripMargin,
+
+    "char_diversity" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS r FROM ch GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(SUM(r*r) AS BIGINT) AS sumsq, CAST(SUM(r) AS BIGINT) AS n,
+        |      CAST(COUNT(*) AS BIGINT) AS distinct_chars FROM cc GROUP BY 1)
+        |SELECT doc_id, n, distinct_chars,
+        |  1.0 - CAST(sumsq AS DOUBLE)/CAST(n*n AS DOUBLE) AS simpson,
+        |  CAST(n*n AS DOUBLE)/CAST(sumsq AS DOUBLE) AS eff_chars
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -81,6 +81,13 @@ object SparkEntry {
     "asof_nearest_native" -> (TemporalOps.asofClickPurchaseNearestNative(_, _)),
     "time_weighted_avg" -> (TemporalOps.timeWeightedAvg(_, _)),
     "event_transitions" -> (CoreOps.eventTransitions(_, _)),
+    // ML feature generation / mining
+    "lag_features" -> (FeatureOps.lagFeatures(_, _)),
+    "rank_normalize" -> (FeatureOps.rankNormalize(_, _)),
+    "string_sim_join" -> (FeatureOps.stringSimJoin(_, _)),
+    "cooccurrence_pairs" -> (FeatureOps.cooccurrencePairs(_, _)),
+    "attribution_last_touch" -> (FeatureOps.attributionLastTouch(_, _)),
+    "char_diversity" -> (TextOps.charDiversity(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),
     "dedup_incremental" -> (DedupOps.dedupIncremental(_, _)),

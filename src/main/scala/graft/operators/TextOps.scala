@@ -384,4 +384,57 @@ object TextOps {
         col("text").substr(col("start").cast("int") + 1, lit(ChunkSize)).as("chunk"))
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
       .orderBy("doc_id", "chunk_id")
+
+  /** char_diversity — per-document character-distribution quality gate:
+    * distinct characters, Gini–Simpson diversity 1 − Σ(c/L)², and the
+    * effective alphabet size L²/Σc² (inverse Simpson — the Hill number
+    * of order 2). Low diversity ⇔ repeated-character spam / degenerate
+    * OCR — the char-level sibling of repetition_stats' token gates.
+    *
+    * Shannon entropy is deliberately NOT emitted: −Σ p·log p hashes a
+    * transcendental whose last ulp differs between libms (the text_tfidf
+    * ln-free-idf lesson), while Σc² is an exact integer and both edge
+    * divisions have exact operands → bitwise deterministic vs the SQL
+    * twin. eff_chars is monotone in Rényi-2 entropy, so it ranks
+    * documents identically to an entropy gate.
+    *
+    * Plan: pure per-row map, ZERO shuffles — chars sort once per doc
+    * (O(L log L)) and one run-length fold accumulates Σc² and the run
+    * count; never the O(distinct×L) nested-count lambda (the
+    * repetition_stats lesson), so a 10⁷-char single-character document
+    * costs one sort, not 10¹⁴ comparisons. */
+  def charDiversity(s: SparkSession, dir: String): DataFrame =
+    charDiversityDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (testable / probe-able). */
+  def charDiversityDocs(docs: DataFrame): DataFrame = {
+    val fold = aggregate(
+      array_sort(col("ch")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("sumsq"), lit(0L).as("runs")),
+      (acc, x) => {
+        val same = acc.getField("prev") <=> x
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("sumsq"))
+            .otherwise(acc.getField("sumsq") +
+              acc.getField("run") * acc.getField("run")).as("sumsq"),
+          when(same, acc.getField("runs"))
+            .otherwise(acc.getField("runs") + 1L).as("runs"))
+      },
+      acc => struct(
+        (acc.getField("sumsq") + acc.getField("run") * acc.getField("run"))
+          .as("sumsq"),
+        acc.getField("runs").as("runs")))
+    docs
+      .select(col("doc_id"), split(col("text"), "").as("ch"))
+      .select(col("doc_id"), size(col("ch")).cast("long").as("n"), fold.as("f"))
+      .select(col("doc_id"), col("n"),
+        col("f.runs").as("distinct_chars"),
+        (lit(1.0) - col("f.sumsq").cast("double") / (col("n") * col("n")).cast("double"))
+          .as("simpson"),
+        ((col("n") * col("n")).cast("double") / col("f.sumsq").cast("double"))
+          .as("eff_chars"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{FeatureOps, TextOps}
+
+/** Feature-generation / mining operators: lag features, exact rank
+  * normalization on the collapsed frame, blocked fuzzy vocabulary join,
+  * co-occurrence lift, last-touch attribution, char diversity. */
+class FeatureOpsSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("lag_features: lag/delta/gap/trailing-frame consistency per user") {
+    val rows = FeatureOps.lagFeatures(s, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        if (i == 0) {
+          assert(r.isNullAt(r.fieldIndex("prev_cents")), "history opens null")
+          assert(r.getAs[Long]("n_prev3") == 0L)
+        } else {
+          val prev = ordered(i - 1)
+          assert(r.getAs[Long]("prev_cents") == prev.getAs[Long]("cents"))
+          assert(r.getAs[Long]("delta_cents") ==
+            r.getAs[Long]("cents") - prev.getAs[Long]("cents"))
+          assert(r.getAs[Long]("gap_us") == r.getAs[Long]("us") - prev.getAs[Long]("us"))
+          val lo = math.max(0, i - 3)
+          assert(r.getAs[Long]("n_prev3") == (i - lo).toLong)
+          assert(r.getAs[Long]("sum_prev3_cents") ==
+            (lo until i).map(ordered(_).getAs[Long]("cents")).sum)
+        }
+      }
+    }
+  }
+
+  test("rank_normalize: collapsed-frame ranks == direct percent_rank over the fact") {
+    val got = FeatureOps.rankNormalize(s, sf)
+      .select("doc_id", "pr", "decile").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("pr"), r.getAs[Long]("decile")))
+      .toSet
+    // the skew-prone formulation this op deliberately avoids — same math
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val direct = Tables.documents(s, sf)
+      .select(col("doc_id"), percent_rank().over(w).as("pr"))
+      .select(col("doc_id"), col("pr"),
+        least(floor(col("pr") * 10).cast("long"), lit(9L)).as("decile"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("pr"), r.getAs[Long]("decile")))
+      .toSet
+    assert(got == direct)
+    got.foreach { case (_, pr, dec) =>
+      assert(pr >= 0.0 && pr <= 1.0); assert(dec >= 0L && dec <= 9L)
+    }
+  }
+
+  test("string_sim_join: blocked equi-join == brute force, incl. length-edge pairs") {
+    import s.implicits._
+    val vocab = Seq("alpha", "alphb", "alphaxy", "beta", "betaxx",
+      "gamma", "gamm", "delta", "zzzzzzz").toDF("tok")
+    val got = FeatureOps.stringSimPairs(vocab).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val toks = vocab.as[String].collect()
+    val brute = (for {
+      a <- toks; b <- toks if a < b
+      d = lev(a, b) if d <= FeatureOps.FuzzyMaxEdit
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute)
+    // the ±2-length edge pair must survive the blocking
+    assert(got.contains(("alpha", "alphaxy", 2L)))
+    // and the plan is an equi-join on the length key, never a cartesian
+    val plan = FeatureOps.stringSimPairs(vocab).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"blocked join must not be cartesian:\n$plan")
+  }
+
+  test("cooccurrence_pairs: counts recompute from raw events; lift is the exact ratio") {
+    val ev = Tables.eventsMicros(s, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.get(1).toString, r.getAs[String]("event_type")))
+    val byGroup = ev.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).toSet).toMap
+    val g = byGroup.size.toLong
+    val typeCount = ev.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val expect = byGroup.values.flatMap(ts =>
+      ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = FeatureOps.cooccurrencePairs(s, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (a, b, nAb) = (r.getString(0), r.getString(1), r.getAs[Long]("n_ab"))
+      assert(nAb == expect((a, b)))
+      assert(r.getAs[Double]("lift") ==
+        (nAb * g).toDouble / (typeCount(a) * typeCount(b)).toDouble)
+    }
+  }
+
+  test("attribution_last_touch: conversions and value are fully conserved") {
+    val purchases = Tables.events(s, sf).where(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.functions.Det.e2(col("value"))).cast("double") / lit(100.0)).as("v"))
+      .collect().head
+    val rows = FeatureOps.attributionLastTouch(s, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum == purchases.getAs[Long]("n"))
+    assert(math.abs(rows.map(_.getAs[Double]("attributed_value")).sum -
+      purchases.getAs[Double]("v")) < 1e-6)
+    val touches = rows.map(_.getAs[String]("touch")).toSet
+    assert(!touches.contains("purchase"), "a purchase never credits itself")
+  }
+
+  test("char_diversity: manufactured docs hit the closed-form values") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "aaaa"),      // one char: simpson 0, eff 1
+      (1L, "abab"),      // two chars even: simpson 0.5, eff 2
+      (2L, "abcd"),      // all distinct: simpson 1-4/16, eff 4
+      (3L, "aab"))       // 2:1 split: sumsq 5, n 3
+      .toDF("doc_id", "text")
+    val got = TextOps.charDiversityDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("distinct_chars"),
+          r.getAs[Double]("simpson"), r.getAs[Double]("eff_chars")))).toMap
+    assert(got(0L) == ((4L, 1L, 0.0, 1.0)))
+    assert(got(1L) == ((4L, 2L, 0.5, 2.0)))
+    assert(got(2L) == ((4L, 4L, 0.75, 4.0)))
+    assert(got(3L) == ((3L, 2L, 1.0 - 5.0 / 9.0, 9.0 / 5.0)))
+  }
+
+  test("char_diversity: run-length fold == explode-groupBy recompute on real docs") {
+    val got = TextOps.charDiversity(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("distinct_chars"), r.getAs[Double]("simpson"))))
+      .toMap
+    val expect = Tables.documents(s, sf)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("r"))
+      .groupBy("doc_id").agg(sum(col("r") * col("r")).as("sumsq"),
+        sum(col("r")).as("n"), count(lit(1)).as("dc"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("dc"),
+          1.0 - r.getAs[Long]("sumsq").toDouble /
+            (r.getAs[Long]("n") * r.getAs[Long]("n")).toDouble)))
+      .toMap
+    assert(got == expect)
+  }
+}
