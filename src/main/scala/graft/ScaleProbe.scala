@@ -63,6 +63,15 @@ object ScaleProbe {
       // structure repeats per replica, so rows must grow EXACTLY kx
       time("merge_intervals", k, graft.operators.TemporalOps.mergeIntervalsEvents(e))
       time("asof_nearest", k, graft.operators.TemporalOps.asofNearestEvents(e))
+      // disjoint users ⇒ (user, day) contexts grow exactly kx while the
+      // event-type vocabulary is fixed: the collapsed self-join must stay
+      // linear (pair rows fixed at ≤ C(V,2); n_ab grows kx) — the probe
+      // that would expose any row² term instantly
+      time("cooccurrence_pairs", k, graft.operators.FeatureOps.cooccurrencePairsFrom(
+        e.select(col("user_id"),
+          to_date(timestamp_micros(col("us"))).as("d"), col("event_type"))))
+      // one keyed window: per-user work constant, wall must track scan size
+      time("lag_features", k, graft.operators.FeatureOps.lagFeaturesFrom(e))
       e.unpersist()
     }
 

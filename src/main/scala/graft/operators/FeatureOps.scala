@@ -25,11 +25,14 @@ object FeatureOps {
     * output is an exact integer (cents / microseconds), so the frame
     * hash-compares bit-identically with the SQL twin. The classic
     * feature-engineering frame for churn/LTV models. */
-  def lagFeatures(s: SparkSession, dir: String): DataFrame = {
+  def lagFeatures(s: SparkSession, dir: String): DataFrame =
+    lagFeaturesFrom(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
+
+  /** Core on any (event_id, user_id, event_type, us, value) frame. */
+  def lagFeaturesFrom(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val w3 = w.rowsBetween(-3, -1)
-    Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+    ev
       .withColumn("cents", Det.e2(col("value")).cast("long"))
       .select(
         col("event_id"), col("user_id"), col("event_type"), col("us"), col("cents"),
@@ -112,10 +115,13 @@ object FeatureOps {
     * event-type vocabulary (≤ C(V,2) pairs per context, never row²);
     * global counts ride broadcasts. lift = P(a,b)/(P(a)P(b)) is computed
     * as one division of exact integer products. */
-  def cooccurrencePairs(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.eventsMicros(s, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
-      .distinct()
+  def cooccurrencePairs(s: SparkSession, dir: String): DataFrame =
+    cooccurrencePairsFrom(Tables.eventsMicros(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
+
+  /** Core on any (user_id, d, event_type) context frame. */
+  def cooccurrencePairsFrom(contexts: DataFrame): DataFrame = {
+    val ud = contexts.distinct()
     val pairs = ud.as("x").join(ud.as("y"),
         col("x.user_id") === col("y.user_id") && col("x.d") === col("y.d") &&
           col("x.event_type") < col("y.event_type"))
@@ -140,20 +146,27 @@ object FeatureOps {
     * with a running last(ignoreNulls) — streaming frame, no buffering —
     * then a partial-agg shuffle on the (≤ event-vocabulary) touch key.
     * Attributed value sums exact cents. */
-  def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+  def attributionLastTouch(s: SparkSession, dir: String): DataFrame =
+    attributionTouches(
+      Tables.events(s, dir)
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("cents", Det.e2(col("value")).cast("long")))
+      .groupBy("touch")
+      .agg(count(lit(1)).as("n_conversions"),
+        (sum(col("cents")).cast("double") / lit(100.0)).as("attributed_value"))
+      .orderBy("touch")
+
+  /** Per-purchase touch assignment on any (user_id, event_id, us,
+    * event_type, cents) frame — the pre-aggregation core, shared with
+    * the streaming twin's equivalence spec
+    * ([[graft.streaming.EventStreams.attributionStream]]). */
+  def attributionTouches(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = last(
       when(col("event_type") =!= "purchase", col("event_type")),
       ignoreNulls = true).over(w)
-    Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
-      .withColumn("cents", Det.e2(col("value")).cast("long"))
-      .withColumn("touch", coalesce(touch, lit("none")))
+    ev.withColumn("touch", coalesce(touch, lit("none")))
       .where(col("event_type") === "purchase")
-      .groupBy("touch")
-      .agg(count(lit(1)).as("n_conversions"),
-        (sum(col("cents")).cast("double") / lit(100.0)).as("attributed_value"))
-      .orderBy("touch")
   }
 }

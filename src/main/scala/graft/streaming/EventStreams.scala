@@ -311,4 +311,64 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class AttrEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+  case class AttrOut(user_id: Long, purchase_ts: java.sql.Timestamp,
+      event_id: Long, touch: String, cents: Long)
+  /** carry = the user's last non-purchase touch from CLOSED windows
+    * (null before the first); buf = the open activity window's events. */
+  case class AttrState(carry: String, buf: List[(Long, Long, String, Long)])
+
+  /** Streaming last-touch attribution — the streaming twin of
+    * [[graft.operators.FeatureOps.attributionTouches]]. Attribution is
+    * order-SENSITIVE (a late-arriving touch between two purchases
+    * re-credits the second one), so like [[funnelStream]] the state
+    * buffers the open activity window and resolves ONCE, on event-time
+    * timeout, replaying the window's events in (ts, event_id) order
+    * exactly as the batch window function does.
+    *
+    * Unlike the funnel, attribution DOES cross activity windows (a
+    * morning ad click credits an afternoon purchase), so the resolved
+    * window's final touch is carried forward as O(1) state and seeds the
+    * next window — lifetime batch-equality per purchase, with state
+    * bounded by (distinct users) + (open windows' events), never
+    * all-time history. */
+  def attributionStream(events: org.apache.spark.sql.Dataset[AttrEvent],
+      gapMinutes: Int = 60): org.apache.spark.sql.Dataset[AttrOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[AttrEvent],
+        state: GroupState[AttrState]): Iterator[AttrOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        var carry = st.carry
+        val outs = List.newBuilder[AttrOut]
+        st.buf.sortBy(e => (e._1, e._2)).foreach { case (ts, id, ty, cents) =>
+          if (ty == "purchase")
+            outs += AttrOut(userId, new java.sql.Timestamp(ts), id,
+              Option(carry).getOrElse("none"), cents)
+          else carry = ty
+        }
+        // the window is resolved: drop its buffer, keep the O(1) carry
+        // (no new timeout — the next event for this user sets one)
+        state.update(AttrState(carry, Nil))
+        outs.result().iterator
+      } else {
+        val st = state.getOption.getOrElse(AttrState(null, Nil))
+        val buf = st.buf ++ rows.map(e => (e.ts.getTime, e.event_id,
+          e.event_type, math.floor(e.value * 100.0 + 0.5).toLong))
+        state.update(AttrState(st.carry, buf))
+        state.setTimeoutTimestamp(buf.map(_._1).max + gapMs)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

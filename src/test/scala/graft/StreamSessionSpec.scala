@@ -123,4 +123,63 @@ class StreamSessionSpec extends AnyFunSuite {
       assert(u2.length == 1 && u2.head._3 == 1)
     } finally q.stop()
   }
+
+  test("streaming attribution == batch per purchase, incl. cross-window carry and late touches") {
+    import s.implicits._
+    import graft.streaming.EventStreams.AttrEvent
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    // user 1: click, view, 2 purchases, error in one burst — then returns
+    //   after >1h idle with a purchase that must credit the carried error.
+    // user 2: a history-opening purchase → 'none'.
+    // user 3: the click arrives a BATCH LATE between view and purchase —
+    //   order-sensitive re-credit (view would be wrong).
+    val crafted = Seq(
+      (1L, "09:00", 10L, "click", 1.11), (1L, "09:05", 11L, "view", 2.22),
+      (1L, "09:10", 12L, "purchase", 10.01), (1L, "09:12", 13L, "purchase", 20.02),
+      (1L, "09:15", 14L, "error", 0.0), (1L, "12:00", 15L, "purchase", 30.03),
+      (2L, "09:00", 20L, "purchase", 5.55),
+      (3L, "09:00", 30L, "view", 0.0), (3L, "09:10", 31L, "click", 0.0),
+      (3L, "09:30", 32L, "purchase", 7.77))
+    def ev(q: (Long, String, Long, String, Double)) =
+      AttrEvent(q._1, t(q._2), q._3, q._4, q._5)
+
+    val input = MemoryStream[AttrEvent](s)
+    val q = EventStreams.attributionStream(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("graft_attr").start()
+    try {
+      // burst 1, deliberately out of order; user 3's click held back
+      input.addData((crafted.take(3).reverse ++ crafted.slice(6, 8) :+ crafted(9)).map(ev))
+      q.processAllAvailable()
+      // the late click + the rest of user 1's burst
+      input.addData(Seq(crafted(8), crafted(3), crafted(4)).map(ev))
+      q.processAllAvailable()
+      // watermark → 10:40: closes every 09:xx window (last+gap ≤ 10:30)
+      input.addData(Seq(AttrEvent(97L, t("11:40"), 970L, "view", 0.0)))
+      q.processAllAvailable()
+      // user 1 returns: a new window seeded by the carried 'error'
+      input.addData(Seq(ev(crafted(5))))
+      q.processAllAvailable()
+      // watermark → 13:30 > 13:00: closes the return window
+      input.addData(Seq(AttrEvent(98L, t("14:30"), 980L, "view", 0.0)))
+      q.processAllAvailable()
+
+      val got = s.table("graft_attr").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("touch"), r.getAs[Long]("cents"))).toSet
+      val batch = graft.operators.FeatureOps.attributionTouches(
+          crafted.map { case (u, hm, id, ty, v) =>
+            (u, id, t(hm).getTime * 1000L, ty,
+              math.floor(v * 100.0 + 0.5).toLong)
+          }.toDF("user_id", "event_id", "us", "event_type", "cents"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("touch"), r.getAs[Long]("cents"))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Set(
+        (1L, 12L, "view", 1001L), (1L, 13L, "view", 2002L),
+        (1L, 15L, "error", 3003L),
+        (2L, 20L, "none", 555L),
+        (3L, 32L, "click", 777L)))
+    } finally q.stop()
+  }
 }
