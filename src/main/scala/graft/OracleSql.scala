@@ -1040,6 +1040,55 @@ object OracleSql {
          |FROM t WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY touch""".stripMargin,
 
+    "trend_agg" ->
+      s"""WITH m AS (SELECT o_orderpriority AS priority,
+         |  CAST((year(o_orderdate)-1995)*12 + month(o_orderdate)-1 AS BIGINT) AS x,
+         |  CAST(SUM(${e2("o_totalprice")}) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1, 2),
+         |s AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+         |  FROM m GROUP BY 1),
+         |sl AS (SELECT *, CAST(n_months*sxy - sx*sy AS DOUBLE) /
+         |  CAST(n_months*sxx - sx*sx AS DOUBLE) AS slope_cents FROM s)
+         |SELECT priority, n_months, slope_cents,
+         |  (CAST(sy AS DOUBLE) - slope_cents*CAST(sx AS DOUBLE)) /
+         |    CAST(n_months AS DOUBLE) AS intercept_cents
+         |FROM sl ORDER BY priority""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH a AS (SELECT c_custkey AS k, c_acctbal AS bal_a, c_mktsegment AS seg_a,
+        |  TRUE AS in_a FROM customer),
+        |b AS (SELECT c_custkey AS k,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal_b,
+        |  c_mktsegment AS seg_b, TRUE AS in_b FROM customer WHERE c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000000 AS k, c_acctbal AS bal_b, c_mktsegment AS seg_b,
+        |  TRUE AS in_b FROM customer WHERE c_custkey % 13 = 0),
+        |j AS (SELECT COALESCE(a.in_a, FALSE) AS ia, COALESCE(b.in_b, FALSE) AS ib,
+        |  bal_a, bal_b, seg_a, seg_b FROM a FULL OUTER JOIN b ON a.k = b.k),
+        |st AS (SELECT CASE WHEN NOT ia THEN 'added' WHEN NOT ib THEN 'removed'
+        |  WHEN bal_a <> bal_b OR seg_a <> seg_b THEN 'changed'
+        |  ELSE 'unchanged' END AS status,
+        |  CASE WHEN ia AND ib AND bal_a <> bal_b THEN 1 ELSE 0 END AS bc FROM j)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(bc) AS BIGINT) AS n_bal_changed
+        |FROM st GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "embedding_norm_stats" ->
+      """WITH c AS (SELECT vec_id, CAST(label AS BIGINT) AS label, len(embedding) AS dim,
+        |  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000.0+0.5) AS BIGINT) AS v6
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, label, CAST(MIN(dim) AS BIGINT) AS dim,
+        |  CAST(FLOOR(sqrt(CAST(SUM(v6*v6) AS DOUBLE))+0.5) AS BIGINT) AS n6
+        |  FROM c GROUP BY 1, 2)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(dim) AS BIGINT) AS min_dim, CAST(MAX(dim) AS BIGINT) AS max_dim,
+        |  CAST(SUM(n6) AS DOUBLE)/1000000.0/COUNT(*) AS avg_norm,
+        |  CAST(MIN(n6) AS DOUBLE)/1000000.0 AS min_norm,
+        |  CAST(MAX(n6) AS DOUBLE)/1000000.0 AS max_norm
+        |FROM nr GROUP BY 1 ORDER BY label""".stripMargin,
+
     "char_diversity" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
         |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS r FROM ch GROUP BY 1, 2),

@@ -88,6 +88,9 @@ object SparkEntry {
     "cooccurrence_pairs" -> (FeatureOps.cooccurrencePairs(_, _)),
     "attribution_last_touch" -> (FeatureOps.attributionLastTouch(_, _)),
     "char_diversity" -> (TextOps.charDiversity(_, _)),
+    "trend_agg" -> (FeatureOps.trendAgg(_, _)),
+    "snapshot_diff" -> (QualityOps.snapshotDiff(_, _)),
+    "embedding_norm_stats" -> (SimilarityOps.embeddingNormStats(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),
     "dedup_incremental" -> (DedupOps.dedupIncremental(_, _)),

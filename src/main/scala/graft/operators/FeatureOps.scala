@@ -156,6 +156,35 @@ object FeatureOps {
         (sum(col("cents")).cast("double") / lit(100.0)).as("attributed_value"))
       .orderBy("touch")
 
+  /** trend_agg — per-priority revenue trend: ordinary-least-squares
+    * slope/intercept of monthly revenue over the month index (the
+    * seasonality/decay feature a forecasting model consumes). Months
+    * collapse first (one partial-agg shuffle; the regression then runs
+    * over ≤ calendar-months rows per group), and every OLS moment
+    * (n, Σx, Σy, Σxy, Σx²) is an EXACT integer — x is a month ordinal,
+    * y exact cents — so the two edge divisions are deterministic.
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − m·Σx)/n,
+    * association mirrored in the SQL twin. */
+  def trendAgg(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(Det.e2(col("o_totalprice")).cast("long")).as("y"))
+    val m = monthly.groupBy("priority")
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (m("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (m("n_months") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.withColumn("slope_cents", slope)
+      .withColumn("intercept_cents",
+        (col("sy").cast("double") - col("slope_cents") * col("sx").cast("double")) /
+          col("n_months").cast("double"))
+      .select("priority", "n_months", "slope_cents", "intercept_cents")
+      .orderBy("priority")
+  }
+
   /** Per-purchase touch assignment on any (user_id, event_id, us,
     * event_type, cents) frame — the pre-aggregation core, shared with
     * the streaming twin's equivalence spec

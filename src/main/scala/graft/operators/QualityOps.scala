@@ -54,4 +54,50 @@ object QualityOps {
       .withColumn("pass", col("violations") === 0L)
       .orderBy("rule")
   }
+
+  /** Re-key offset for [[snapshotDiff]]'s synthetic inserts — far above
+    * any test keyspace, shared with the oracle SQL. */
+  val DiffInsertOffset = 1000000000L
+
+  /** snapshot_diff — CDC reconciliation between two snapshots of a
+    * dimension (the validation report a merge-upsert pipeline lands
+    * next to every promoted drop): per-status row counts plus how many
+    * surviving keys changed their balance.
+    *
+    * Snapshot B derives deterministically from A so the oracle can
+    * replay it: key%10=0 deleted, key%7=0 balance +100, key%13=0
+    * duplicated above the keyspace as inserts (delete wins on overlap).
+    * Plan: ONE full-outer sort-merge join on the key — presence flags
+    * on each side, never null-sentinel value columns — then a
+    * partial-agg shuffle on the 4-row status key. At 100 TB both
+    * snapshots shuffle once on the join key; nothing else moves. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+    snapshotDiffFrom(Tables.customer(s, dir))
+
+  /** Core on any (c_custkey, c_acctbal, c_mktsegment) frame. */
+  def snapshotDiffFrom(cust: DataFrame): DataFrame = {
+    val a = cust.select(col("c_custkey").as("k"), col("c_acctbal").as("bal_a"),
+      col("c_mktsegment").as("seg_a"), lit(true).as("in_a"))
+    val b = cust.where(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")).as("bal_b"),
+        col("c_mktsegment").as("seg_b"), lit(true).as("in_b"))
+      .unionByName(cust.where(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + lit(DiffInsertOffset)).as("k"),
+          col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"),
+          lit(true).as("in_b")))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("in_a").isNull, lit("added"))
+          .when(col("in_b").isNull, lit("removed"))
+          .when(col("bal_a") =!= col("bal_b") || col("seg_a") =!= col("seg_b"),
+            lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull &&
+          col("bal_a") =!= col("bal_b"), 1L).otherwise(0L)).as("n_bal_changed"))
+      .orderBy("status")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,6 +204,32 @@ object SimilarityOps {
     * back to a double once at the edge. The cluster-summary pass of an
     * embedding pipeline (and the exact twin of what annIvf's kmeans fit
     * iterates); deterministic → fully oracle-checkable. */
+  /** embedding_norm_stats — per-label L2-norm panel (n, avg/min/max
+    * norm, dim bounds): the embedding-table health check run before any
+    * ANN build (zero or wildly-scaled vectors poison IVF/LSH training).
+    *
+    * Norms are computed per ROW with one array fold (no explode — the
+    * row count, not row×dim, reaches the shuffle) over e6-scaled integer
+    * components; Σv6² is an exact long and IEEE sqrt is correctly
+    * rounded in both engines, so quantizing the norm back to an e6
+    * integer is bitwise deterministic. One label-keyed partial-agg
+    * shuffle of long-sum moments — the 100 TB shape. */
+  def embeddingNormStats(s: SparkSession, dir: String): DataFrame = {
+    def v6(x: Column) = floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+    val ss = aggregate(col("embedding"), lit(0L), (acc, x) => acc + v6(x) * v6(x))
+    val n6 = floor(sqrt(ss.cast("double")) + lit(0.5)).cast("long")
+    Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"), n6.as("n6"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        (sum(col("n6")).cast("double") / lit(1000000.0) / count(lit(1))).as("avg_norm"),
+        (min(col("n6")).cast("double") / lit(1000000.0)).as("min_norm"),
+        (max(col("n6")).cast("double") / lit(1000000.0)).as("max_norm"))
+      .orderBy("label")
+  }
+
   def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))

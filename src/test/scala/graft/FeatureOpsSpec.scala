@@ -136,6 +136,69 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 2L, 1.0 - 5.0 / 9.0, 9.0 / 5.0)))
   }
 
+  test("trend_agg: OLS moments recompute exactly; a linear series gives its exact slope") {
+    val monthly = Tables.orders(s, sf)
+      .groupBy(col("o_orderpriority").as("p"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(graft.functions.Det.e2(col("o_totalprice")).cast("long")).as("y"))
+      .collect().map(r => (r.getAs[String]("p"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val rows = FeatureOps.trendAgg(s, sf).collect()
+    rows.foreach { r =>
+      val g = monthly.filter(_._1 == r.getAs[String]("priority"))
+      val (n, sx, sy) = (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(r.getAs[Long]("n_months") == n)
+      assert(r.getAs[Double]("slope_cents") == slope)
+      assert(r.getAs[Double]("intercept_cents") ==
+        (sy.toDouble - slope * sx.toDouble) / n.toDouble)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("snapshot_diff: every status and the balance-change count recompute by hand") {
+    import s.implicits._
+    val cust = (1L to 100L).map(k => (k, k * 1.5, if (k % 2 == 0) "A" else "B"))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val got = graft.operators.QualityOps.snapshotDiffFrom(cust).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_bal_changed")))).toMap
+    val removed = (1L to 100L).count(_ % 10 == 0)           // delete wins on overlap
+    val added = (1L to 100L).count(_ % 13 == 0)
+    val changed = (1L to 100L).count(k => k % 10 != 0 && k % 7 == 0)
+    val unchanged = 100 - removed - changed
+    assert(got("removed") == ((removed.toLong, 0L)))
+    assert(got("added") == ((added.toLong, 0L)))
+    assert(got("changed") == ((changed.toLong, changed.toLong)))
+    assert(got("unchanged") == ((unchanged.toLong, 0L)))
+  }
+
+  test("embedding_norm_stats: per-row fold == posexplode recompute on real vectors") {
+    val got = graft.operators.SimilarityOps.embeddingNormStats(s, sf).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("avg_norm"), r.getAs[Double]("max_norm"))))
+      .toMap
+    val n6Per = Tables.embeddings(s, sf)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        explode(col("embedding")).as("v"))
+      .withColumn("v6", floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("label", "vec_id").agg(sum(col("v6") * col("v6")).as("ss"))
+      .select(col("label"),
+        floor(sqrt(col("ss").cast("double")) + 0.5).cast("long").as("n6"))
+      .collect().map(r => (r.getAs[Long]("label"), r.getAs[Long]("n6")))
+    val byLabel = n6Per.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (l, n6s) =>
+      assert(got(l)._1 == n6s.length.toLong)
+      assert(got(l)._2 == n6s.sum.toDouble / 1000000.0 / n6s.length)
+      assert(got(l)._3 == n6s.max.toDouble / 1000000.0)
+      // embeddings are ~unit-normalized: norms must sit near 1
+      assert(got(l)._2 > 0.5 && got(l)._2 < 2.0)
+    }
+  }
+
   test("char_diversity: run-length fold == explode-groupBy recompute on real docs") {
     val got = TextOps.charDiversity(s, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
