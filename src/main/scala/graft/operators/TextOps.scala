@@ -406,8 +406,28 @@ object TextOps {
   def charDiversity(s: SparkSession, dir: String): DataFrame =
     charDiversityDocs(Tables.documents(s, dir))
 
-  /** Core on any documents-shaped frame (testable / probe-able). */
-  def charDiversityDocs(docs: DataFrame): DataFrame = {
+  /** Core on any documents-shaped frame: moments come from the native
+    * [[graft.functions.CharStats]] expression — ONE O(L) pass per row
+    * inside whole-stage codegen (the fold twin below is O(L log L) with
+    * an interpreted per-char lambda; LongDocSpec measures the gap on a
+    * 10⁷-char document). Output formulas (and the oracle) are identical
+    * for both. */
+  def charDiversityDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.CharStats.charStats(col("text")).as("f"))
+      .select(col("doc_id"), col("f.n").as("n"),
+        col("f.distinct").as("distinct_chars"),
+        (lit(1.0) - col("f.sumsq").cast("double") /
+          (col("f.n") * col("f.n")).cast("double")).as("simpson"),
+        ((col("f.n") * col("f.n")).cast("double") / col("f.sumsq").cast("double"))
+          .as("eff_chars"))
+      .orderBy("doc_id")
+
+  /** The `functions._`-only formulation (sorted run-length fold) — kept
+    * as the independent recompute the native expression is spec-checked
+    * against. */
+  def charDiversityDocsFold(docs: DataFrame): DataFrame = {
     val fold = aggregate(
       array_sort(col("ch")),
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),

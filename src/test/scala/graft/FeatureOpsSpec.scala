@@ -199,6 +199,27 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("char_diversity: native CharStats == fold twin, incl. non-ASCII and surrogate pairs") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "héllo wörld"),            // latin-1 spillover path
+      (1L, "日本語テキスト日本"),        // all non-ASCII
+      (2L, "😀a😀"), // surrogate pairs: n=3, distinct=2
+      (3L, "plain ascii text"),
+      (4L, "x"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("distinct_chars"),
+          r.getAs[Double]("simpson"), r.getAs[Double]("eff_chars")))).toMap
+    val native = run(TextOps.charDiversityDocs(docs))
+    val fold = run(TextOps.charDiversityDocsFold(docs))
+    assert(native == fold)
+    assert(native(2L)._1 == 3L, "surrogate pair counts as ONE char")
+    assert(native(2L)._2 == 2L)
+    assert(native(4L) == ((1L, 1L, 0.0, 1.0)))
+  }
+
   test("char_diversity: run-length fold == explode-groupBy recompute on real docs") {
     val got = TextOps.charDiversity(s, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -98,14 +98,19 @@ class LongDocSpec extends AnyFunSuite {
       // ceil(10⁷-ish chars / 150-stride) chunks for the monster doc
       assert(chunks(2L) > 50000L, s"chunk count ${chunks(2L)}")
     }
-    timed("char_diversity") {
-      // the sorted run-length fold is O(L log L) in CHARS — the 10⁷-char
-      // doc is its worst input; verify the Σc² identity holds on it too
+    timed("char_diversity_native") {
+      // native CharStats: ONE O(L) codegen pass — the 10⁷-char doc is
+      // where the interpreted fold twin pays ~20 s (see next block)
       val rows = TextOps.charDiversity(s, dir).collect()
         .map(r => r.getAs[Long]("doc_id") ->
           ((r.getAs[Long]("n"), r.getAs[Double]("eff_chars")))).toMap
       assert(rows(2L)._1 > 9000000L, "monster doc char count")
       assert(rows(2L)._2 > 10.0, "all-distinct words → high char diversity")
+    }
+    timed("char_diversity_fold_twin") {
+      // the functions._-only formulation stays under the ceiling (it is
+      // O(L log L), not O(L²)) but records the native expression's win
+      assert(TextOps.charDiversityDocsFold(docs).collect().length == 4)
     }
   }
 }
