@@ -297,19 +297,36 @@ object TextOps {
     * so at 100 TB this fuses into the ingest scan like the other text
     * filters. Exact-integer counts → one division at the edge keeps the
     * doubles bit-identical to the oracle. */
-  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    repetitionStatsDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame: the five repetition moments
+    * come from the native [[graft.functions.WordStats]] expression —
+    * ONE O(L) hashed pass per row inside whole-stage codegen, the same
+    * CharStats treatment applied to the word/bigram level (the fold twin
+    * below sorts the word array and folds an interpreted lambda; see
+    * LongDocSpec for the measured gap on 10⁵–10⁶-word documents). */
+  def repetitionStatsDocs(docs: DataFrame): DataFrame =
+    repetitionFromCounts(docs
+      .select(col("doc_id"), graft.functions.WordStats.wordStats(col("text")).as("f"))
+      .select(col("doc_id"), col("f.words_n").as("words_n"),
+        col("f.uniq_words").as("uniq_words"), col("f.bigrams_n").as("bigrams_n"),
+        col("f.uniq_bigrams").as("uniq_bigrams"), col("f.top_word_n").as("top_word_n")))
+
+  /** The `functions._`-only formulation — kept as the independent
+    * recompute the native expression is spec-checked against. */
+  def repetitionStatsDocsFold(docs: DataFrame): DataFrame = {
     // materialize w and g as columns: referencing an array-BUILDING
     // expression inside the counting lambdas would re-evaluate it per
     // element (the winnowing lesson, SURVEY §5)
-    val arrs = Tables.documents(s, dir).select(col("doc_id"),
+    val arrs = docs.select(col("doc_id"),
       split(col("text"), " ").as("w"),
       DedupOps.wordGrams(col("text"), 2).as("g"))
     // top_word_n = longest equal-run in the SORTED word array: one
     // O(L log L) sort + one O(L) run-length fold — never the O(uniq×L)
     // nested count lambda, which is quadratic exactly on the long
     // repetitive documents this gate exists to catch (a 100k-word doc is
-    // ~10^10 comparisons under the nested form, ~10^6 here; see
-    // LongDocSpec for the measured ceiling).
+    // ~10^10 comparisons under the nested form, ~10^6 here).
     val topWordN = aggregate(
       array_sort(col("w")),
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
@@ -321,12 +338,16 @@ object TextOps {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val counts = arrs.select(col("doc_id"),
+    repetitionFromCounts(arrs.select(col("doc_id"),
       size(col("w")).cast("long").as("words_n"),
       size(array_distinct(col("w"))).cast("long").as("uniq_words"),
       size(col("g")).cast("long").as("bigrams_n"),
       size(array_distinct(col("g"))).cast("long").as("uniq_bigrams"),
-      topWordN.cast("long").as("top_word_n"))
+      topWordN.cast("long").as("top_word_n")))
+  }
+
+  /** Shared gate formulas over the five exact moments. */
+  private def repetitionFromCounts(counts: DataFrame): DataFrame = {
     val dupWord = (col("words_n") - col("uniq_words")).cast("double") / col("words_n")
     val dupBigram = when(col("bigrams_n") > 0,
       (col("bigrams_n") - col("uniq_bigrams")).cast("double") / col("bigrams_n"))

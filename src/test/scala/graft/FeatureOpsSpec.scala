@@ -220,6 +220,27 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(native(4L) == ((1L, 1L, 0.0, 1.0)))
   }
 
+  test("repetition_stats: native WordStats == fold twin on tokenization edge cases") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b a b a"),       // bigram dups: "a b"×2, "b a"×2
+      (1L, "a  b"),            // double space → empty middle token
+      (2L, "a b "),            // trailing space → trailing empty token
+      (3L, "solo"),            // one word, zero bigrams
+      (4L, ""),                // empty text → one empty token
+      (5L, "x x x x x x"))     // top_word_frac 1.0
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.drop(1)).toMap
+    val native = run(TextOps.repetitionStatsDocs(docs))
+    val fold = run(TextOps.repetitionStatsDocsFold(docs))
+    assert(native == fold)
+    // closed forms: doc 0 has 5 words {a:3,b:2}, 4 bigrams, 2 distinct
+    assert(native(0L).take(4) == Seq(5L, 2L, 4L, 3L))
+    assert(native(3L).take(4) == Seq(1L, 1L, 0L, 1L))
+    assert(native(4L).take(4) == Seq(1L, 1L, 0L, 1L))
+  }
+
   test("char_diversity: run-length fold == explode-groupBy recompute on real docs") {
     val got = TextOps.charDiversity(s, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -58,9 +58,14 @@ class LongDocSpec extends AnyFunSuite {
   }
 
   test("repetition gates stay near-linear and still flag the pathological docs") {
-    val rows = timed("repetition_stats") {
+    val rows = timed("repetition_stats_native") {
       TextOps.repetitionStats(s, dir).collect()
     }
+    val foldRows = timed("repetition_stats_fold_twin") {
+      TextOps.repetitionStatsDocsFold(Tables.documents(s, dir)).collect()
+    }
+    assert(rows.map(_.toSeq).toSeq == foldRows.map(_.toSeq).toSeq,
+      "native WordStats must reproduce the fold formulation on the monster docs")
     val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(!byId(1L).getAs[Boolean]("keep"), "cycled doc must fail the bigram gate")
     assert(byId(1L).getAs[Double]("dup_bigram_frac") > 0.9)
