@@ -60,6 +60,11 @@ object CharStats {
     * corpora), anything above U+007F in a small open hash map. */
   def compute(s: UTF8String): InternalRow = {
     val str = s.toString
+    // split("", "") yields [""] in BOTH engines (one empty element), so an
+    // empty text counts as one "char" — not zero, which would NaN the
+    // simpson/eff divisions and diverge from the oracle
+    if (str.isEmpty)
+      return new GenericInternalRow(Array[Any](1L, 1L, 1L))
     val ascii = new Array[Long](128)
     var other: java.util.HashMap[Integer, Array[Long]] = null
     var n = 0L
