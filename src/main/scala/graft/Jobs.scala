@@ -249,6 +249,74 @@ object Jobs {
     path
   }
 
+  /** SVG choropleth render — the reference's ACTUAL final artifact
+    * (world_map_transformer.py:214–254 renders the merged world frame
+    * as a matplotlib/geopandas figure; external_resources.py:54–68
+    * uploads it). This renders the same merged frame engine-side with
+    * zero plotting dependencies: equirectangular projection of each
+    * country's polygon rings into one `<path>` per feature, filled from
+    * a 9-step sequential palette bucketed on perc_dif, with a
+    * `<title>` tooltip carrying the measures.
+    *
+    * The path builder is RING-GENERIC (folds whatever
+    * `geometry.coordinates` holds), so swapping the placeholder squares
+    * for a real alpha3→rings boundary table renders a true world map
+    * with no code change. Color min/max come from ONE bounded agg over
+    * the world dim (≤~250 rows) broadcast back; per-feature path/color
+    * assembly is a codegen'd projection; the document fold is a
+    * collect_list over the dim — same bounded shape as the GeoJSON
+    * export. Returns the written path. */
+  def renderWorldMapSvg(s: SparkSession, sfDir: String, outDir: String,
+      date: String): String = {
+    import org.apache.spark.sql.functions._
+    val (w, h) = (1000.0, 500.0)
+    val world = SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir))
+      .withColumn("geometry", placeholderGeometry(col("alpha3")))
+    // projection: lon [-180,180] → x [0,W]; lat [90,-90] → y [0,H]
+    def px(pt: org.apache.spark.sql.Column) =
+      round((element_at(pt, 1) + lit(180.0)) / lit(360.0) * lit(w), 2)
+    def py(pt: org.apache.spark.sql.Column) =
+      round((lit(90.0) - element_at(pt, 2)) / lit(180.0) * lit(h), 2)
+    val d = array_join(transform(col("geometry.coordinates"), ring =>
+      concat(lit("M"),
+        array_join(transform(ring, pt =>
+          concat(px(pt).cast("string"), lit(","), py(pt).cast("string"))), "L"),
+        lit("Z"))), " ")
+    // 9-step sequential palette (light→dark), bucketed on perc_dif over
+    // the dim's own min/max — one broadcast single-row agg, never a fact
+    val palette = array(Seq("#f7fbff", "#deebf7", "#c6dbef", "#9ecae1",
+      "#6baed6", "#4292c6", "#2171b5", "#08519c", "#08306b").map(lit): _*)
+    val stats = world.agg(min(col("perc_dif")).as("lo"), max(col("perc_dif")).as("hi"))
+    val bucket = when(col("hi") > col("lo"),
+      least(floor((col("perc_dif") - col("lo")) / (col("hi") - col("lo")) * 9)
+        .cast("int"), lit(8))).otherwise(lit(4))
+    // countries without data (the left join keeps every dim row — the
+    // reference's map paints them too) get an explicit no-data gray;
+    // a null must never null out the whole feature through concat
+    val fill = when(col("perc_dif").isNull, lit("#cccccc"))
+      .otherwise(element_at(palette, bucket + 1))
+    val feature = concat(
+      lit("""<path d=""""), d,
+      lit("""" fill=""""), fill,
+      lit("""" stroke="#555" stroke-width="0.3"><title>"""),
+      col("alpha3"), lit(": avg_usd="),
+      coalesce(col("avg_usd").cast("string"), lit("n/a")),
+      lit(" perc_dif="),
+      coalesce(col("perc_dif").cast("string"), lit("n/a")),
+      lit("</title></path>"))
+    val doc = world.join(broadcast(stats))
+      .select(col("alpha3"), feature.as("f"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("alpha3"), col("f")))),
+        x => x.getField("f")), "\n").as("fs"))
+      .select(concat(
+        lit(s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 ${w.toInt} ${h.toInt}">""" + "\n"),
+        col("fs"), lit("\n</svg>")).as("value"))
+    val path = s"$outDir/world_map_svg/dt=$date"
+    doc.coalesce(1).write.mode("overwrite").text(path)
+    path
+  }
+
   /** Deterministic placeholder polygon for a country code: a 4°×4°
     * square centered at hash-derived coordinates (lon ∈ [-178,178],
     * lat ∈ [-58,58]), closed ring, GeoJSON [lon,lat] order. STAND-IN

@@ -181,6 +181,35 @@ class JobsSpec extends AnyFunSuite {
     }
   }
 
+  test("svg render: one path per country, valid rings in viewport, palette fills, tooltips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_svg")
+    val path = Jobs.renderWorldMapSvg(s, sf, dir.toString, "2024-01-05")
+    val svg = s.read.text(path).collect().map(_.getString(0)).mkString("\n")
+    assert(svg.startsWith("""<svg xmlns="http://www.w3.org/2000/svg""""))
+    assert(svg.endsWith("</svg>"))
+    val paths = """<path d="([^"]+)" fill="(#[0-9a-f]{6})"""".r
+      .findAllMatchIn(svg).toSeq
+    assert(paths.length == 25, "one path per geo-dim country")
+    val pointRe = """(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)""".r
+    paths.foreach { m =>
+      val d = m.group(1)
+      assert(d.startsWith("M") && d.endsWith("Z"), s"closed subpath: $d")
+      val pts = pointRe.findAllMatchIn(d).map(p =>
+        (p.group(1).toDouble, p.group(2).toDouble)).toSeq
+      assert(pts.length == 5, "square placeholder ring has 5 projected points")
+      assert(pts.head == pts.last, "ring closes")
+      pts.foreach { case (x, y) =>
+        assert(x >= 0 && x <= 1000 && y >= 0 && y <= 500, s"in viewport: ($x,$y)")
+      }
+    }
+    // every country's tooltip is present with its measures
+    val expected = graft.operators.SteamOps
+      .withEuPropagatedDif(graft.operators.SteamOps.worldTable(s, sf))
+      .select("alpha3").collect().map(_.getString(0))
+    expected.foreach(a3 => assert(svg.contains(s"<title>$a3: avg_usd="),
+      s"tooltip for $a3"))
+  }
+
   test("compaction: small-file partition rewritten to target count, rows identical") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
