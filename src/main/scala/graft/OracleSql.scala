@@ -1056,6 +1056,18 @@ object OracleSql {
          |    CAST(n_months AS DOUBLE) AS intercept_cents
          |FROM sl ORDER BY priority""".stripMargin,
 
+    "spatial_join" ->
+      """WITH b AS (SELECT n_nationkey, n_name,
+        |  CAST((n_nationkey % 6) * 60 - 180 AS DOUBLE) AS lon0,
+        |  CAST((n_nationkey // 6) * 28 - 84 AS DOUBLE) AS lat0 FROM nation),
+        |p AS (SELECT event_id,
+        |  CAST(event_id % 36000 AS DOUBLE)/100.0 - 180.0 AS px,
+        |  CAST((event_id * 7919) % 18000 AS DOUBLE)/100.0 - 90.0 AS py FROM events)
+        |SELECT n_nationkey, n_name, CAST(COUNT(*) AS BIGINT) AS n_points
+        |FROM p JOIN b ON px >= lon0 AND px <= lon0 + 50.0
+        |              AND py >= lat0 AND py <= lat0 + 24.0
+        |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin,
+
     "snapshot_diff" ->
       """WITH a AS (SELECT c_custkey AS k, c_acctbal AS bal_a, c_mktsegment AS seg_a,
         |  TRUE AS in_a FROM customer),

@@ -89,6 +89,7 @@ object SparkEntry {
     "attribution_last_touch" -> (FeatureOps.attributionLastTouch(_, _)),
     "char_diversity" -> (TextOps.charDiversity(_, _)),
     "trend_agg" -> (FeatureOps.trendAgg(_, _)),
+    "spatial_join" -> (GeoOps.spatialJoin(_, _)),
     "snapshot_diff" -> (QualityOps.snapshotDiff(_, _)),
     "embedding_norm_stats" -> (SimilarityOps.embeddingNormStats(_, _)),
     // LLM-training-data (#24–35)

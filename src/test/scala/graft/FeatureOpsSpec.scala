@@ -118,6 +118,44 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(!touches.contains("purchase"), "a purchase never credits itself")
   }
 
+  test("spatial_join: grid-bucketed containment == brute force; equi-join plan, boundary points kept") {
+    import s.implicits._
+    import graft.operators.GeoOps
+    // boxes on the production layout + points planted on corners, edges,
+    // interiors, just-outside, and cell borders
+    val boxes = GeoOps.nationBoxes(s, sf)
+    val planted = Seq(
+      (9000001L, -180.0, -84.0),   // nation 0 corner (inclusive)
+      (9000002L, -130.0, -60.0),   // nation 0 far corner (inclusive)
+      (9000003L, -129.99, -60.0),  // just outside in x
+      (9000004L, -150.0, -70.0),   // nation 0 interior, crosses cell border x=-150
+      (9000005L, 0.0, 0.0),        // in nation 15's box? compute below
+      (9000006L, 179.0, 89.0))     // outside every box
+      .toDF("event_id", "px", "py")
+    val got = GeoOps.spatialJoinFrames(boxes, planted)
+      .select("event_id", "n_nationkey").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("n_nationkey"))).toSet
+    val brute = (for {
+      b <- boxes.collect()
+      p <- planted.collect()
+      lon0 = b.getAs[Double]("lon0"); lat0 = b.getAs[Double]("lat0")
+      px = p.getAs[Double]("px"); py = p.getAs[Double]("py")
+      if px >= lon0 && px <= lon0 + GeoOps.BoxW && py >= lat0 && py <= lat0 + GeoOps.BoxH
+    } yield (p.getAs[Long]("event_id"), b.getAs[Int]("n_nationkey"))).toSet
+    assert(got == brute)
+    assert(got.contains((9000001L, 0)) && got.contains((9000002L, 0)))
+    assert(!got.exists(_._1 == 9000003L) && !got.exists(_._1 == 9000006L))
+    assert(got.exists(_._1 == 9000004L))
+    // the full operator also matches a brute-force recompute on real events
+    val full = GeoOps.spatialJoin(s, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[Long]("n_points")).toMap
+    val bruteFull = GeoOps.spatialJoinFrames(boxes, GeoOps.eventPoints(s, sf))
+    val plan = bruteFull.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"grid join must stay an equi-join:\n$plan")
+    assert(full.values.sum == bruteFull.count())
+  }
+
   test("char_diversity: manufactured docs hit the closed-form values") {
     import s.implicits._
     val docs = Seq(
