@@ -1056,6 +1056,44 @@ object OracleSql {
          |    CAST(n_months AS DOUBLE) AS intercept_cents
          |FROM sl ORDER BY priority""".stripMargin,
 
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "gopher_gates" -> {
+      import graft.operators.TextOps._
+      s"""WITH b AS (SELECT doc_id,
+         |  string_split(text, ' ') AS w,
+         |  string_split(text, chr(10)) AS lines,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS cns,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_n,
+         |  CAST((length(text) - length(replace(text, '...', '')))/3 AS BIGINT) AS ell_n
+         |FROM documents),
+         |c AS (SELECT doc_id, cns, hash_n, ell_n,
+         |  CAST(len(w) AS BIGINT) AS words_n,
+         |  CAST(len(lines) AS BIGINT) AS lines_n,
+         |  CAST(len(list_filter(lines, x -> left(x,2) IN ('- ','* '))) AS BIGINT) AS bullet_n,
+         |  CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS ell_lines,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_n
+         |FROM b),
+         |m AS (SELECT doc_id, words_n,
+         |  CAST(cns AS DOUBLE)/words_n AS mean_word_len,
+         |  CAST(hash_n + ell_n AS DOUBLE)/words_n AS symbol_ratio,
+         |  CAST(bullet_n AS DOUBLE)/lines_n AS bullet_line_frac,
+         |  CAST(ell_lines AS DOUBLE)/lines_n AS ellipsis_line_frac,
+         |  CAST(alpha_n AS DOUBLE)/words_n AS alpha_word_frac
+         |FROM c)
+         |SELECT *,
+         |  (mean_word_len >= $GopherMinMeanWord AND mean_word_len <= $GopherMaxMeanWord
+         |   AND symbol_ratio < $GopherMaxSymbolRatio
+         |   AND bullet_line_frac < $GopherMaxBulletFrac
+         |   AND ellipsis_line_frac < $GopherMaxEllipsisFrac
+         |   AND alpha_word_frac > $GopherMinAlphaFrac) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
     "spatial_join" ->
       """WITH b AS (SELECT n_nationkey, n_name,
         |  CAST((n_nationkey % 6) * 60 - 180 AS DOUBLE) AS lon0,

@@ -72,6 +72,14 @@ object ScaleProbe {
           to_date(timestamp_micros(col("us"))).as("d"), col("event_type"))))
       // one keyed window: per-user work constant, wall must track scan size
       time("lag_features", k, graft.operators.FeatureOps.lagFeaturesFrom(e))
+      // fixed region set, kx points: the grid equi-join must grow linearly
+      // in matched pairs with wall tracking the point scan (a cartesian
+      // would grow kx × regions)
+      time("spatial_join", k, graft.operators.GeoOps.spatialJoinFrames(
+        graft.operators.GeoOps.nationBoxes(spark, sfDir),
+        e.select(col("event_id"),
+          ((col("event_id") % 36000).cast("double") / 100.0 - 180.0).as("px"),
+          (((col("event_id") * 7919) % 18000).cast("double") / 100.0 - 90.0).as("py"))))
       e.unpersist()
     }
 

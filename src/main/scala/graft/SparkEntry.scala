@@ -94,6 +94,8 @@ object SparkEntry {
     "embedding_norm_stats" -> (SimilarityOps.embeddingNormStats(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),
+    "dedup_normalized" -> (DedupOps.dedupNormalized(_, _)),
+    "gopher_gates" -> (TextOps.gopherGates(_, _)),
     "dedup_incremental" -> (DedupOps.dedupIncremental(_, _)),
     "rare_token_stats" -> (TextOps.rareTokenStats(_, _)),
     "token_histogram" -> (CurationOps.tokenHistogram(_, _)),

@@ -29,6 +29,23 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("h")
 
+  /** dedup_normalized — canonicalize-then-hash dedup (the C4/RefinedWeb
+    * normalization step): case-fold, strip everything outside
+    * [a-z0-9 ], collapse whitespace runs, trim — THEN hash-group. Catches
+    * the trivial variants byte-exact dedup misses (case, punctuation,
+    * spacing) at identical cost: the normalization is a codegen'd
+    * per-row projection, the dedup still one hash-key shuffle. */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(normalizeText(col("text"))).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("h")
+
+  /** The shared canonicalization (mirrored in the oracle SQL). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Documents with `doc_id < this` stand in for the already-ingested
     * corpus in [[dedupIncremental]]; the rest are the "new batch".
     * Mirrored verbatim in the oracle SQL. */

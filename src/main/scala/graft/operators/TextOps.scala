@@ -362,6 +362,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // Gopher rule-set thresholds (Rae et al. 2021, public) for gopherGates
+  val GopherMinMeanWord = 3.0
+  val GopherMaxMeanWord = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMaxBulletFrac = 0.9
+  val GopherMaxEllipsisFrac = 0.3
+  val GopherMinAlphaFrac = 0.8
+
+  /** gopher_gates — the remaining Gopher quality rules beyond
+    * text_quality/repetition_stats: mean word length window, #/…
+    * symbol-to-word ratio, bullet-started and ellipsis-ended line
+    * fractions, fraction of words containing an alphabetic char.
+    * Pure per-row projection (string length arithmetic + bounded line/
+    * word lambdas), zero shuffles; every ratio is one division of exact
+    * integers so the composite keep flag hash-matches the oracle. */
+  def gopherGates(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"), split(col("text"), "\n").as("lines"))
+    val wordsN = size(col("w")).cast("long")
+    val charsNoSpace = length(replace(col("text"), lit(" "), lit(""))).cast("long")
+    val hashN = (length(col("text")) -
+      length(replace(col("text"), lit("#"), lit("")))).cast("long")
+    // the removed length is always a multiple of 3 → the division is exact
+    val ellipsisN = ((length(col("text")) -
+      length(replace(col("text"), lit("..."), lit("")))).cast("long") / lit(3))
+      .cast("long")
+    val bulletLines = size(filter(col("lines"), x =>
+      substring(x, 1, 2) === "- " || substring(x, 1, 2) === "* ")).cast("long")
+    val ellipsisLines = size(filter(col("lines"), x => x.endsWith("..."))).cast("long")
+    val alphaWords = size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long")
+    val meanWord = charsNoSpace.cast("double") / wordsN
+    val symbolRatio = (hashN + ellipsisN).cast("double") / wordsN
+    val bulletFrac = bulletLines.cast("double") / size(col("lines")).cast("long")
+    val ellipsisFrac = ellipsisLines.cast("double") / size(col("lines")).cast("long")
+    val alphaFrac = alphaWords.cast("double") / wordsN
+    base.select(col("doc_id"), wordsN.as("words_n"),
+        meanWord.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_line_frac"), ellipsisFrac.as("ellipsis_line_frac"),
+        alphaFrac.as("alpha_word_frac"),
+        (meanWord >= GopherMinMeanWord && meanWord <= GopherMaxMeanWord &&
+          symbolRatio < GopherMaxSymbolRatio &&
+          bulletFrac < GopherMaxBulletFrac &&
+          ellipsisFrac < GopherMaxEllipsisFrac &&
+          alphaFrac > GopherMinAlphaFrac).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val RareMaxFreq = 2L     // a token is "rare" at corpus frequency <= this
   val RareMaxFrac = 0.2    // OOV-ratio admission gate
 

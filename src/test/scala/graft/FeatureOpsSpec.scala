@@ -156,6 +156,52 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(full.values.sum == bruteFull.count())
   }
 
+  test("dedup_normalized: case/punctuation/whitespace variants collapse, real dups superset") {
+    import s.implicits._
+    import graft.operators.DedupOps
+    val variants = Seq("Hello, World!", "hello world", "  HELLO -- WORLD  ",
+      "hello	world")
+    // all four normalize to "hello world" except the tab variant (split
+    // strips only [^a-z0-9 ] and literal-space runs; tab is punctuation
+    // class? no — it is stripped by [^a-z0-9 ] since tab != space)
+    val norms = variants.toDF("text")
+      .select(DedupOps.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    assert(norms.toSet == Set("hello world"), s"got ${norms.toSet}")
+    // on the corpus: normalized dedup can only MERGE groups vs exact dedup
+    val exactGroups = DedupOps.dedupExact(s, sf).count()
+    val normGroups = DedupOps.dedupNormalized(s, sf).count()
+    assert(normGroups <= exactGroups)
+    val totalExact = DedupOps.dedupExact(s, sf)
+      .agg(sum("n_dups")).head().getLong(0)
+    val totalNorm = DedupOps.dedupNormalized(s, sf)
+      .agg(sum("n_dups")).head().getLong(0)
+    assert(totalExact == totalNorm, "every doc still lands in exactly one group")
+  }
+
+  test("gopher_gates: crafted docs trip each rule; clean prose passes") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "a b c d e f g h i j"),                  // mean word len 1 → fail
+      (2L, "### ## # ### word"),                    // symbol ratio → fail
+      // 2/3 bullet lines (< 0.9) and only 1/7 alpha-less "-" token (> 0.8)
+      (3L, "- one two\n- three four\nplain line here"),
+      (4L, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"), // all bullets → fail
+      (5L, "this trails off...\nand again...\nmore...\nplain line here"), // 3/4 ellipsis → fail
+      (6L, "12345 67890 11111 22222 33333"))        // no alpha words → fail
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextOps.gopherGates(s, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got(0L), "clean prose passes every gate")
+    assert(!got(1L) && !got(2L) && !got(4L) && !got(5L) && !got(6L))
+    assert(got(3L), "a minority of bullet lines is fine")
+  }
+
   test("char_diversity: manufactured docs hit the closed-form values") {
     import s.implicits._
     val docs = Seq(
