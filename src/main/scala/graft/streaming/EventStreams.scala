@@ -312,6 +312,20 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-static geofence enrichment — the remaining streaming join
+    * pattern (stream-stream interval join and stateful ops are above):
+    * a stream of points joins the STATIC region table through the same
+    * grid-cell equi-join as the batch spatial operator
+    * ([[graft.operators.GeoOps.spatialJoinFrames]] — the core is shared,
+    * streaming-agnostic). The static side broadcasts; the stream side
+    * never shuffles and needs no watermark (stateless per-row
+    * enrichment), so this runs at ingest throughput on any cluster —
+    * the geofence-alert shape. */
+  def geoAlertStream(points: DataFrame, boxes: DataFrame): DataFrame =
+    graft.operators.GeoOps.spatialJoinFrames(boxes, points)
+      .select(col("event_id"), col("px"), col("py"),
+        col("n_nationkey").as("region_key"), col("n_name").as("region"))
+
   case class AttrEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
       event_type: String, value: Double)
   case class AttrOut(user_id: Long, purchase_ts: java.sql.Timestamp,

@@ -124,6 +124,28 @@ class StreamSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("geofence stream-static join: streamed points land in the right regions, outsiders dropped") {
+    import s.implicits._
+    val boxes = graft.operators.GeoOps.nationBoxes(s, TestSpark.sf)
+    val input = MemoryStream[(Long, Double, Double)](s)
+    val q = EventStreams.geoAlertStream(
+        input.toDF().toDF("event_id", "px", "py"), boxes)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_geofence").start()
+    try {
+      input.addData(Seq(
+        (1L, -180.0, -84.0),  // nation 0 corner
+        (2L, -150.0, -70.0),  // nation 0 interior
+        (3L, 179.0, 89.0)))   // outside every region
+      q.processAllAvailable()
+      input.addData(Seq((4L, -100.0, -70.0))) // nation 1's box ([-120,-70]×[-84,-60])
+      q.processAllAvailable()
+      val got = s.table("graft_geofence").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("region_key"))).toSet
+      assert(got == Set((1L, 0), (2L, 0), (4L, 1)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming attribution == batch per purchase, incl. cross-window carry and late touches") {
     import s.implicits._
     import graft.streaming.EventStreams.AttrEvent
