@@ -230,11 +230,15 @@ object Jobs {
       date: String): String = {
     import org.apache.spark.sql.functions._
     val world = SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir))
+    // ignoreNullFields=false: a no-data country must emit its measure
+    // keys as explicit nulls, not drop them — render layers that map
+    // fill over a uniform property schema break on absent keys
     val feature = to_json(struct(
       lit("Feature").as("type"),
       struct(col("alpha2"), col("alpha3"), col("continent"),
         col("avg_usd"), col("perc_dif"), col("usd_dif")).as("properties"),
-      placeholderGeometry(col("alpha3")).as("geometry")))
+      placeholderGeometry(col("alpha3")).as("geometry")),
+      Map("ignoreNullFields" -> "false"))
     val doc = world
       .select(col("alpha3"), feature.as("f"))
       // deterministic feature order: sort by the join key inside ONE

@@ -1049,8 +1049,9 @@ object OracleSql {
          |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
          |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
          |  FROM m GROUP BY 1),
-         |sl AS (SELECT *, CAST(n_months*sxy - sx*sy AS DOUBLE) /
-         |  CAST(n_months*sxx - sx*sx AS DOUBLE) AS slope_cents FROM s)
+         |sl AS (SELECT *, CASE WHEN n_months*sxx - sx*sx = 0 THEN NULL
+         |  ELSE CAST(n_months*sxy - sx*sy AS DOUBLE) /
+         |    CAST(n_months*sxx - sx*sx AS DOUBLE) END AS slope_cents FROM s)
          |SELECT priority, n_months, slope_cents,
          |  (CAST(sy AS DOUBLE) - slope_cents*CAST(sx AS DOUBLE)) /
          |    CAST(n_months AS DOUBLE) AS intercept_cents
@@ -1076,7 +1077,7 @@ object OracleSql {
          |  CAST(len(lines) AS BIGINT) AS lines_n,
          |  CAST(len(list_filter(lines, x -> left(x,2) IN ('- ','* '))) AS BIGINT) AS bullet_n,
          |  CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS ell_lines,
-         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_n
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_n
          |FROM b),
          |m AS (SELECT doc_id, words_n,
          |  CAST(cns AS DOUBLE)/words_n AS mean_word_len,
@@ -1094,17 +1095,19 @@ object OracleSql {
          |FROM m ORDER BY doc_id""".stripMargin
     },
 
-    "spatial_join" ->
-      """WITH b AS (SELECT n_nationkey, n_name,
-        |  CAST((n_nationkey % 6) * 60 - 180 AS DOUBLE) AS lon0,
-        |  CAST((n_nationkey // 6) * 28 - 84 AS DOUBLE) AS lat0 FROM nation),
-        |p AS (SELECT event_id,
-        |  CAST(event_id % 36000 AS DOUBLE)/100.0 - 180.0 AS px,
-        |  CAST((event_id * 7919) % 18000 AS DOUBLE)/100.0 - 90.0 AS py FROM events)
-        |SELECT n_nationkey, n_name, CAST(COUNT(*) AS BIGINT) AS n_points
-        |FROM p JOIN b ON px >= lon0 AND px <= lon0 + 50.0
-        |              AND py >= lat0 AND py <= lat0 + 24.0
-        |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin,
+    "spatial_join" -> {
+      import graft.operators.GeoOps._
+      s"""WITH b AS (SELECT n_nationkey, n_name,
+         |  CAST((n_nationkey % $GridCols) * $LonSpacing + $LonBase AS DOUBLE) AS lon0,
+         |  CAST((n_nationkey // $GridCols) * $LatSpacing + $LatBase AS DOUBLE) AS lat0 FROM nation),
+         |p AS (SELECT event_id,
+         |  CAST(event_id % $PxMod AS DOUBLE)/100.0 - 180.0 AS px,
+         |  CAST((event_id * $PyMul) % $PyMod AS DOUBLE)/100.0 - 90.0 AS py FROM events)
+         |SELECT n_nationkey, n_name, CAST(COUNT(*) AS BIGINT) AS n_points
+         |FROM p JOIN b ON px >= lon0 AND px <= lon0 + $BoxW
+         |              AND py >= lat0 AND py <= lat0 + $BoxH
+         |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin
+    },
 
     "snapshot_diff" ->
       """WITH a AS (SELECT c_custkey AS k, c_acctbal AS bal_a, c_mktsegment AS seg_a,

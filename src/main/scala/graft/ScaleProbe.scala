@@ -77,9 +77,7 @@ object ScaleProbe {
       // would grow kx × regions)
       time("spatial_join", k, graft.operators.GeoOps.spatialJoinFrames(
         graft.operators.GeoOps.nationBoxes(spark, sfDir),
-        e.select(col("event_id"),
-          ((col("event_id") % 36000).cast("double") / 100.0 - 180.0).as("px"),
-          (((col("event_id") * 7919) % 18000).cast("double") / 100.0 - 90.0).as("py"))))
+        graft.operators.GeoOps.pointsFrom(e)))
       e.unpersist()
     }
 

@@ -101,10 +101,12 @@ object FeatureOps {
         length(col("tok")) + d): _*)).as("lkey"))
     val right = vocab.select(col("tok").as("b"), length(col("tok")).as("lkey"))
     left.join(right, "lkey")
-      .where(col("a") < col("b") &&
-        levenshtein(col("a"), col("b")) <= FuzzyMaxEdit)
-      .select(col("a"), col("b"),
-        levenshtein(col("a"), col("b")).cast("long").as("dist"))
+      .where(col("a") < col("b"))
+      // compute the O(|a|·|b|) distance ONCE: filter and projection are
+      // separate operators, so a repeated call would evaluate twice
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .where(col("dist") <= FuzzyMaxEdit)
+      .select("a", "b", "dist")
       .orderBy("a", "b")
   }
 
@@ -175,8 +177,13 @@ object FeatureOps {
       .agg(count(lit(1)).as("n_months"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    val slope = (m("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (m("n_months") * col("sxx") - col("sx") * col("sx")).cast("double")
+    // a single-month group has zero x-variance: no trend is defined —
+    // emit null, never 0/0 NaN (whose division semantics also differ
+    // between engines)
+    val denom = m("n_months") * col("sxx") - col("sx") * col("sx")
+    val slope = when(denom =!= 0,
+      (m("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        denom.cast("double"))
     m.withColumn("slope_cents", slope)
       .withColumn("intercept_cents",
         (col("sy").cast("double") - col("slope_cents") * col("sx").cast("double")) /

@@ -27,25 +27,37 @@ import graft.Tables
   * verifies the full containment semantics, not just row shapes.
   */
 object GeoOps {
+  // every geometry constant lives HERE and is interpolated into the
+  // oracle SQL (the QueryModulus lesson: duplicated literals drift)
   val BoxW = 50.0; val BoxH = 24.0    // region box size (degrees)
   val CellW = 30.0; val CellH = 14.0  // grid cell size (≥ half a box edge)
+  val GridCols = 6                    // box layout: 6 per lon row
+  val LonSpacing = 60; val LatSpacing = 28  // > box size ⇒ disjoint boxes
+  val LonBase = -180; val LatBase = -84
+  val PxMod = 36000L; val PyMul = 7919L; val PyMod = 18000L
 
-  /** Deterministic region boxes: one per nation, laid out on a 6×5
-    * lon/lat grid with gaps (spacing 60×28 > box 50×24 ⇒ disjoint). */
+  /** Deterministic region boxes: one per nation, laid out on a
+    * [[GridCols]]-wide lon/lat grid with gaps. */
   def nationBoxes(s: SparkSession, dir: String): DataFrame =
     Tables.nation(s, dir).select(
       col("n_nationkey"), col("n_name"),
-      ((col("n_nationkey") % 6) * 60 - 180).cast("double").as("lon0"),
+      ((col("n_nationkey") % GridCols) * LonSpacing + LonBase)
+        .cast("double").as("lon0"),
       // `div`, not `/`: Spark's / on integrals is true (double) division
-      (expr("CAST(n_nationkey AS BIGINT) div 6") * 28 - 84)
+      (expr(s"CAST(n_nationkey AS BIGINT) div $GridCols") * LatSpacing + LatBase)
         .cast("double").as("lat0"))
 
   /** Deterministic event points: id-derived lon/lat covering the globe. */
   def eventPoints(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
+    pointsFrom(Tables.events(s, dir))
+
+  /** Point derivation on any frame with an event_id column (shared with
+    * ScaleProbe so the probe and the operator can never diverge). */
+  def pointsFrom(events: DataFrame): DataFrame =
+    events.select(
       col("event_id"),
-      ((col("event_id") % 36000).cast("double") / 100.0 - 180.0).as("px"),
-      (((col("event_id") * 7919) % 18000).cast("double") / 100.0 - 90.0).as("py"))
+      ((col("event_id") % PxMod).cast("double") / 100.0 - 180.0).as("px"),
+      (((col("event_id") * PyMul) % PyMod).cast("double") / 100.0 - 90.0).as("py"))
 
   /** spatial_join — events-per-region counts via the grid-bucketed
     * containment join. */

@@ -391,7 +391,9 @@ object TextOps {
     val bulletLines = size(filter(col("lines"), x =>
       substring(x, 1, 2) === "- " || substring(x, 1, 2) === "* ")).cast("long")
     val ellipsisLines = size(filter(col("lines"), x => x.endsWith("..."))).cast("long")
-    val alphaWords = size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long")
+    // [A-Za-z], not [a-z]: the Gopher rule is "contains an alphabetic
+    // character" — an all-caps or acronym-heavy document is legitimate
+    val alphaWords = size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long")
     val meanWord = charsNoSpace.cast("double") / wordsN
     val symbolRatio = (hashN + ellipsisN).cast("double") / wordsN
     val bulletFrac = bulletLines.cast("double") / size(col("lines")).cast("long")
