@@ -1057,6 +1057,25 @@ object OracleSql {
          |    CAST(n_months AS DOUBLE) AS intercept_cents
          |FROM sl ORDER BY priority""".stripMargin,
 
+    "ab_test" ->
+      s"""WITH pu AS (SELECT user_id, CAST(SUM(${e2("value")}) AS BIGINT) AS x,
+         |  CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS cohort
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |m AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
+         |  FROM pu GROUP BY 1),
+         |st AS (SELECT cohort, n, CAST(sx AS DOUBLE)/n AS mean_cents,
+         |  CASE WHEN n > 1 THEN
+         |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) / (n - 1)
+         |  END AS var_cents FROM m)
+         |SELECT a.n AS n_a, b.n AS n_b, a.mean_cents AS mean_a,
+         |  b.mean_cents AS mean_b,
+         |  b.mean_cents - a.mean_cents AS lift_cents,
+         |  (b.mean_cents - a.mean_cents) /
+         |    sqrt(a.var_cents/a.n + b.var_cents/b.n) AS t_stat
+         |FROM (SELECT * FROM st WHERE cohort='control') a,
+         |     (SELECT * FROM st WHERE cohort='treatment') b""".stripMargin,
+
     "dedup_normalized" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,

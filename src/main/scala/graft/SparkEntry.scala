@@ -90,6 +90,7 @@ object SparkEntry {
     "char_diversity" -> (TextOps.charDiversity(_, _)),
     "trend_agg" -> (FeatureOps.trendAgg(_, _)),
     "spatial_join" -> (GeoOps.spatialJoin(_, _)),
+    "ab_test" -> (FeatureOps.abTest(_, _)),
     "snapshot_diff" -> (QualityOps.snapshotDiff(_, _)),
     "embedding_norm_stats" -> (SimilarityOps.embeddingNormStats(_, _)),
     // LLM-training-data (#24–35)

@@ -192,6 +192,45 @@ object FeatureOps {
       .orderBy("priority")
   }
 
+  /** ab_test — Welch's t between two user cohorts (id parity) on
+    * per-user purchase value: the experimentation-analysis readout.
+    * The experimental UNIT is the user (per-user totals first — never
+    * per-event rows, which would pseudo-replicate), so the plan is one
+    * user-keyed partial-agg shuffle, then one 2-row cohort agg of exact
+    * integer moments (n, Σx, Σx²). Mean/variance/t derive from those
+    * moments with the SAME association as the SQL twin; sqrt is
+    * IEEE-exact, so even the t statistic hash-compares. Sample variance
+    * uses the n−1 denominator; cohorts of one user emit null t. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(Det.e2(col("value")).cast("long")).as("x"))
+      .withColumn("cohort",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+    val m = perUser.groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val mean = col("sx").cast("double") / col("n")
+    val variance = when(col("n") > 1,
+      (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n")) /
+        (col("n") - 1))
+    val stats = m.select(col("cohort"), col("n"), mean.as("mean_cents"),
+      variance.as("var_cents"))
+    val a = stats.where(col("cohort") === "control")
+      .select(col("n").as("n_a"), col("mean_cents").as("mean_a"),
+        col("var_cents").as("var_a"))
+    val b = stats.where(col("cohort") === "treatment")
+      .select(col("n").as("n_b"), col("mean_cents").as("mean_b"),
+        col("var_cents").as("var_b"))
+    a.join(b)
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        (col("mean_b") - col("mean_a")).as("lift_cents"),
+        ((col("mean_b") - col("mean_a")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+          .as("t_stat"))
+  }
+
   /** Per-purchase touch assignment on any (user_id, event_id, us,
     * event_type, cents) frame — the pre-aggregation core, shared with
     * the streaming twin's equivalence spec

@@ -156,6 +156,30 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(full.values.sum == bruteFull.count())
   }
 
+  test("ab_test: cohort moments, Welch t, and the experimental unit recompute by hand") {
+    val perUser = Tables.events(s, sf)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(graft.functions.Det.e2(col("value")).cast("long")).as("x"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("x")))
+    def moments(xs: Seq[Long]) = {
+      val n = xs.length.toLong
+      val mean = xs.sum.toDouble / n
+      val v = (xs.map(x => x.toDouble * x).sum - xs.sum.toDouble * xs.sum / n) / (n - 1)
+      (n, mean, v)
+    }
+    val (na, ma, va) = moments(perUser.filter(_._1 % 2 == 0).map(_._2).toSeq)
+    val (nb, mb, vb) = moments(perUser.filter(_._1 % 2 != 0).map(_._2).toSeq)
+    val r = FeatureOps.abTest(s, sf).collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mean_b") - mb) < 1e-6)
+    assert(math.abs(r.getAs[Double]("t_stat") -
+      (mb - ma) / math.sqrt(va / na + vb / nb)) < 1e-9)
+    // the unit is the USER: n_a+n_b is purchasing users, not purchases
+    assert(na + nb == perUser.length)
+  }
+
   test("dedup_normalized: case/punctuation/whitespace variants collapse, real dups superset") {
     import s.implicits._
     import graft.operators.DedupOps
