@@ -41,6 +41,7 @@ object SparkEntry {
     "distinct_agg" -> (CoreOps.distinctAgg(_, _)),
     "approx_distinct" -> (CoreOps.approxDistinct(_, _)),
     "hll_distinct" -> ((s, d) => SketchOps.hllDistinct(s, d)),
+    "quantile_sketch" -> (SketchOps.quantileSketch(_, _)),
     "quantiles" -> (CoreOps.quantiles(_, _)),
     "approx_quantiles" -> (CoreOps.approxQuantiles(_, _)),
     "corr_agg" -> (CoreOps.corrAgg(_, _)),
@@ -163,6 +164,8 @@ object SparkEntry {
       "CoreOpsSpec: 'approx_quantiles stay within GK error bounds of the exact percentiles'"),
     "hll_distinct" -> ("Spark HLL sketch binaries (hll_sketch_agg/hll_union_agg) have no DuckDB twin",
       "SketchSpec: 'hll_distinct: merging daily partials loses nothing vs the direct sketch'"),
+    "quantile_sketch" -> ("DDSketch bucket estimates are sketch-specific (no DuckDB twin); the α-error and merge contracts are the spec",
+      "SketchSpec: 'quantile_sketch: merged == direct, every estimate within α of the exact percentile'"),
     "dataset_split" -> ("split coin is xxhash64 with 64-bit wrap-around arithmetic, not expressible in ANSI SQL",
       "Round4OpsSpec: 'dataset_split: deterministic, exhaustive, growth-stable eval set'"),
     "stratified_sample" -> ("sampling coin is a seeded xxhash64 (wrap-around), not ANSI-expressible",

@@ -82,4 +82,36 @@ object SketchOps {
       .groupBy("event_type")
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("approx_users"))
       .orderBy("event_type")
+
+  /** quantile_sketch — the quantile analogue of [[hllDistinct]]: per
+    * priority, p50/p90/p99 of order cents from (a) ONE direct DDSketch
+    * pass and (b) merging per-MONTH partial sketches — the landable
+    * "maintain p99 incrementally" shape. The two estimate sets being
+    * bit-equal is the incremental contract in one row (DDSketch merge is
+    * bucket-wise add — exact below the collapse threshold). Quantile
+    * extraction is an in-plan fold over the ≤[[graft.functions.DDSketch.MaxBins]]-entry
+    * map — no UDF, no collect. Rows-only: the sketch estimates have no
+    * DuckDB twin; SketchSpec proves the α-relative error bound against
+    * exact per-group percentiles and merged == direct. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DDSketch, DDSketchMerge}
+    val dd = udaf(new DDSketch())
+    val ddm = udaf(new DDSketchMerge())
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("priority"),
+      graft.functions.Det.e2(col("o_totalprice")).cast("double").as("cents"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+    val direct = o.groupBy("priority").agg(dd(col("cents")).as("sk"))
+    val merged = o.groupBy("priority", "m").agg(dd(col("cents")).as("sk"))
+      .groupBy("priority")
+      .agg(ddm(col("sk")).as("skm"), count(lit(1)).as("n_partials"))
+    def qs(c: org.apache.spark.sql.Column, suffix: String) = Seq(
+      DDSketch.sketchQuantile(c, 0.5).as(s"p50_$suffix"),
+      DDSketch.sketchQuantile(c, 0.9).as(s"p90_$suffix"),
+      DDSketch.sketchQuantile(c, 0.99).as(s"p99_$suffix"))
+    direct.join(merged, Seq("priority"))
+      .select(col("priority") +: (qs(col("sk"), "direct") ++
+        qs(col("skm"), "merged") :+ col("n_partials")): _*)
+      .orderBy("priority")
+  }
 }

@@ -53,4 +53,53 @@ class SketchSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Long]("approx_users")).toMap
     assert(merged2 == merged1, "idempotent re-land of one day changed the merge")
   }
+
+  test("quantile_sketch: merged == direct, every estimate within α of the exact percentile") {
+    import graft.functions.DDSketch
+    val rows = SketchOps.quantileSketch(s, sf).collect()
+    assert(rows.length == 5, "one row per priority")
+    // exact per-priority percentiles at the sketch's rank convention
+    val cents = Tables.orders(s, sf)
+      .select(col("o_orderpriority").as("p"),
+        graft.functions.Det.e2(col("o_totalprice")).cast("double").as("c"))
+      .collect().map(r => (r.getAs[String]("p"), r.getAs[Double]("c")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exactQ(xs: Array[Double], q: Double): Double =
+      xs(math.max(math.ceil(q * xs.length).toInt, 1) - 1)
+    rows.foreach { r =>
+      val xs = cents(r.getAs[String]("priority"))
+      for ((q, name) <- Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))) {
+        val direct = r.getAs[Double](s"${name}_direct")
+        val merged = r.getAs[Double](s"${name}_merged")
+        assert(direct == merged,
+          s"$name: bucket-add merge must be exact ($direct vs $merged)")
+        val exact = exactQ(xs, q)
+        assert(math.abs(direct - exact) / exact <= DDSketch.Alpha + 1e-9,
+          s"$name: $direct vs exact $exact exceeds α")
+      }
+      assert(r.getAs[Long]("n_partials") > 1, "months actually partition the input")
+    }
+  }
+
+  test("DDSketch collapse: tiny maxBins still answers upper quantiles within α") {
+    import graft.functions.DDSketch
+    val sk = new DDSketch(0.01, 8)
+    // three decades of values: collapse must fold the LOW tail only
+    val xs = (1 to 2000).map(i => (i % 1000 + 1).toDouble * 10)
+    val buf = xs.foldLeft(sk.zero)((b, x) => sk.reduce(b, x))
+    assert(buf.size <= 8, s"collapse bounds the buffer: ${buf.size}")
+    val sorted = xs.sorted
+    val exact99 = sorted(math.ceil(0.99 * sorted.length).toInt - 1)
+    // recover the p99 estimate from the raw buckets (driver-side twin of
+    // the in-plan fold)
+    val n = buf.values.sum
+    val target = math.max(math.ceil(0.99 * n).toLong, 1L)
+    val bin = buf.toSeq.sortBy(_._1)
+      .scanLeft((0L, Option.empty[Int])) { case ((cum, found), (k, c)) =>
+        (cum + c, found.orElse(if (cum + c >= target) Some(k) else None))
+      }.last._2.get
+    val est = 2.0 * math.pow(DDSketch.gamma, bin) / (DDSketch.gamma + 1.0)
+    assert(math.abs(est - exact99) / exact99 <= 0.01 + 1e-9,
+      s"p99 after collapse: $est vs $exact99")
+  }
 }
