@@ -121,5 +121,13 @@ class LongDocSpec extends AnyFunSuite {
       // O(L log L), not O(L²)) but records the native expression's win
       assert(TextOps.charDiversityDocsFold(docs).collect().length == 4)
     }
+    timed("gopher_gates") {
+      // per-token rlike + per-line lambdas are interpreted but O(L) —
+      // the monster docs prove no hidden quadratic
+      val g = TextOps.gopherGates(s, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(g.size == 4)
+      assert(g(4L), "the clean-prose control doc passes")
+    }
   }
 }
