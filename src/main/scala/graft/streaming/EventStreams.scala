@@ -112,6 +112,43 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming quantile-sketch landing — DDSketch partials per
+    * (micro-batch, event_type): the landable-p99 pipeline on a stream.
+    * Bucket-add merge is exact, so merging ALL landed partials
+    * reproduces the one-shot sketch of the full history bit-for-bit
+    * (below the collapse threshold) — the same union-soundness shape as
+    * [[landSketchStream]]'s HLL registers and
+    * [[landHeavyHitterStream]]'s MG summaries. Stream state: zero
+    * (stateless per-batch agg); store state: Θ(batches × groups)
+    * KB-sized sketch rows. */
+  def landQuantileSketchStream(events: DataFrame, baseDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val dd = udaf(new graft.functions.DDSketch())
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col("event_type"))
+          .agg(dd(graft.functions.Det.e2(col("value")).cast("double")).as("sketch"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(baseDir)
+      }
+      .start()
+  }
+
+  /** Merge every landed quantile partial → per-type p50/p99 (cents). */
+  def quantilesFromLanded(s: SparkSession, baseDir: String): DataFrame = {
+    val ddm = udaf(new graft.functions.DDSketchMerge())
+    s.read.parquet(baseDir)
+      .groupBy("event_type")
+      .agg(ddm(col("sketch")).as("sk"), count(lit(1)).as("n_partials"))
+      .select(col("event_type"),
+        graft.functions.DDSketch.sketchQuantile(col("sk"), 0.5).as("p50_cents"),
+        graft.functions.DDSketch.sketchQuantile(col("sk"), 0.99).as("p99_cents"),
+        col("n_partials"))
+      .orderBy("event_type")
+  }
+
   /** Streaming heavy hitters, landing side: each micro-batch lands its
     * own Misra–Gries candidate summary as (tok, w) rows plus the batch
     * token count. Soundness of the union: a token with global frequency

@@ -241,6 +241,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile sketches: merged landed partials == one-shot sketch, within α of exact") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String, Double)](s)
+    val events = input.toDF().toDF("event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsk_stream").toString
+    val q = EventStreams.landQuantileSketchStream(events, dir)
+    val b1 = (1 to 60).map(i => (i.toLong, "click", i * 1.0))
+    val b2 = (61 to 100).map(i => (i.toLong, "click", i * 1.0)) ++
+      Seq((200L, "view", 7.0), (201L, "view", 9.0))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = EventStreams.quantilesFromLanded(s, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Double]("p50_cents"), r.getAs[Double]("p99_cents"),
+            r.getAs[Long]("n_partials")))).toMap
+      // exact click percentiles in cents: values 1..100 → 100..10000
+      val clickExact50 = 5000.0; val clickExact99 = 9900.0
+      assert(math.abs(got("click")._1 - clickExact50) / clickExact50 <= 0.01 + 1e-9)
+      assert(math.abs(got("click")._2 - clickExact99) / clickExact99 <= 0.01 + 1e-9)
+      assert(got("click")._3 == 2L, "click landed one partial per batch")
+      // merged landed partials == the one-shot sketch over the union
+      val dd = udaf(new graft.functions.DDSketch())
+      val direct = (b1 ++ b2).toDF("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .agg(dd((col("value") * 100).cast("double")).as("sk"))
+        .select(col("event_type"),
+          graft.functions.DDSketch.sketchQuantile(col("sk"), 0.5).as("p50"),
+          graft.functions.DDSketch.sketchQuantile(col("sk"), 0.99).as("p99"))
+        .collect().map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Double]("p50"), r.getAs[Double]("p99")))).toMap
+      assert(got("click")._1 == direct("click")._1 &&
+        got("click")._2 == direct("click")._2,
+        "bucket-add merge of landed partials must equal the one-shot sketch")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: landed candidates verify to the exact batch answer") {
     import s.implicits._
     import org.apache.spark.sql.functions._
