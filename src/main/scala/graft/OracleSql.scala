@@ -1046,8 +1046,8 @@ object OracleSql {
          |  CAST(SUM(${e2("o_totalprice")}) AS BIGINT) AS y
          |  FROM orders GROUP BY 1, 2),
          |s AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months,
-         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+         |  CAST(SUM(x) AS BIGINT) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |  SUM(CAST(x AS HUGEINT)*y) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
          |  FROM m GROUP BY 1),
          |sl AS (SELECT *, CASE WHEN n_months*sxx - sx*sx = 0 THEN NULL
          |  ELSE CAST(n_months*sxy - sx*sy AS DOUBLE) /
@@ -1062,7 +1062,7 @@ object OracleSql {
          |  CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS cohort
          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
          |m AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
+         |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT)*x) AS sxx
          |  FROM pu GROUP BY 1),
          |st AS (SELECT cohort, n, CAST(sx AS DOUBLE)/n AS mean_cents,
          |  CASE WHEN n > 1 THEN

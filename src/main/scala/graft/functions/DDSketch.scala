@@ -81,22 +81,31 @@ object DDSketch {
   val ZeroBin: Int = Int.MinValue
   def gamma: Double = (1 + Alpha) / (1 - Alpha)
 
-  private[functions] def collapse(b: mutable.Map[Int, Long], maxBins: Int): Unit =
-    while (b.size > maxBins) {
-      // merge the lowest positive bucket into the next-lowest: upper
-      // quantiles keep their guarantee, the collapsed tail degrades first
-      val keys = b.keysIterator.filter(_ != ZeroBin).toSeq.sorted
-      val lo = keys.head
-      val c = b.remove(lo).get
-      b(keys(1)) = b.getOrElse(keys(1), 0L) + c
+  private[functions] def collapse(b: mutable.Map[Int, Long], maxBins: Int): Unit = {
+    // fold ALL excess lowest buckets into their ceiling in ONE sorted
+    // pass (upper quantiles keep their guarantee, the collapsed tail
+    // degrades first) — a per-excess-bucket loop would re-sort the key
+    // set once per evicted bucket on the aggregation hot path
+    val excess = b.size - maxBins
+    if (excess > 0) {
+      val lows = b.keysIterator.filter(_ != ZeroBin).toSeq.sorted.take(excess + 1)
+      var folded = 0L
+      lows.dropRight(1).foreach(k => folded += b.remove(k).get)
+      b(lows.last) = b.getOrElse(lows.last, 0L) + folded
     }
+  }
 
-  /** In-plan quantile extraction from a finished sketch column: one
-    * bounded fold over the (sorted) map entries — no UDF, no collect.
-    * Rank convention: target = clamp(ceil(q·n), 1, n), the value at that
-    * rank in the sorted multiset the sketch summarizes. */
-  def sketchQuantile(sketch: Column, q: Double): Column = {
-    val entries = array_sort(map_entries(sketch)) // ascending bucket key
+  /** Sorted entry array of a sketch column — materialize ONCE per sketch
+    * (as a select stage) before extracting several quantiles: the sort
+    * is the expensive part of extraction, and inlining it into each
+    * [[quantileFromEntries]] call would re-sort per quantile. */
+  def sortedEntries(sketch: Column): Column = array_sort(map_entries(sketch))
+
+  /** In-plan quantile extraction from a [[sortedEntries]] column: one
+    * bounded fold — no UDF, no collect. Rank convention:
+    * target = clamp(ceil(q·n), 1, n), the value at that rank in the
+    * sorted multiset the sketch summarizes. */
+  def quantileFromEntries(entries: Column, q: Double): Column = {
     val n = aggregate(entries, lit(0L), (acc, e) => acc + e.getField("value"))
     val target = greatest(least(ceil(lit(q) * n).cast("long"), n), lit(1L))
     val found = aggregate(
@@ -112,4 +121,8 @@ object DDSketch {
     when(found === lit(ZeroBin), lit(0.0))
       .otherwise(lit(2.0) * pow(lit(gamma), found) / lit(gamma + 1.0))
   }
+
+  /** One-shot convenience for a single quantile. */
+  def sketchQuantile(sketch: Column, q: Double): Column =
+    quantileFromEntries(sortedEntries(sketch), q)
 }

@@ -173,10 +173,14 @@ object FeatureOps {
         ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
           .cast("long").as("x"))
       .agg(sum(Det.e2(col("o_totalprice")).cast("long")).as("y"))
+    // y-bearing moments in DECIMAL(38) (the corrAgg pattern): monthly
+    // cents at corpus scale × month ordinals can pass 2⁶³ in Σxy;
+    // x-only moments stay long (ordinals are tiny)
+    val yd = col("y").cast("decimal(38,0)")
     val m = monthly.groupBy("priority")
       .agg(count(lit(1)).as("n_months"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        sum(col("x")).as("sx"), sum(yd).as("sy"),
+        sum(col("x") * yd).as("sxy"), sum(col("x") * col("x")).as("sxx"))
     // a single-month group has zero x-variance: no trend is defined —
     // emit null, never 0/0 NaN (whose division semantics also differ
     // between engines)
@@ -208,9 +212,14 @@ object FeatureOps {
       .agg(sum(Det.e2(col("value")).cast("long")).as("x"))
       .withColumn("cohort",
         when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+    // DECIMAL(38) moments (the corrAgg pattern): Σx² over per-user cent
+    // totals overflows Long at corpus scale (1e8-cent whales squared ×
+    // 1e6 users > 2⁶³); decimal sums stay exact to petabyte scale and
+    // the oracle mirrors with HUGEINT
+    val xd = col("x").cast("decimal(38,0)")
     val m = perUser.groupBy("cohort")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("n"), sum(xd).as("sx"),
+        sum(xd * xd).as("sxx"))
     val mean = col("sx").cast("double") / col("n")
     val variance = when(col("n") > 1,
       (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n")) /

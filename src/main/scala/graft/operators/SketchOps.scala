@@ -105,13 +105,18 @@ object SketchOps {
     val merged = o.groupBy("priority", "m").agg(dd(col("cents")).as("sk"))
       .groupBy("priority")
       .agg(ddm(col("sk")).as("skm"), count(lit(1)).as("n_partials"))
-    def qs(c: org.apache.spark.sql.Column, suffix: String) = Seq(
-      DDSketch.sketchQuantile(c, 0.5).as(s"p50_$suffix"),
-      DDSketch.sketchQuantile(c, 0.9).as(s"p90_$suffix"),
-      DDSketch.sketchQuantile(c, 0.99).as(s"p99_$suffix"))
+    def qs(entries: org.apache.spark.sql.Column, suffix: String) = Seq(
+      DDSketch.quantileFromEntries(entries, 0.5).as(s"p50_$suffix"),
+      DDSketch.quantileFromEntries(entries, 0.9).as(s"p90_$suffix"),
+      DDSketch.quantileFromEntries(entries, 0.99).as(s"p99_$suffix"))
     direct.join(merged, Seq("priority"))
-      .select(col("priority") +: (qs(col("sk"), "direct") ++
-        qs(col("skm"), "merged") :+ col("n_partials")): _*)
+      // sort each sketch's entries ONCE; the three extractions per
+      // sketch then fold the same sorted array
+      .select(col("priority"), col("n_partials"),
+        DDSketch.sortedEntries(col("sk")).as("ed"),
+        DDSketch.sortedEntries(col("skm")).as("em"))
+      .select(col("priority") +: (qs(col("ed"), "direct") ++
+        qs(col("em"), "merged") :+ col("n_partials")): _*)
       .orderBy("priority")
   }
 }

@@ -136,15 +136,26 @@ object EventStreams {
       .start()
   }
 
-  /** Merge every landed quantile partial → per-type p50/p99 (cents). */
+  /** Merge every landed quantile partial → per-type p50/p99 (cents).
+    *
+    * Replay safety: foreachBatch is at-least-once, and DDSketch
+    * bucket-add is NOT idempotent (unlike HLL's register max), so a
+    * re-landed batch_id must not merge twice — keep ONE sketch per
+    * (event_type, batch_id) first. Like [[heavyHittersFromLanded]],
+    * this relies on a replayed batch re-landing identical content
+    * (true for deterministic sources). */
   def quantilesFromLanded(s: SparkSession, baseDir: String): DataFrame = {
     val ddm = udaf(new graft.functions.DDSketchMerge())
+    val dd = graft.functions.DDSketch
     s.read.parquet(baseDir)
+      .groupBy("event_type", "batch_id").agg(first(col("sketch")).as("sketch"))
       .groupBy("event_type")
       .agg(ddm(col("sketch")).as("sk"), count(lit(1)).as("n_partials"))
+      .select(col("event_type"), col("n_partials"),
+        dd.sortedEntries(col("sk")).as("e"))
       .select(col("event_type"),
-        graft.functions.DDSketch.sketchQuantile(col("sk"), 0.5).as("p50_cents"),
-        graft.functions.DDSketch.sketchQuantile(col("sk"), 0.99).as("p99_cents"),
+        dd.quantileFromEntries(col("e"), 0.5).as("p50_cents"),
+        dd.quantileFromEntries(col("e"), 0.99).as("p99_cents"),
         col("n_partials"))
       .orderBy("event_type")
   }

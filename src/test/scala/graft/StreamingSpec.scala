@@ -276,6 +276,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(got("click")._1 == direct("click")._1 &&
         got("click")._2 == direct("click")._2,
         "bucket-add merge of landed partials must equal the one-shot sketch")
+      // at-least-once replay: re-land batch 0's rows verbatim (a crash
+      // between append and checkpoint commit does exactly this); the
+      // per-batch_id dedup must keep the answer unchanged
+      val landed = s.read.parquet(dir)
+      landed.where(col("batch_id") === 0L).write.mode("append").parquet(dir)
+      val replayed = EventStreams.quantilesFromLanded(s, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Double]("p50_cents"), r.getAs[Double]("p99_cents"),
+            r.getAs[Long]("n_partials")))).toMap
+      assert(replayed == got, "a replayed batch must not double-count")
     } finally q.stop()
   }
 
