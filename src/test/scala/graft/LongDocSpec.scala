@@ -62,6 +62,12 @@ class LongDocSpec extends AnyFunSuite {
   }
 
   test("repetition gates stay near-linear and still flag the pathological docs") {
+    // untimed warmup on the small control doc: the FIRST Spark action of
+    // a cold suite pays session init + codegen + JIT (~10 s), which would
+    // otherwise charge whichever formulation happens to run first
+    val tiny = Tables.documents(s, dir).where(col("doc_id") === 4L)
+    TextOps.repetitionStatsDocs(tiny).collect()
+    TextOps.repetitionStatsDocsFold(tiny).collect()
     val rows = timed("repetition_stats_native") {
       TextOps.repetitionStats(s, dir).collect()
     }
@@ -120,6 +126,14 @@ class LongDocSpec extends AnyFunSuite {
       // the functions._-only formulation stays under the ceiling (it is
       // O(L log L), not O(L²)) but records the native expression's win
       assert(TextOps.charDiversityDocsFold(docs).collect().length == 4)
+    }
+    timed("rare_token_stats") {
+      // the explode → vocab agg → join-back pipeline on ~2.5M exploded
+      // tokens (1.2M of them distinct): shuffle-heavy but strictly linear
+      val rt = TextOps.rareTokenStats(s, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rare_frac")).toMap
+      assert(rt(2L) > 0.99, "the all-distinct doc is almost entirely corpus-rare")
+      assert(rt(3L) < 0.01, "the single-word doc has zero rare tokens")
     }
     timed("gopher_gates") {
       // per-token rlike + per-line lambdas are interpreted but O(L) —
