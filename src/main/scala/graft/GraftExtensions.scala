@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotE12, MinHash32, RollingHash64, SimHash64}
+import graft.functions.{CharStats, DotE12, MinHash32, RollingHash64, SimHash64, WordStats}
 
 /** SparkSessionExtensions entry point: exposes graft's native codegen
   * expressions to SQL users and installs the key-less interval-join
@@ -55,6 +55,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"graft_minhash32 takes 1 argument, got ${args.length}")
         MinHash32(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_char_stats"),
+      info("graft_char_stats",
+        "graft_char_stats(s) - struct(n, distinct, sumsq) char-distribution moments in one pass"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_char_stats takes 1 argument, got ${args.length}")
+        CharStats(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_word_stats"),
+      info("graft_word_stats",
+        "graft_word_stats(s) - struct(words_n, uniq_words, top_word_n, bigrams_n, uniq_bigrams) repetition moments in one pass"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_word_stats takes 1 argument, got ${args.length}")
+        WordStats(args.head)
       }))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -36,6 +36,11 @@ class ExtensionsSpec extends AnyFunSuite {
       val sh64 = s.sql("SELECT graft_simhash64('a b c') AS sh").head().getLong(0)
       assert(sh64 == graft.functions.SimHash64.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+      val cs = s.sql("SELECT graft_char_stats('abab') AS c").head().getStruct(0)
+      assert(cs.getLong(0) == 4L && cs.getLong(1) == 2L && cs.getLong(2) == 8L)
+      val ws = s.sql("SELECT graft_word_stats('a b a b a') AS w").head().getStruct(0)
+      assert(ws.getLong(0) == 5L && ws.getLong(1) == 2L && ws.getLong(2) == 3L &&
+        ws.getLong(3) == 4L && ws.getLong(4) == 2L)
 
       // ---- RangeJoinRule: key-less interval join loses its nested loop ----
       s.conf.set(graft.plans.RangeJoinRule.BinWidthConf, "100")
