@@ -1057,6 +1057,63 @@ object OracleSql {
          |    CAST(n_months AS DOUBLE) AS intercept_cents
          |FROM sl ORDER BY priority""".stripMargin,
 
+    "curation_report" -> {
+      import graft.operators.TextOps._
+      s"""WITH gb AS (SELECT doc_id,
+         |  string_split(text, ' ') AS w, string_split(text, chr(10)) AS lines,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS cns,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_n,
+         |  CAST((length(text) - length(replace(text, '...', '')))/3 AS BIGINT) AS ell_n
+         |FROM documents),
+         |gc AS (SELECT doc_id, cns, hash_n, ell_n,
+         |  CAST(len(w) AS BIGINT) AS words_n, CAST(len(lines) AS BIGINT) AS lines_n,
+         |  CAST(len(list_filter(lines, x -> left(x,2) IN ('- ','* '))) AS BIGINT) AS bullet_n,
+         |  CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS ell_lines,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_n
+         |FROM gb),
+         |gk AS (SELECT doc_id,
+         |  (CAST(cns AS DOUBLE)/words_n >= $GopherMinMeanWord
+         |   AND CAST(cns AS DOUBLE)/words_n <= $GopherMaxMeanWord
+         |   AND CAST(hash_n + ell_n AS DOUBLE)/words_n < $GopherMaxSymbolRatio
+         |   AND CAST(bullet_n AS DOUBLE)/lines_n < $GopherMaxBulletFrac
+         |   AND CAST(ell_lines AS DOUBLE)/lines_n < $GopherMaxEllipsisFrac
+         |   AND CAST(alpha_n AS DOUBLE)/words_n > $GopherMinAlphaFrac) AS k_g
+         |FROM gc),
+         |rb AS (SELECT doc_id, w,
+         |  list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS g
+         |FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+         |rc AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS words_n,
+         |  CAST(len(g) AS BIGINT) AS bigrams_n,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS uniq_bigrams,
+         |  CAST(list_max(list_transform(list_distinct(w),
+         |    x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_n
+         |FROM rb),
+         |rk AS (SELECT doc_id,
+         |  ((CASE WHEN bigrams_n > 0
+         |     THEN CAST(bigrams_n - uniq_bigrams AS DOUBLE)/bigrams_n
+         |     ELSE 0.0 END) <= $RepMaxDupBigram
+         |   AND CAST(top_word_n AS DOUBLE)/words_n <= $RepMaxTopWord) AS k_r
+         |FROM rc),
+         |f AS (SELECT d.doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+         |  k_g, (k_g AND k_r) AS k_both
+         |FROM documents d JOIN gk USING (doc_id) JOIN rk USING (doc_id)),
+         |co AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+         |  CAST(SUM(CASE WHEN k_g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |  CAST(SUM(CASE WHEN k_both THEN 1 ELSE 0 END) AS BIGINT) AS n_rep FROM f),
+         |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dedup FROM
+         |  (SELECT row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+         |   FROM f WHERE k_both) WHERE rn = 1)
+         |SELECT stage, n_pass, CAST(n_pass AS DOUBLE)/n_input AS pass_rate FROM (
+         |  SELECT '1_input' AS stage, n_input AS n_pass, n_input FROM co
+         |  UNION ALL SELECT '2_gopher', n_gopher, n_input FROM co
+         |  UNION ALL SELECT '3_repetition', n_rep, n_input FROM co
+         |  UNION ALL SELECT '4_dedup_normalized', n_dedup, n_input FROM co, dd)
+         |ORDER BY stage""".stripMargin
+    },
+
     "ab_test" ->
       s"""WITH pu AS (SELECT user_id, CAST(SUM(${e2("value")}) AS BIGINT) AS x,
          |  CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS cohort

@@ -19,6 +19,44 @@ import graft.Tables
   */
 object CurationOps {
 
+  /** curation_report — the per-gate attrition funnel (the observability
+    * frame every curation pipeline lands next to its output): documents
+    * flow input → gopher rules → repetition gates → normalized dedup,
+    * and each stage reports cumulative survivors + pass rate.
+    *
+    * Shape: the gate flags are per-row expressions computed by the
+    * gate operators themselves (no second source of truth for gate
+    * semantics); survivors dedup on the canonicalized hash with a
+    * first-doc_id window; the four stage rows assemble from ONE
+    * conditional aggregation over the flag frame (a report never
+    * re-scans per stage). Exact integer counts, one division each →
+    * oracle hash-green. */
+  def curationReport(s: SparkSession, dir: String): DataFrame = {
+    val g = TextOps.gopherGates(s, dir).select(col("doc_id"), col("keep").as("k_g"))
+    val r = TextOps.repetitionStats(s, dir).select(col("doc_id"), col("keep").as("k_r"))
+    val flags = Tables.documents(s, dir)
+      .select(col("doc_id"), DedupOps.normalizeText(col("text")).as("norm"))
+      .join(g, "doc_id").join(r, "doc_id")
+      .withColumn("k_both", col("k_g") && col("k_r"))
+    val w = Window.partitionBy("norm").orderBy("doc_id")
+    val kDedup = flags.where(col("k_both"))
+      .withColumn("rn", row_number().over(w))
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_dedup"))
+    val counts = flags.agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("k_g"), 1L).otherwise(0L)).as("n_gopher"),
+      sum(when(col("k_both"), 1L).otherwise(0L)).as("n_rep"))
+    val c = counts.join(broadcast(kDedup))
+    def stage(name: String, n: org.apache.spark.sql.Column) =
+      c.select(lit(name).as("stage"), n.as("n_pass"),
+        (n.cast("double") / col("n_input")).as("pass_rate"))
+    stage("1_input", col("n_input"))
+      .unionByName(stage("2_gopher", col("n_gopher")))
+      .unionByName(stage("3_repetition", col("n_rep")))
+      .unionByName(stage("4_dedup_normalized", col("n_dedup")))
+      .orderBy("stage")
+  }
+
   /** corpus_filter — quality ≥ threshold, predicted language must agree
     * with the declared one (language confusion is a quality signal), then
     * exact dedup keeping the lowest doc_id per content hash. */

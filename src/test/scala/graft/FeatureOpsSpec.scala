@@ -226,6 +226,30 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(got(3L), "a minority of bullet lines is fine")
   }
 
+  test("curation_report: monotone funnel, rates consistent, dedup stage recomputes") {
+    import graft.operators.{CurationOps, DedupOps, TextOps}
+    val rows = CurationOps.curationReport(s, sf).collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_pass"), r.getAs[Double]("pass_rate")))).toMap
+    val ns = Seq("1_input", "2_gopher", "3_repetition", "4_dedup_normalized")
+      .map(rows(_)._1)
+    assert(ns == ns.sorted.reverse, s"attrition must be monotone: $ns")
+    assert(rows("1_input")._2 == 1.0)
+    rows.values.foreach { case (n, rate) =>
+      assert(rate == n.toDouble / ns.head, "rates derive from the input count")
+    }
+    // stage 4 == distinct canonical hashes among gopher∧repetition survivors
+    val gk = TextOps.gopherGates(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val rk = TextOps.repetitionStats(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val survivors = Tables.documents(s, sf)
+      .select(col("doc_id"), DedupOps.normalizeText(col("text")).as("n")).collect()
+      .filter(r => gk(r.getAs[Long]("doc_id")) && rk(r.getAs[Long]("doc_id")))
+    assert(rows("4_dedup_normalized")._1 ==
+      survivors.map(_.getAs[String]("n")).distinct.length.toLong)
+  }
+
   test("char_diversity: manufactured docs hit the closed-form values") {
     import s.implicits._
     val docs = Seq(
