@@ -1057,6 +1057,27 @@ object OracleSql {
          |    CAST(n_months AS DOUBLE) AS intercept_cents
          |FROM sl ORDER BY priority""".stripMargin,
 
+    "mix_drift" -> {
+      val cut = graft.operators.DedupOps.IncrementalSplit
+      s"""WITH t AS (SELECT source,
+         |  CASE WHEN doc_id < $cut THEN 'old' ELSE 'new' END AS drp,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
+         |per AS (SELECT source,
+         |  CAST(SUM(CASE WHEN drp = 'old' THEN t ELSE 0 END) AS BIGINT) AS t_old,
+         |  CAST(SUM(CASE WHEN drp = 'new' THEN t ELSE 0 END) AS BIGINT) AS t_new
+         |FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(t_old) AS BIGINT) AS n_old,
+         |  CAST(SUM(t_new) AS BIGINT) AS n_new FROM per)
+         |SELECT source, t_old, t_new,
+         |  CAST(t_old AS DOUBLE)/n_old AS share_old,
+         |  CAST(t_new AS DOUBLE)/n_new AS share_new,
+         |  CAST(t_new AS DOUBLE)/n_new - CAST(t_old AS DOUBLE)/n_old AS share_delta,
+         |  (CAST(t_new AS DOUBLE) - CAST(t_old AS DOUBLE)*n_new/n_old) *
+         |  (CAST(t_new AS DOUBLE) - CAST(t_old AS DOUBLE)*n_new/n_old) /
+         |  (CAST(t_old AS DOUBLE)*n_new/n_old) AS chi2_part
+         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+    },
+
     "curation_report" -> {
       import graft.operators.TextOps._
       s"""WITH gb AS (SELECT doc_id,

@@ -137,6 +137,7 @@ object SparkEntry {
     "mm_frames" -> (MultimodalOps.mmFrameSample(_, _)),
     "corpus_filter" -> ((s, d) => CurationOps.corpusFilter(s, d)),
     "curation_report" -> (CurationOps.curationReport(_, _)),
+    "mix_drift" -> (CurationOps.mixDrift(_, _)),
     "stratified_sample" -> ((s, d) => CurationOps.stratifiedSample(s, d)),
     // layout (write-path; rows-only — emits the landed pruning geometry)
     "zorder_layout" -> ((s, d) => LayoutOps.zorderLayout(s, d)),

@@ -19,6 +19,44 @@ import graft.Tables
   */
 object CurationOps {
 
+  /** mix_drift — source-mix drift between two corpus drops (the
+    * training-mix monitor a recurring ingest lands next to every batch:
+    * a silently shifting source distribution skews the trained model
+    * long before any per-document gate fires). Documents split into the
+    * OLD drop (doc_id < [[graft.operators.DedupOps.IncrementalSplit]])
+    * and the NEW one (same convention as dedup_incremental); per source
+    * the report carries both token shares, the share delta, and each
+    * side's chi-square contribution against the old mix as expectation.
+    *
+    * Exact-integer token sums on one (drop, source) partial-agg shuffle
+    * over one scan; shares/chi² are divisions of exact ints with the
+    * association mirrored in the oracle — hash-green. The drift verdict
+    * rides the summed chi-square statistic over the bounded source
+    * dimension. */
+  def mixDrift(s: SparkSession, dir: String): DataFrame = {
+    val cut = DedupOps.IncrementalSplit
+    val toks = Tables.documents(s, dir).select(col("source"),
+      when(col("doc_id") < cut, lit("old")).otherwise(lit("new")).as("drop"),
+      size(split(col("text"), " ")).cast("long").as("t"))
+    val per = toks.groupBy("source").agg(
+      sum(when(col("drop") === "old", col("t")).otherwise(0L)).as("t_old"),
+      sum(when(col("drop") === "new", col("t")).otherwise(0L)).as("t_new"))
+    val tot = per.agg(sum(col("t_old")).as("n_old"), sum(col("t_new")).as("n_new"))
+    val shareOld = col("t_old").cast("double") / col("n_old")
+    val shareNew = col("t_new").cast("double") / col("n_new")
+    // χ² contribution per source: (observed_new − expected_new)²/expected_new
+    // with expected_new = old share × new total — exact-int operands
+    val expected = col("t_old").cast("double") * col("n_new") / col("n_old")
+    val chi2 = (col("t_new").cast("double") - expected) *
+      (col("t_new").cast("double") - expected) / expected
+    per.join(broadcast(tot))
+      .select(col("source"), col("t_old"), col("t_new"),
+        shareOld.as("share_old"), shareNew.as("share_new"),
+        (shareNew - shareOld).as("share_delta"),
+        chi2.as("chi2_part"))
+      .orderBy("source")
+  }
+
   /** curation_report — the per-gate attrition funnel (the observability
     * frame every curation pipeline lands next to its output): documents
     * flow input → gopher rules → repetition gates → normalized dedup,

@@ -250,6 +250,31 @@ class FeatureOpsSpec extends AnyFunSuite {
       survivors.map(_.getAs[String]("n")).distinct.length.toLong)
   }
 
+  test("mix_drift: shares sum to 1 per drop, chi-square parts recompute by hand") {
+    import graft.operators.{CurationOps, DedupOps}
+    val rows = CurationOps.mixDrift(s, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share_old")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("share_new")).sum - 1.0) < 1e-9)
+    val toks = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("t")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("t")))
+    val cut = DedupOps.IncrementalSplit
+    val nOld = toks.filter(_._1 < cut).map(_._3).sum
+    val nNew = toks.filter(_._1 >= cut).map(_._3).sum
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val tOld = toks.filter(t => t._1 < cut && t._2 == src).map(_._3).sum
+      val tNew = toks.filter(t => t._1 >= cut && t._2 == src).map(_._3).sum
+      assert(r.getAs[Long]("t_old") == tOld && r.getAs[Long]("t_new") == tNew)
+      val expected = tOld.toDouble * nNew / nOld
+      assert(math.abs(r.getAs[Double]("chi2_part") -
+        (tNew - expected) * (tNew - expected) / expected) < 1e-6)
+      assert(r.getAs[Double]("chi2_part") >= 0.0)
+    }
+  }
+
   test("char_diversity: manufactured docs hit the closed-form values") {
     import s.implicits._
     val docs = Seq(
