@@ -16,6 +16,72 @@ package graft
   */
 object OracleSql {
 
+  /** Shared canonicalization expression (dedup_normalized + curation_report). */
+  private val normTextSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** repetition_stats oracle — ALSO the k_r source for curation_report
+    * (one source of truth for gate semantics on the SQL side too). */
+  private val repetitionStatsSql: String = {
+
+      import graft.operators.TextOps.{RepMaxDupBigram, RepMaxTopWord}
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |b AS (SELECT doc_id, w,
+         |  list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS g
+         |FROM t),
+         |c AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS words_n,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS uniq_words,
+         |  CAST(len(g) AS BIGINT) AS bigrams_n,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS uniq_bigrams,
+         |  CAST(list_max(list_transform(list_distinct(w),
+         |    x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_n
+         |FROM b),
+         |m AS (SELECT doc_id, words_n, uniq_words, bigrams_n, top_word_n,
+         |  CAST(words_n - uniq_words AS DOUBLE)/words_n AS dup_word_frac,
+         |  CASE WHEN bigrams_n > 0
+         |    THEN CAST(bigrams_n - uniq_bigrams AS DOUBLE)/bigrams_n
+         |    ELSE 0.0 END AS dup_bigram_frac,
+         |  CAST(top_word_n AS DOUBLE)/words_n AS top_word_frac
+         |FROM c)
+         |SELECT *, dup_bigram_frac <= $RepMaxDupBigram AND top_word_frac <= $RepMaxTopWord AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** gopher_gates oracle — ALSO the k_g source for curation_report. */
+  private val gopherGatesSql: String = {
+
+      import graft.operators.TextOps._
+      s"""WITH b AS (SELECT doc_id,
+         |  string_split(text, ' ') AS w,
+         |  string_split(text, chr(10)) AS lines,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS cns,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_n,
+         |  CAST((length(text) - length(replace(text, '...', '')))/3 AS BIGINT) AS ell_n
+         |FROM documents),
+         |c AS (SELECT doc_id, cns, hash_n, ell_n,
+         |  CAST(len(w) AS BIGINT) AS words_n,
+         |  CAST(len(lines) AS BIGINT) AS lines_n,
+         |  CAST(len(list_filter(lines, x -> left(x,2) IN ('- ','* '))) AS BIGINT) AS bullet_n,
+         |  CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS ell_lines,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_n
+         |FROM b),
+         |m AS (SELECT doc_id, words_n,
+         |  CAST(cns AS DOUBLE)/words_n AS mean_word_len,
+         |  CAST(hash_n + ell_n AS DOUBLE)/words_n AS symbol_ratio,
+         |  CAST(bullet_n AS DOUBLE)/lines_n AS bullet_line_frac,
+         |  CAST(ell_lines AS DOUBLE)/lines_n AS ellipsis_line_frac,
+         |  CAST(alpha_n AS DOUBLE)/words_n AS alpha_word_frac
+         |FROM c)
+         |SELECT *,
+         |  (mean_word_len >= $GopherMinMeanWord AND mean_word_len <= $GopherMaxMeanWord
+         |   AND symbol_ratio < $GopherMaxSymbolRatio
+         |   AND bullet_line_frac < $GopherMaxBulletFrac
+         |   AND ellipsis_line_frac < $GopherMaxEllipsisFrac
+         |   AND alpha_word_frac > $GopherMinAlphaFrac) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- steam domain prelude ----------
 
   private val rates =
@@ -855,30 +921,8 @@ object OracleSql {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
-    "repetition_stats" -> {
-      import graft.operators.TextOps.{RepMaxDupBigram, RepMaxTopWord}
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         |b AS (SELECT doc_id, w,
-         |  list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS g
-         |FROM t),
-         |c AS (SELECT doc_id,
-         |  CAST(len(w) AS BIGINT) AS words_n,
-         |  CAST(len(list_distinct(w)) AS BIGINT) AS uniq_words,
-         |  CAST(len(g) AS BIGINT) AS bigrams_n,
-         |  CAST(len(list_distinct(g)) AS BIGINT) AS uniq_bigrams,
-         |  CAST(list_max(list_transform(list_distinct(w),
-         |    x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_n
-         |FROM b),
-         |m AS (SELECT doc_id, words_n, uniq_words, bigrams_n, top_word_n,
-         |  CAST(words_n - uniq_words AS DOUBLE)/words_n AS dup_word_frac,
-         |  CASE WHEN bigrams_n > 0
-         |    THEN CAST(bigrams_n - uniq_bigrams AS DOUBLE)/bigrams_n
-         |    ELSE 0.0 END AS dup_bigram_frac,
-         |  CAST(top_word_n AS DOUBLE)/words_n AS top_word_frac
-         |FROM c)
-         |SELECT *, dup_bigram_frac <= $RepMaxDupBigram AND top_word_frac <= $RepMaxTopWord AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+    "repetition_stats" -> repetitionStatsSql,
+
 
     "bm25_topk" -> {
       import graft.operators.RetrievalOps.{QueryTerms, K1, B, TopK}
@@ -1072,61 +1116,27 @@ object OracleSql {
          |  CAST(t_old AS DOUBLE)/n_old AS share_old,
          |  CAST(t_new AS DOUBLE)/n_new AS share_new,
          |  CAST(t_new AS DOUBLE)/n_new - CAST(t_old AS DOUBLE)/n_old AS share_delta,
-         |  (CAST(t_new AS DOUBLE) - CAST(t_old AS DOUBLE)*n_new/n_old) *
-         |  (CAST(t_new AS DOUBLE) - CAST(t_old AS DOUBLE)*n_new/n_old) /
-         |  (CAST(t_old AS DOUBLE)*n_new/n_old) AS chi2_part
+         |  CASE WHEN t_old > 0 THEN
+         |    (CAST(t_new AS DOUBLE) - CAST(t_old AS DOUBLE)*n_new/n_old) *
+         |    (CAST(t_new AS DOUBLE) - CAST(t_old AS DOUBLE)*n_new/n_old) /
+         |    (CAST(t_old AS DOUBLE)*n_new/n_old)
+         |  END AS chi2_part
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
     },
 
     "curation_report" -> {
-      import graft.operators.TextOps._
-      s"""WITH gb AS (SELECT doc_id,
-         |  string_split(text, ' ') AS w, string_split(text, chr(10)) AS lines,
-         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS cns,
-         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_n,
-         |  CAST((length(text) - length(replace(text, '...', '')))/3 AS BIGINT) AS ell_n
-         |FROM documents),
-         |gc AS (SELECT doc_id, cns, hash_n, ell_n,
-         |  CAST(len(w) AS BIGINT) AS words_n, CAST(len(lines) AS BIGINT) AS lines_n,
-         |  CAST(len(list_filter(lines, x -> left(x,2) IN ('- ','* '))) AS BIGINT) AS bullet_n,
-         |  CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS ell_lines,
-         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_n
-         |FROM gb),
-         |gk AS (SELECT doc_id,
-         |  (CAST(cns AS DOUBLE)/words_n >= $GopherMinMeanWord
-         |   AND CAST(cns AS DOUBLE)/words_n <= $GopherMaxMeanWord
-         |   AND CAST(hash_n + ell_n AS DOUBLE)/words_n < $GopherMaxSymbolRatio
-         |   AND CAST(bullet_n AS DOUBLE)/lines_n < $GopherMaxBulletFrac
-         |   AND CAST(ell_lines AS DOUBLE)/lines_n < $GopherMaxEllipsisFrac
-         |   AND CAST(alpha_n AS DOUBLE)/words_n > $GopherMinAlphaFrac) AS k_g
-         |FROM gc),
-         |rb AS (SELECT doc_id, w,
-         |  list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS g
-         |FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
-         |rc AS (SELECT doc_id,
-         |  CAST(len(w) AS BIGINT) AS words_n,
-         |  CAST(len(g) AS BIGINT) AS bigrams_n,
-         |  CAST(len(list_distinct(g)) AS BIGINT) AS uniq_bigrams,
-         |  CAST(list_max(list_transform(list_distinct(w),
-         |    x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_n
-         |FROM rb),
-         |rk AS (SELECT doc_id,
-         |  ((CASE WHEN bigrams_n > 0
-         |     THEN CAST(bigrams_n - uniq_bigrams AS DOUBLE)/bigrams_n
-         |     ELSE 0.0 END) <= $RepMaxDupBigram
-         |   AND CAST(top_word_n AS DOUBLE)/words_n <= $RepMaxTopWord) AS k_r
-         |FROM rc),
-         |f AS (SELECT d.doc_id,
-         |  trim(regexp_replace(regexp_replace(lower(text),
-         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+      // the gate CTEs are THE standalone oracles, referenced as
+      // subqueries — no second SQL source of truth for gate semantics
+      s"""WITH gk AS (SELECT doc_id, keep AS k_g FROM ($gopherGatesSql)),
+         |rk AS (SELECT doc_id, keep AS k_r FROM ($repetitionStatsSql)),
+         |f AS (SELECT d.doc_id, $normTextSql AS norm,
          |  k_g, (k_g AND k_r) AS k_both
          |FROM documents d JOIN gk USING (doc_id) JOIN rk USING (doc_id)),
          |co AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
          |  CAST(SUM(CASE WHEN k_g THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
          |  CAST(SUM(CASE WHEN k_both THEN 1 ELSE 0 END) AS BIGINT) AS n_rep FROM f),
-         |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dedup FROM
-         |  (SELECT row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
-         |   FROM f WHERE k_both) WHERE rn = 1)
+         |dd AS (SELECT CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_dedup
+         |  FROM f WHERE k_both)
          |SELECT stage, n_pass, CAST(n_pass AS DOUBLE)/n_input AS pass_rate FROM (
          |  SELECT '1_input' AS stage, n_input AS n_pass, n_input FROM co
          |  UNION ALL SELECT '2_gopher', n_gopher, n_input FROM co
@@ -1155,42 +1165,12 @@ object OracleSql {
          |     (SELECT * FROM st WHERE cohort='treatment') b""".stripMargin,
 
     "dedup_normalized" ->
-      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-        |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
-        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+      s"""SELECT md5($normTextSql) AS h,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
 
-    "gopher_gates" -> {
-      import graft.operators.TextOps._
-      s"""WITH b AS (SELECT doc_id,
-         |  string_split(text, ' ') AS w,
-         |  string_split(text, chr(10)) AS lines,
-         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS cns,
-         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_n,
-         |  CAST((length(text) - length(replace(text, '...', '')))/3 AS BIGINT) AS ell_n
-         |FROM documents),
-         |c AS (SELECT doc_id, cns, hash_n, ell_n,
-         |  CAST(len(w) AS BIGINT) AS words_n,
-         |  CAST(len(lines) AS BIGINT) AS lines_n,
-         |  CAST(len(list_filter(lines, x -> left(x,2) IN ('- ','* '))) AS BIGINT) AS bullet_n,
-         |  CAST(len(list_filter(lines, x -> x LIKE '%...')) AS BIGINT) AS ell_lines,
-         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_n
-         |FROM b),
-         |m AS (SELECT doc_id, words_n,
-         |  CAST(cns AS DOUBLE)/words_n AS mean_word_len,
-         |  CAST(hash_n + ell_n AS DOUBLE)/words_n AS symbol_ratio,
-         |  CAST(bullet_n AS DOUBLE)/lines_n AS bullet_line_frac,
-         |  CAST(ell_lines AS DOUBLE)/lines_n AS ellipsis_line_frac,
-         |  CAST(alpha_n AS DOUBLE)/words_n AS alpha_word_frac
-         |FROM c)
-         |SELECT *,
-         |  (mean_word_len >= $GopherMinMeanWord AND mean_word_len <= $GopherMaxMeanWord
-         |   AND symbol_ratio < $GopherMaxSymbolRatio
-         |   AND bullet_line_frac < $GopherMaxBulletFrac
-         |   AND ellipsis_line_frac < $GopherMaxEllipsisFrac
-         |   AND alpha_word_frac > $GopherMinAlphaFrac) AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+    "gopher_gates" -> gopherGatesSql,
+
 
     "spatial_join" -> {
       import graft.operators.GeoOps._

@@ -41,15 +41,26 @@ object CurationOps {
     val per = toks.groupBy("source").agg(
       sum(when(col("drop") === "old", col("t")).otherwise(0L)).as("t_old"),
       sum(when(col("drop") === "new", col("t")).otherwise(0L)).as("t_new"))
-    val tot = per.agg(sum(col("t_old")).as("n_old"), sum(col("t_new")).as("n_new"))
+    // totals as an unpartitioned window over the COLLAPSED per-source
+    // frame (the sourceMix pattern — bounded by the source dimension):
+    // one scan, no second aggregation lineage
+    val win = Window.partitionBy()
+    val withTot = per
+      .withColumn("n_old", sum(col("t_old")).over(win))
+      .withColumn("n_new", sum(col("t_new")).over(win))
     val shareOld = col("t_old").cast("double") / col("n_old")
     val shareNew = col("t_new").cast("double") / col("n_new")
     // χ² contribution per source: (observed_new − expected_new)²/expected_new
-    // with expected_new = old share × new total — exact-int operands
+    // with expected_new = old share × new total — exact-int operands.
+    // A source absent from the OLD drop has no expectation to test
+    // against (expected = 0): emit null χ² — the share columns carry the
+    // new-source signal — rather than dividing by zero (Spark's non-ANSI
+    // x/0.0 → null vs DuckDB's inf would also split the oracle).
     val expected = col("t_old").cast("double") * col("n_new") / col("n_old")
-    val chi2 = (col("t_new").cast("double") - expected) *
-      (col("t_new").cast("double") - expected) / expected
-    per.join(broadcast(tot))
+    val chi2 = when(col("t_old") > 0,
+      (col("t_new").cast("double") - expected) *
+        (col("t_new").cast("double") - expected) / expected)
+    withTot
       .select(col("source"), col("t_old"), col("t_new"),
         shareOld.as("share_old"), shareNew.as("share_new"),
         (shareNew - shareOld).as("share_delta"),
@@ -70,21 +81,21 @@ object CurationOps {
     * re-scans per stage). Exact integer counts, one division each →
     * oracle hash-green. */
   def curationReport(s: SparkSession, dir: String): DataFrame = {
-    val g = TextOps.gopherGates(s, dir).select(col("doc_id"), col("keep").as("k_g"))
-    val r = TextOps.repetitionStats(s, dir).select(col("doc_id"), col("keep").as("k_r"))
-    val flags = Tables.documents(s, dir)
-      .select(col("doc_id"), DedupOps.normalizeText(col("text")).as("norm"))
-      .join(g, "doc_id").join(r, "doc_id")
-      .withColumn("k_both", col("k_g") && col("k_r"))
-    val w = Window.partitionBy("norm").orderBy("doc_id")
-    val kDedup = flags.where(col("k_both"))
-      .withColumn("rn", row_number().over(w))
-      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_dedup"))
-    val counts = flags.agg(
+    // every gate flag is a per-row expression, so the whole funnel is
+    // ONE scan + one aggregation (countDistinct ignores the null norms
+    // of non-survivors — and correctly yields 0, not null, when no
+    // document survives both gates); the flag expressions are
+    // spec-pinned to the standalone gate operators
+    val kG = TextOps.gopherKeepExpr(col("text"))
+    val kR = TextOps.repetitionKeepExpr(col("text"))
+    val flags = Tables.documents(s, dir).select(
+      kG.as("k_g"), (kG && kR).as("k_both"),
+      DedupOps.normalizeText(col("text")).as("norm"))
+    val c = flags.agg(
       count(lit(1)).as("n_input"),
       sum(when(col("k_g"), 1L).otherwise(0L)).as("n_gopher"),
-      sum(when(col("k_both"), 1L).otherwise(0L)).as("n_rep"))
-    val c = counts.join(broadcast(kDedup))
+      sum(when(col("k_both"), 1L).otherwise(0L)).as("n_rep"),
+      countDistinct(when(col("k_both"), col("norm"))).as("n_dedup"))
     def stage(name: String, n: org.apache.spark.sql.Column) =
       c.select(lit(name).as("stage"), n.as("n_pass"),
         (n.cast("double") / col("n_input")).as("pass_rate"))

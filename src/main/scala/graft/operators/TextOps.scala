@@ -370,6 +370,41 @@ object TextOps {
   val GopherMaxEllipsisFrac = 0.3
   val GopherMinAlphaFrac = 0.8
 
+  /** Per-row Gopher composite keep as ONE column expression (shared with
+    * curation_report's single-scan funnel; FeatureOpsSpec pins it to the
+    * full [[gopherGates]] report so the two formulations cannot drift). */
+  def gopherKeepExpr(text: Column): Column = {
+    val w = split(text, " ")
+    val lines = split(text, "\n")
+    val wordsN = size(w).cast("long")
+    val cns = length(replace(text, lit(" "), lit(""))).cast("long")
+    val hashN = (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
+    val ellN = ((length(text) -
+      length(replace(text, lit("..."), lit("")))).cast("long") / lit(3)).cast("long")
+    val bulletLines = size(filter(lines, x =>
+      substring(x, 1, 2) === "- " || substring(x, 1, 2) === "* ")).cast("long")
+    val ellipsisLines = size(filter(lines, x => x.endsWith("..."))).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val meanWord = cns.cast("double") / wordsN
+    (meanWord >= GopherMinMeanWord && meanWord <= GopherMaxMeanWord &&
+      (hashN + ellN).cast("double") / wordsN < GopherMaxSymbolRatio &&
+      bulletLines.cast("double") / size(lines).cast("long") < GopherMaxBulletFrac &&
+      ellipsisLines.cast("double") / size(lines).cast("long") < GopherMaxEllipsisFrac &&
+      alphaWords.cast("double") / wordsN > GopherMinAlphaFrac)
+  }
+
+  /** Per-row repetition composite keep as ONE column expression over the
+    * native [[graft.functions.WordStats]] moments (shared with
+    * curation_report; spec-pinned to [[repetitionStats]]). */
+  def repetitionKeepExpr(text: Column): Column = {
+    val f = graft.functions.WordStats.wordStats(text)
+    val dupBigram = when(f.getField("bigrams_n") > 0,
+      (f.getField("bigrams_n") - f.getField("uniq_bigrams")).cast("double") /
+        f.getField("bigrams_n")).otherwise(lit(0.0))
+    val topWord = f.getField("top_word_n").cast("double") / f.getField("words_n")
+    dupBigram <= RepMaxDupBigram && topWord <= RepMaxTopWord
+  }
+
   /** gopher_gates — the remaining Gopher quality rules beyond
     * text_quality/repetition_stats: mean word length window, #/…
     * symbol-to-word ratio, bullet-started and ellipsis-ended line
