@@ -96,13 +96,16 @@ object CurationOps {
       sum(when(col("k_g"), 1L).otherwise(0L)).as("n_gopher"),
       sum(when(col("k_both"), 1L).otherwise(0L)).as("n_rep"),
       countDistinct(when(col("k_both"), col("norm"))).as("n_dedup"))
-    def stage(name: String, n: org.apache.spark.sql.Column) =
-      c.select(lit(name).as("stage"), n.as("n_pass"),
-        (n.cast("double") / col("n_input")).as("pass_rate"))
-    stage("1_input", col("n_input"))
-      .unionByName(stage("2_gopher", col("n_gopher")))
-      .unionByName(stage("3_repetition", col("n_rep")))
-      .unionByName(stage("4_dedup_normalized", col("n_dedup")))
+    // stack the ONE agg row into the 4 stage rows (the dq_checks
+    // pattern) — a union of per-stage selects would re-execute the
+    // whole scan+aggregation once per stage (verified: 8 scans, no
+    // exchange reuse)
+    c.select(expr("stack(4, " +
+        "'1_input', n_input, '2_gopher', n_gopher, " +
+        "'3_repetition', n_rep, '4_dedup_normalized', n_dedup) AS (stage, n_pass)"),
+        col("n_input"))
+      .select(col("stage"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_input")).as("pass_rate"))
       .orderBy("stage")
   }
 
