@@ -81,6 +81,41 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("DDSketch property: random magnitudes, random partitioning — merge == direct, every quantile within α") {
+    import graft.functions.DDSketch
+    import org.scalacheck.Gen
+    val sk = new DDSketch()
+    val gen = for {
+      mag <- Gen.choose(-3, 9)
+      m <- Gen.choose(1.0, 9.999)
+    } yield m * math.pow(10, mag)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val xs = Gen.listOfN(500, gen).sample.get
+      val direct = xs.foldLeft(sk.zero)(sk.reduce)
+      // random partitioning: shuffle, split into 1..8 chunks, merge
+      val chunks = rnd.shuffle(xs).grouped(xs.length / (1 + rnd.nextInt(8)) + 1)
+      val merged = chunks.map(_.foldLeft(sk.zero)(sk.reduce))
+        .reduce((a, b) => sk.merge(a, b))
+      assert(sk.finish(direct) == sk.finish(merged),
+        s"trial $trial: merge must be bit-equal to direct below the collapse threshold")
+      val sorted = xs.sorted
+      for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+        val exact = sorted(math.max(math.ceil(q * sorted.length).toInt, 1) - 1)
+        val buf = sk.finish(direct)
+        val n = buf.values.sum
+        val target = math.max(math.ceil(q * n).toLong, 1L)
+        val bin = buf.toSeq.sortBy(_._1)
+          .scanLeft((0L, Option.empty[Int])) { case ((cum, found), (k, c)) =>
+            (cum + c, found.orElse(if (cum + c >= target) Some(k) else None))
+          }.last._2.get
+        val est = 2.0 * math.pow(DDSketch.gamma, bin) / (DDSketch.gamma + 1.0)
+        assert(math.abs(est - exact) / exact <= DDSketch.Alpha + 1e-9,
+          s"trial $trial q=$q: $est vs $exact")
+      }
+    }
+  }
+
   test("DDSketch collapse: tiny maxBins still answers upper quantiles within α") {
     import graft.functions.DDSketch
     val sk = new DDSketch(0.01, 8)
