@@ -214,13 +214,13 @@ object Jobs {
     * properties and a polygon geometry — so a plotting layer (geopandas
     * .read_file, vega, leaflet) renders with ZERO joins.
     *
-    * Geometry source: production joins a real boundary file on alpha3
-    * (the geopandas `world` frame the reference uses is exactly that);
-    * this container has no boundary data, so [[placeholderGeometry]]
-    * synthesizes a deterministic stand-in square per country — clearly
-    * marked, same honesty contract as the multimodal decode stub. The
-    * Spark-side plumbing (broadcast geometry join, JSON feature
-    * assembly, bounded FeatureCollection fold) is real and tested.
+    * Geometry source: a broadcast join against the deterministic
+    * [[graft.sources.WorldBoundaries]] dim — the engine-side analog of
+    * the geopandas/naturalearth boundary frame the reference loads
+    * (world_map_transformer.py:161). Countries absent from the boundary
+    * dim (none at this SF) fall back to [[placeholderGeometry]] so a
+    * render never drops a feature. The join, JSON feature assembly and
+    * bounded FeatureCollection fold are all real and tested.
     *
     * Scale shape: per-feature JSON assembly is a codegen'd projection;
     * the final fold is a collect_list over the WORLD DIM (bounded by the
@@ -229,7 +229,8 @@ object Jobs {
   def exportWorldMapGeoJson(s: SparkSession, sfDir: String, outDir: String,
       date: String): String = {
     import org.apache.spark.sql.functions._
-    val world = SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir))
+    val world = withBoundaryGeometry(s,
+      SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir)))
     // ignoreNullFields=false: a no-data country must emit its measure
     // keys as explicit nulls, not drop them — render layers that map
     // fill over a uniform property schema break on absent keys
@@ -237,7 +238,7 @@ object Jobs {
       lit("Feature").as("type"),
       struct(col("alpha2"), col("alpha3"), col("continent"),
         col("avg_usd"), col("perc_dif"), col("usd_dif")).as("properties"),
-      placeholderGeometry(col("alpha3")).as("geometry")),
+      col("geometry")),
       Map("ignoreNullFields" -> "false"))
     val doc = world
       .select(col("alpha3"), feature.as("f"))
@@ -263,9 +264,10 @@ object Jobs {
     * `<title>` tooltip carrying the measures.
     *
     * The path builder is RING-GENERIC (folds whatever
-    * `geometry.coordinates` holds), so swapping the placeholder squares
-    * for a real alpha3→rings boundary table renders a true world map
-    * with no code change. Color min/max come from ONE bounded agg over
+    * `geometry.coordinates` holds — each ring one `M…Z` subpath, so
+    * island nations render every island); geometry comes from the
+    * broadcast [[graft.sources.WorldBoundaries]] dim, the engine-side
+    * naturalearth analog. Color min/max come from ONE bounded agg over
     * the world dim (≤~250 rows) broadcast back; per-feature path/color
     * assembly is a codegen'd projection; the document fold is a
     * collect_list over the dim — same bounded shape as the GeoJSON
@@ -274,14 +276,15 @@ object Jobs {
       date: String): String = {
     import org.apache.spark.sql.functions._
     val (w, h) = (1000.0, 500.0)
-    val world = SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir))
-      .withColumn("geometry", placeholderGeometry(col("alpha3")))
+    val world = withBoundaryGeometry(s,
+      SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir)))
     // projection: lon [-180,180] → x [0,W]; lat [90,-90] → y [0,H]
     def px(pt: org.apache.spark.sql.Column) =
       round((element_at(pt, 1) + lit(180.0)) / lit(360.0) * lit(w), 2)
     def py(pt: org.apache.spark.sql.Column) =
       round((lit(90.0) - element_at(pt, 2)) / lit(180.0) * lit(h), 2)
-    val d = array_join(transform(col("geometry.coordinates"), ring =>
+    // MultiPolygon: polygons → rings; one M…Z subpath per ring
+    val d = array_join(transform(flatten(col("geometry.coordinates")), ring =>
       concat(lit("M"),
         array_join(transform(ring, pt =>
           concat(px(pt).cast("string"), lit(","), py(pt).cast("string"))), "L"),
@@ -321,13 +324,28 @@ object Jobs {
     path
   }
 
-  /** Deterministic placeholder polygon for a country code: a 4°×4°
-    * square centered at hash-derived coordinates (lon ∈ [-178,178],
-    * lat ∈ [-58,58]), closed ring, GeoJSON [lon,lat] order. STAND-IN
-    * geometry — swap for a broadcast join against a real boundary table
-    * (alpha3 → rings) in production; everything downstream is format-
-    * identical. Deterministic in the code, so re-runs land byte-equal
-    * artifacts. */
+  /** Attach boundary geometry to a world-table frame: broadcast join
+    * against the deterministic [[graft.sources.WorldBoundaries]] dim on
+    * alpha3 (the reference's naturalearth merge, world_map_transformer
+    * .py:205–208), falling back to [[placeholderGeometry]] for codes the
+    * boundary dim doesn't know so a render never drops a country. The
+    * boundary side is bounded by the planet — always the broadcast side;
+    * the stats side stays distributed. */
+  private[graft] def withBoundaryGeometry(s: SparkSession,
+      world: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = graft.sources.WorldBoundaries.dim(s).select("alpha3", "geometry")
+    world.join(broadcast(b), Seq("alpha3"), "left")
+      .withColumn("geometry",
+        coalesce(col("geometry"), placeholderGeometry(col("alpha3"))))
+  }
+
+  /** Deterministic placeholder polygon for a country code the boundary
+    * dim doesn't cover: a 4°×4° square centered at hash-derived
+    * coordinates (lon ∈ [-178,178], lat ∈ [-58,58]), closed ring,
+    * GeoJSON MultiPolygon nesting to match [[graft.sources
+    * .WorldBoundaries]] rows. Deterministic in the code, so re-runs land
+    * byte-equal artifacts. */
   private[graft] def placeholderGeometry(alpha3: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -335,8 +353,8 @@ object Jobs {
     val lat = (pmod(xxhash64(alpha3, lit(1L)), lit(116L)) - lit(58L)).cast("double")
     def pt(dx: Int, dy: Int) = array(lon + lit(dx * 2.0), lat + lit(dy * 2.0))
     struct(
-      lit("Polygon").as("type"),
-      array(array(pt(-1, -1), pt(1, -1), pt(1, 1), pt(-1, 1), pt(-1, -1)))
+      lit("MultiPolygon").as("type"),
+      array(array(array(pt(-1, -1), pt(1, -1), pt(1, 1), pt(-1, 1), pt(-1, -1))))
         .as("coordinates"))
   }
 

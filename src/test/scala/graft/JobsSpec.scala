@@ -155,15 +155,36 @@ class JobsSpec extends AnyFunSuite {
     val rows = feats.collect()
     assert(rows.length == 25, "one feature per geo-dim country")
     assert(rows.forall(_.getAs[String]("ftype") == "Feature"))
-    assert(rows.forall(_.getAs[String]("gtype") == "Polygon"))
-    rows.foreach { r =>
-      val ring = r.getAs[collection.Seq[collection.Seq[collection.Seq[Double]]]]("coords").head
-      assert(ring.length == 5 && ring.head == ring.last, "closed ring")
-      ring.foreach { p =>
-        assert(p(0) >= -180 && p(0) <= 180 && p(1) >= -90 && p(1) <= 90,
-          s"coords in GeoJSON lon/lat domain: $p")
+    assert(rows.forall(_.getAs[String]("gtype") == "MultiPolygon"))
+    val polysByA3 = rows.map { r =>
+      r.getAs[String]("alpha3") ->
+        r.getAs[collection.Seq[collection.Seq[collection.Seq[collection.Seq[Double]]]]]("coords")
+    }.toMap
+    polysByA3.foreach { case (a3, polys) =>
+      assert(polys.nonEmpty, s"$a3 has geometry")
+      polys.flatten.foreach { ring =>
+        assert(ring.length >= 7 && ring.head == ring.last,
+          s"$a3: real boundary ring (closed, >=6 distinct vertices), not a placeholder square — got ${ring.length} points")
+        ring.foreach { p =>
+          assert(p(0) >= -180 && p(0) <= 180 && p(1) >= -90 && p(1) <= 90,
+            s"coords in GeoJSON lon/lat domain: $p")
+        }
       }
     }
+    // known-shape invariants: island nations are multi-ring, and the
+    // boundary really is the aliased TPC-H country (bbox sanity)
+    assert(polysByA3("GB_A3").length == 2, "GBR: Great Britain + Northern Ireland")
+    assert(polysByA3("NATION_12_A3").length == 4, "JPN: four main islands")
+    assert(polysByA3("NATION_7_A3").length == 4, "IDN: four major islands")
+    def bbox(polys: collection.Seq[collection.Seq[collection.Seq[collection.Seq[Double]]]]) = {
+      val pts = polys.flatten.flatten
+      (pts.map(_(0)).min, pts.map(_(0)).max, pts.map(_(1)).min, pts.map(_(1)).max)
+    }
+    val (uLoMin, uLoMax, uLaMin, uLaMax) = bbox(polysByA3("NATION_21_A3"))
+    assert(uLoMin < -120 && uLoMax > -70 && uLaMin > 20 && uLaMax < 55,
+      "USA bbox spans the contiguous states")
+    val (rLoMin, rLoMax, _, rLaMax) = bbox(polysByA3("NATION_18_A3"))
+    assert(rLoMax - rLoMin > 140 && rLaMax > 70, "RUS spans Eurasia into the Arctic")
     // measures match the EU-propagated world table (zero-join contract:
     // what the renderer reads IS the pipeline output)
     val expected = graft.operators.SteamOps
@@ -194,14 +215,21 @@ class JobsSpec extends AnyFunSuite {
     paths.foreach { m =>
       val d = m.group(1)
       assert(d.startsWith("M") && d.endsWith("Z"), s"closed subpath: $d")
-      val pts = pointRe.findAllMatchIn(d).map(p =>
-        (p.group(1).toDouble, p.group(2).toDouble)).toSeq
-      assert(pts.length == 5, "square placeholder ring has 5 projected points")
-      assert(pts.head == pts.last, "ring closes")
-      pts.foreach { case (x, y) =>
-        assert(x >= 0 && x <= 1000 && y >= 0 && y <= 500, s"in viewport: ($x,$y)")
+      // every M…Z subpath is a real boundary ring: closed, >=6 distinct
+      // projected vertices (the old placeholder squares had exactly 5)
+      d.split(" ").foreach { sub =>
+        val pts = pointRe.findAllMatchIn(sub).map(p =>
+          (p.group(1).toDouble, p.group(2).toDouble)).toSeq
+        assert(pts.length >= 7, s"real outline, not a square: ${pts.length} pts")
+        assert(pts.head == pts.last, "ring closes")
+        pts.foreach { case (x, y) =>
+          assert(x >= 0 && x <= 1000 && y >= 0 && y <= 500, s"in viewport: ($x,$y)")
+        }
       }
     }
+    // island nations render one subpath per island
+    assert(paths.count(_.group(1).split(" ").length >= 2) >= 3,
+      "GBR/JPN/IDN render multiple island subpaths")
     // every country's tooltip is present with its measures
     val expected = graft.operators.SteamOps
       .withEuPropagatedDif(graft.operators.SteamOps.worldTable(s, sf))
