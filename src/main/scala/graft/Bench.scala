@@ -46,16 +46,22 @@ object Bench {
       // contended box the run degrades to one timed pass per query (the
       // pre-warmup behavior) instead of risking a harness timeout with no
       // JSON line at all; only the single timed rep is unconditional.
-      val w = if (elapsed <= budgetSec) once(name, fn) else 0.0
+      val warmed = elapsed <= budgetSec
+      val w = if (warmed) once(name, fn) else 0.0
       val a = if (w < 0) w else once(name, fn)
       val b = if (a < 0 || elapsed > budgetSec) a else math.min(a, once(name, fn))
-      name -> b
+      (name, b, warmed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // names whose recorded number is a cold-start single rep (warmup was
+    // budget-skipped) — empty on a healthy run; consumers must treat
+    // these as upper bounds, not steady-state
+    val cold = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold":$cold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1210,7 +1210,7 @@ object OracleSql {
         |  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000000.0+0.5) AS BIGINT) AS v6
         |  FROM embeddings),
         |nr AS (SELECT vec_id, label, CAST(MIN(dim) AS BIGINT) AS dim,
-        |  CAST(FLOOR(sqrt(CAST(SUM(v6*v6) AS DOUBLE))+0.5) AS BIGINT) AS n6
+        |  CAST(FLOOR(sqrt(CAST(SUM(CAST(v6 AS HUGEINT)*v6) AS DOUBLE))+0.5) AS BIGINT) AS n6
         |  FROM c GROUP BY 1, 2)
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(MIN(dim) AS BIGINT) AS min_dim, CAST(MAX(dim) AS BIGINT) AS max_dim,

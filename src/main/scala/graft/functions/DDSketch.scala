@@ -37,18 +37,21 @@ class DDSketch(alpha: Double = DDSketch.Alpha, maxBins: Int = DDSketch.MaxBins)
       if (x <= 0.0) DDSketch.ZeroBin // zeros (and guards negatives) below all
       else math.ceil(math.log(x) / logG).toInt
     b(bin) = b.getOrElse(bin, 0L) + 1L
-    DDSketch.collapse(b, maxBins)
+    DDSketch.maybeCollapse(b, maxBins)
     b
   }
 
   override def merge(a: mutable.Map[Int, Long],
       b: mutable.Map[Int, Long]): mutable.Map[Int, Long] = {
     b.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
-    DDSketch.collapse(a, maxBins)
+    DDSketch.maybeCollapse(a, maxBins)
     a
   }
 
-  override def finish(b: mutable.Map[Int, Long]): Map[Int, Long] = b.toMap
+  override def finish(b: mutable.Map[Int, Long]): Map[Int, Long] = {
+    DDSketch.collapse(b, maxBins) // strict: a FINISHED sketch honors maxBins
+    b.toMap
+  }
   override def bufferEncoder: Encoder[mutable.Map[Int, Long]] =
     Encoders.kryo[mutable.Map[Int, Long]]
   override def outputEncoder: Encoder[Map[Int, Long]] =
@@ -63,12 +66,15 @@ class DDSketchMerge(maxBins: Int = DDSketch.MaxBins)
   override def reduce(b: mutable.Map[Int, Long],
       m: Map[Int, Long]): mutable.Map[Int, Long] = {
     m.foreach { case (k, c) => b(k) = b.getOrElse(k, 0L) + c }
-    DDSketch.collapse(b, maxBins)
+    DDSketch.maybeCollapse(b, maxBins)
     b
   }
   override def merge(a: mutable.Map[Int, Long],
       b: mutable.Map[Int, Long]): mutable.Map[Int, Long] = reduce(a, b.toMap)
-  override def finish(b: mutable.Map[Int, Long]): Map[Int, Long] = b.toMap
+  override def finish(b: mutable.Map[Int, Long]): Map[Int, Long] = {
+    DDSketch.collapse(b, maxBins)
+    b.toMap
+  }
   override def bufferEncoder: Encoder[mutable.Map[Int, Long]] =
     Encoders.kryo[mutable.Map[Int, Long]]
   override def outputEncoder: Encoder[Map[Int, Long]] =
@@ -81,7 +87,20 @@ object DDSketch {
   val ZeroBin: Int = Int.MinValue
   def gamma: Double = (1 + Alpha) / (1 - Alpha)
 
-  private[functions] def collapse(b: mutable.Map[Int, Long], maxBins: Int): Unit = {
+  /** Slack the transient aggregation buffer may grow past maxBins before
+    * a collapse fires: amortizes the O(B log B) key sort to one fold per
+    * `slack` NEW-bucket creations (a monotonically-decreasing input would
+    * otherwise re-sort per row once saturated), at the cost of a bounded
+    * +slack transient footprint. Finished/landed sketches are always
+    * strictly collapsed to maxBins in finish(). Fold-into-ceiling is
+    * additive and order-insensitive, so deferring collapse yields the
+    * SAME final sketch as eager collapse (spec-asserted). */
+  private[graft] def slack(maxBins: Int): Int = math.max(maxBins >> 4, 8)
+
+  private[graft] def maybeCollapse(b: mutable.Map[Int, Long], maxBins: Int): Unit =
+    if (b.size > maxBins + slack(maxBins)) collapse(b, maxBins)
+
+  private[graft] def collapse(b: mutable.Map[Int, Long], maxBins: Int): Unit = {
     // fold ALL excess lowest buckets into their ceiling in ONE sorted
     // pass (upper quantiles keep their guarantee, the collapsed tail
     // degrades first) — a per-excess-bucket loop would re-sort the key

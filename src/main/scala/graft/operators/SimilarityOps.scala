@@ -210,13 +210,18 @@ object SimilarityOps {
     *
     * Norms are computed per ROW with one array fold (no explode — the
     * row count, not row×dim, reaches the shuffle) over e6-scaled integer
-    * components; Σv6² is an exact long and IEEE sqrt is correctly
-    * rounded in both engines, so quantizing the norm back to an e6
-    * integer is bitwise deterministic. One label-keyed partial-agg
-    * shuffle of long-sum moments — the 100 TB shape. */
+    * components; Σv6² accumulates in decimal(38,0) (the corrAgg moment
+    * pattern — a long wraps silently once one component's e6 square
+    * passes 2⁶³, i.e. |v| ≳ 3037, exactly the wildly-scaled vectors this
+    * panel exists to catch; the oracle mirrors with HUGEINT) and IEEE
+    * sqrt is correctly rounded in both engines, so quantizing the norm
+    * back to an e6 integer is bitwise deterministic. One label-keyed
+    * partial-agg shuffle of bounded-decimal moments — the 100 TB shape. */
   def embeddingNormStats(s: SparkSession, dir: String): DataFrame = {
     def v6(x: Column) = floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
-    val ss = aggregate(col("embedding"), lit(0L), (acc, x) => acc + v6(x) * v6(x))
+    val ss = aggregate(col("embedding"), lit(0L).cast("decimal(38,0)"),
+      (acc, x) => (acc + (v6(x).cast("decimal(19,0)") * v6(x).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)"))
     val n6 = floor(sqrt(ss.cast("double")) + lit(0.5)).cast("long")
     Tables.embeddings(s, dir)
       .select(col("label").cast("long").as("label"), n6.as("n6"),

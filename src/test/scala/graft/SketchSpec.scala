@@ -121,8 +121,19 @@ class SketchSpec extends AnyFunSuite {
     val sk = new DDSketch(0.01, 8)
     // three decades of values: collapse must fold the LOW tail only
     val xs = (1 to 2000).map(i => (i % 1000 + 1).toDouble * 10)
-    val buf = xs.foldLeft(sk.zero)((b, x) => sk.reduce(b, x))
-    assert(buf.size <= 8, s"collapse bounds the buffer: ${buf.size}")
+    val rawBuf = xs.foldLeft(sk.zero)((b, x) => sk.reduce(b, x))
+    // transient buffer may carry the amortization slack; the FINISHED
+    // sketch (what lands / what extraction reads) honors maxBins strictly
+    assert(rawBuf.size <= 8 + graft.functions.DDSketch.slack(8),
+      s"slack bounds the transient buffer: ${rawBuf.size}")
+    val buf = sk.finish(rawBuf)
+    assert(buf.size <= 8, s"finished sketch honors maxBins: ${buf.size}")
+    // amortized collapse must be a pure scheduling change: feeding every
+    // row through a strict collapse after each insert lands bit-equal
+    val eager = xs.foldLeft(sk.zero) { (b, x) =>
+      val r = sk.reduce(b, x); graft.functions.DDSketch.collapse(r, 8); r
+    }
+    assert(sk.finish(eager) == buf, "deferred collapse == eager collapse")
     val sorted = xs.sorted
     val exact99 = sorted(math.ceil(0.99 * sorted.length).toInt - 1)
     // recover the p99 estimate from the raw buckets (driver-side twin of
