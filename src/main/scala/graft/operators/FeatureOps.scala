@@ -116,7 +116,14 @@ object FeatureOps {
     * (user, day, type), so per-group candidates are bounded by the
     * event-type vocabulary (≤ C(V,2) pairs per context, never row²);
     * global counts ride broadcasts. lift = P(a,b)/(P(a)P(b)) is computed
-    * as one division of exact integer products. */
+    * as one division of exact integer products.
+    *
+    * The collapsed contexts frame feeds FOUR consumers (both self-join
+    * sides, the per-type counts, the group count), so it is persisted —
+    * one fact scan + one distinct shuffle total instead of four of each
+    * (the dailyRevenue/postingList pattern; Spark has no CTE sharing and
+    * exchange reuse does not cross the differing agg shapes). Contract:
+    * the caller drops it (Bench/Verify clearCache between queries). */
   def cooccurrencePairs(s: SparkSession, dir: String): DataFrame =
     cooccurrencePairsFrom(Tables.eventsMicros(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type")))
@@ -124,6 +131,7 @@ object FeatureOps {
   /** Core on any (user_id, d, event_type) context frame. */
   def cooccurrencePairsFrom(contexts: DataFrame): DataFrame = {
     val ud = contexts.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = ud.as("x").join(ud.as("y"),
         col("x.user_id") === col("y.user_id") && col("x.d") === col("y.d") &&
           col("x.event_type") < col("y.event_type"))

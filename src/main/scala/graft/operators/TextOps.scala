@@ -455,15 +455,20 @@ object TextOps {
     * OCR noise (the same signal perplexity filters extract from a
     * language model, kept EXACT-integer so it oracle-checks — no
     * transcendental whose last ulp differs between libms). Plan: one
-    * explode → vocab-keyed partial-agg (frequency table) → token-keyed
-    * join back → doc-keyed partial-agg. All three exchanges are keyed and
-    * map-side combined; the frequency table is vocab-bounded (Heaps' law:
-    * ≪ corpus size), never driver-materialized. One division at the edge. */
+    * explode → vocab-keyed partial-agg (frequency table) → BROADCAST
+    * join back → doc-keyed partial-agg. The frequency side is
+    * vocab-bounded (Heaps' law: ≪ corpus size — ~10⁷ unigrams on a
+    * 100 TB web corpus, broadcastable), so the exploded corpus is never
+    * shuffled on the power-law `tok` key — without the hint, "the"
+    * lands one partition and pages someone at 100×; with it the only
+    * token-keyed exchange is the map-side-combined frequency agg. If
+    * vocab ever outgrows broadcast, drop the hint and lean on AQE skew
+    * join. One division at the edge. */
   def rareTokenStats(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
-    toks.join(freq, "tok")
+    toks.join(broadcast(freq), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("freq") <= RareMaxFreq, 1L).otherwise(0L)).as("n_rare"))

@@ -95,7 +95,39 @@ class FeatureOpsSpec extends AnyFunSuite {
     val expect = byGroup.values.flatMap(ts =>
       ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val rows = FeatureOps.cooccurrencePairs(s, sf).collect()
+    val df = FeatureOps.cooccurrencePairs(s, sf)
+    val rows = df.collect()
+    // the persisted contexts frame collapses the four consumers to ONE
+    // events scan: every reference reads the cache (the only parquet scan
+    // lives INSIDE the cached relation, so none appears in the tree)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(1500))
+    // recursive scan counter that descends AQE stages (collect() does
+    // not traverse a materialized QueryStageExec) but NOT cached
+    // relations or reused exchanges — i.e. it counts distinct physical
+    // parquet reads the query itself would execute
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive._
+      p match {
+        case _: FileSourceScanExec => 1
+        case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+        case q: QueryStageExec => scansIn(q.plan)
+        case _: exchange.ReusedExchangeExec => 0
+        case _: columnar.InMemoryTableScanLike => 0
+        case other => other.children.map(scansIn).sum
+      }
+    }
+    def countScans(d: org.apache.spark.sql.DataFrame): Int =
+      scansIn(d.queryExecution.executedPlan)
+    // control: the counter itself sees a direct scan on an uncached query
+    // (guards against the assert below passing vacuously)
+    val control = Tables.eventsMicros(s, sf).groupBy("event_type").count()
+    control.collect()
+    assert(countScans(control) >= 1, "scan counter sanity")
+    assert(countScans(df) == 0,
+      s"every events read must go through the cache, saw ${countScans(df)} direct scans")
+    s.catalog.clearCache() // documented contract: caller drops the persist
     assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == expect.keySet)
     rows.foreach { r =>
       val (a, b, nAb) = (r.getString(0), r.getString(1), r.getAs[Long]("n_ab"))

@@ -54,6 +54,13 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("rare_token_stats: frequency side broadcasts (no shuffle of the exploded corpus on the power-law tok key)") {
+    val plan = TextOps.rareTokenStats(s, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      "vocab-bounded freq table must never sort-merge the exploded corpus on tok")
+  }
+
   test("rare_token_stats: flags match a Scala frequency recompute") {
     val texts = Tables.documents(s, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
