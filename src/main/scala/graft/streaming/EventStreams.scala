@@ -160,6 +160,74 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Streaming curation-funnel landing — per-micro-batch mergeable
+    * funnel partials: the observability twin of
+    * [[graft.operators.CurationOps.curationReport]] on a document
+    * stream (a recurring ingest lands its attrition telemetry next to
+    * every batch instead of re-scanning history). The gate counts
+    * (input / gopher / repetition) are EXACT per-batch sums — additive,
+    * so the merged funnel is exact. The dedup stage is a cross-batch
+    * DISTINCT over canonicalized content, which no additive counter can
+    * carry, so each batch lands an HLL sketch of its surviving norms
+    * (register-max union — idempotent on replay) and the merged stage
+    * is an estimate within HLL tolerance. Gate flags are THE gate
+    * operators' own expressions (gopherKeepExpr / repetitionKeepExpr /
+    * normalizeText) — no second source of truth for gate semantics.
+    * Stream state: zero (stateless per-batch agg); store state: one
+    * KB-sized row per batch. */
+  def landCurationFunnelStream(docs: DataFrame, baseDir: String,
+      lgK: Int = 14): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{DedupOps, TextOps}
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kG = TextOps.gopherKeepExpr(col("text"))
+        val kR = TextOps.repetitionKeepExpr(col("text"))
+        batch
+          .select(kG.as("k_g"), (kG && kR).as("k_both"),
+            DedupOps.normalizeText(col("text")).as("norm"))
+          .agg(count(lit(1)).as("n_input"),
+            sum(when(col("k_g"), 1L).otherwise(0L)).as("n_gopher"),
+            sum(when(col("k_both"), 1L).otherwise(0L)).as("n_rep"),
+            // nulls (gate-failed docs) are ignored by the sketch agg
+            hll_sketch_agg(when(col("k_both"), col("norm")), lit(lgK))
+              .as("norm_sketch"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(baseDir)
+      }
+      .start()
+  }
+
+  /** Merge every landed curation-funnel partial → the 4-stage funnel
+    * frame (same shape as the batch `curation_report`). Replay safety:
+    * the exact sums are NOT idempotent, so one row per batch_id is kept
+    * first (the [[quantilesFromLanded]] contract); the HLL union would
+    * tolerate replay on its own but rides the same dedup. Cost:
+    * O(#batches) rows — independent of the document volume they
+    * summarize. */
+  def curationFunnelFromLanded(s: SparkSession, baseDir: String): DataFrame = {
+    val perBatch = s.read.parquet(baseDir)
+      .groupBy("batch_id")
+      .agg(first(col("n_input")).as("n_input"),
+        first(col("n_gopher")).as("n_gopher"),
+        first(col("n_rep")).as("n_rep"),
+        first(col("norm_sketch")).as("norm_sketch"))
+    val c = perBatch.agg(
+      sum(col("n_input")).as("n_input"),
+      sum(col("n_gopher")).as("n_gopher"),
+      sum(col("n_rep")).as("n_rep"),
+      // all-null sketches (no survivor in any batch) → 0 distinct, not null
+      coalesce(hll_sketch_estimate(hll_union_agg(col("norm_sketch"), lit(false))),
+        lit(0L)).as("n_dedup"))
+    c.select(expr("stack(4, " +
+        "'1_input', n_input, '2_gopher', n_gopher, " +
+        "'3_repetition', n_rep, '4_dedup_normalized', n_dedup) AS (stage, n_pass)"),
+        col("n_input"))
+      .select(col("stage"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_input")).as("pass_rate"))
+      .orderBy("stage")
+  }
+
   /** Streaming heavy hitters, landing side: each micro-batch lands its
     * own Misra–Gries candidate summary as (tok, w) rows plus the batch
     * token count. Soundness of the union: a token with global frequency

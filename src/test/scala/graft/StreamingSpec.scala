@@ -317,6 +317,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation funnel: merged landed partials == batch report; replayed batch doesn't double-count") {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[String](s)
+    val docs = input.toDF().toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    val q = EventStreams.landCurationFunnelStream(docs, dir)
+    def prose(i: Int) = s"document $i discusses unique findings about marine biology and coastal erosion patterns observed during spring"
+    // three batches: clean prose, gopher-failing symbol spam,
+    // repetition-failing word spam, and cross-batch NORMALIZED dups
+    // (case/punctuation variants of the same doc)
+    val b1 = (1 to 10).map(prose) ++ Seq("#### !!!! @@@@ %%%% &&&&")
+    val b2 = (11 to 18).map(prose) ++
+      Seq(prose(1).toUpperCase, "spam spam spam spam spam spam spam spam spam spam spam spam")
+    val b3 = (19 to 24).map(prose) ++ Seq(prose(2) + "!!!", prose(3))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+      val got = EventStreams.curationFunnelFromLanded(s, dir).collect()
+        .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_pass")).toMap
+      // direct batch funnel over the union corpus, SAME gate expressions
+      // (the curation_report aggregation shape)
+      val kG = graft.operators.TextOps.gopherKeepExpr(col("text"))
+      val kR = graft.operators.TextOps.repetitionKeepExpr(col("text"))
+      val direct = (b1 ++ b2 ++ b3).toDF("text")
+        .select(kG.as("k_g"), (kG && kR).as("k_both"),
+          graft.operators.DedupOps.normalizeText(col("text")).as("norm"))
+        .agg(count(lit(1)).as("n_input"),
+          sum(when(col("k_g"), 1L).otherwise(0L)).as("n_gopher"),
+          sum(when(col("k_both"), 1L).otherwise(0L)).as("n_rep"),
+          countDistinct(when(col("k_both"), col("norm"))).as("n_dedup"))
+        .collect().head
+      // the crafted gates actually bite: some doc fails each stage, and
+      // the normalized dups collapse (dedup < repetition survivors)
+      assert(direct.getAs[Long]("n_gopher") < direct.getAs[Long]("n_input"))
+      assert(direct.getAs[Long]("n_rep") < direct.getAs[Long]("n_gopher"))
+      assert(direct.getAs[Long]("n_dedup") < direct.getAs[Long]("n_rep"))
+      // gate stages merge EXACTLY (additive sums)
+      assert(got("1_input") == direct.getAs[Long]("n_input"))
+      assert(got("2_gopher") == direct.getAs[Long]("n_gopher"))
+      assert(got("3_repetition") == direct.getAs[Long]("n_rep"))
+      // dedup stage is the HLL union — tolerance, and tight at this size
+      val exactDedup = direct.getAs[Long]("n_dedup").toDouble
+      assert(math.abs(got("4_dedup_normalized") - exactDedup) / exactDedup <= 0.05,
+        s"HLL estimate ${got("4_dedup_normalized")} vs exact $exactDedup")
+      // at-least-once replay: re-land batch 0's row verbatim; per-batch
+      // dedup must keep every stage unchanged
+      val landed = s.read.parquet(dir)
+      landed.where(col("batch_id") === 0L).write.mode("append").parquet(dir)
+      val replayed = EventStreams.curationFunnelFromLanded(s, dir).collect()
+        .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_pass")).toMap
+      assert(replayed == got, "a replayed batch must not double-count any stage")
+      // pass rates are consistent with the stacked counts
+      val rates = EventStreams.curationFunnelFromLanded(s, dir).collect()
+        .map(r => r.getAs[String]("stage") -> r.getAs[Double]("pass_rate")).toMap
+      assert(rates("1_input") == 1.0)
+      assert(rates("4_dedup_normalized") ==
+        got("4_dedup_normalized").toDouble / got("1_input"))
+    } finally q.stop()
+  }
+
   test("streaming dedup: at-least-once re-deliveries collapse to one row each") {
     import s.implicits._
     val input = MemoryStream[(Long, Timestamp, Double)](s)
