@@ -135,6 +135,32 @@ class LongDocSpec extends AnyFunSuite {
       assert(rt(2L) > 0.99, "the all-distinct doc is almost entirely corpus-rare")
       assert(rt(3L) < 0.01, "the single-word doc has zero rare tokens")
     }
+    timed("text_tfidf") {
+      // explode → two partial-agg groupBys → term equi-join → per-doc
+      // top-k window; the 1.2M all-distinct terms of doc 2 are the df=1
+      // worst case, and its doc_id window partition sorts 1.2M rows in
+      // one task (bounded by the longest DOCUMENT, not the corpus)
+      val tf = TextOps.textTfidf(s, dir).collect()
+      val byDoc = tf.groupBy(_.getAs[Long]("doc_id"))
+      assert(byDoc.keySet == Set(1L, 2L, 3L, 4L))
+      assert(tf.forall(_.getAs[Long]("rnk") <= 3L))
+      // all of doc 2's terms are unique to it: df=1, tf=1 → tfidf = N
+      assert(byDoc(2L).forall(r => r.getAs[Long]("df") == 1L &&
+        r.getAs[Double]("tfidf") == 4.0))
+    }
+    timed("ngram_counts") {
+      // bigram explode (the wordGrams path that hid the round-5 O(L²))
+      // → one partial-agg shuffle over ~2.5M bigrams, 1.2M distinct
+      val top = TextOps.ngramCounts(s, dir).collect()
+      assert(top.length == 100)
+      val head = top.head
+      assert(head.getAs[String]("ngram") == "spam spam" &&
+        head.getAs[Long]("n_total") == 99999L,
+        s"top bigram ${head}")
+      // the 50-word cycle's bigrams each occur ~2000 times and fill the
+      // rest of the top-100
+      assert(top.drop(1).take(10).forall(_.getAs[Long]("n_total") >= 1999L))
+    }
     timed("gopher_gates") {
       // per-token rlike + per-line lambdas are interpreted but O(L) —
       // the monster docs prove no hidden quadratic
