@@ -117,6 +117,17 @@ object ScaleProbe {
       val d = grownDocs(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()
       time("pack_sequences", k, graft.operators.CurationOps.packSequencesDocs(d))
+      // funnel + drift + histogram: outputs bounded (4 stage rows /
+      // source dim / sources × ~20 buckets) whatever the corpus — wall
+      // must track the scan and nothing else
+      time("curation_report", k, graft.operators.CurationOps.curationReportDocs(d))
+      time("mix_drift", k, graft.operators.CurationOps.mixDriftDocs(d))
+      time("token_histogram", k, graft.operators.CurationOps.tokenHistogramDocs(d))
+      // explode → vocab-bounded broadcast join back → doc agg: rows grow
+      // exactly kx (one per doc); replica text is identical so the vocab
+      // is FIXED while corpus frequency scales kx — the broadcast side
+      // must not grow with the corpus
+      time("rare_token_stats", k, graft.operators.TextOps.rareTokenStatsDocs(d))
       // eval set fixed (first replica's src0 docs): broadcast stays constant
       // while the train side grows kx
       time("decontaminate", k, graft.operators.CurationOps.decontaminateDocs(

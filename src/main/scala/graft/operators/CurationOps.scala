@@ -33,9 +33,13 @@ object CurationOps {
     * association mirrored in the oracle — hash-green. The drift verdict
     * rides the summed chi-square statistic over the bounded source
     * dimension. */
-  def mixDrift(s: SparkSession, dir: String): DataFrame = {
+  def mixDrift(s: SparkSession, dir: String): DataFrame =
+    mixDriftDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (ScaleProbe entry point). */
+  def mixDriftDocs(documents: DataFrame): DataFrame = {
     val cut = DedupOps.IncrementalSplit
-    val toks = Tables.documents(s, dir).select(col("source"),
+    val toks = documents.select(col("source"),
       when(col("doc_id") < cut, lit("old")).otherwise(lit("new")).as("drop"),
       size(split(col("text"), " ")).cast("long").as("t"))
     val per = toks.groupBy("source").agg(
@@ -80,7 +84,11 @@ object CurationOps {
     * conditional aggregation over the flag frame (a report never
     * re-scans per stage). Exact integer counts, one division each →
     * oracle hash-green. */
-  def curationReport(s: SparkSession, dir: String): DataFrame = {
+  def curationReport(s: SparkSession, dir: String): DataFrame =
+    curationReportDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (ScaleProbe entry point). */
+  def curationReportDocs(documents: DataFrame): DataFrame = {
     // every gate flag is a per-row expression, so the whole funnel is
     // ONE scan + one aggregation (countDistinct ignores the null norms
     // of non-survivors — and correctly yields 0, not null, when no
@@ -88,7 +96,7 @@ object CurationOps {
     // spec-pinned to the standalone gate operators
     val kG = TextOps.gopherKeepExpr(col("text"))
     val kR = TextOps.repetitionKeepExpr(col("text"))
-    val flags = Tables.documents(s, dir).select(
+    val flags = documents.select(
       kG.as("k_g"), (kG && kR).as("k_both"),
       DedupOps.normalizeText(col("text")).as("norm"))
     val c = flags.agg(
@@ -223,7 +231,11 @@ object CurationOps {
     * shuffle on (source, bucket) — output bounded by sources × ~20
     * buckets whatever the corpus size. */
   def tokenHistogram(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    tokenHistogramDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (ScaleProbe entry point). */
+  def tokenHistogramDocs(documents: DataFrame): DataFrame =
+    documents
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("toks"))
       .select(col("source"), col("toks"),

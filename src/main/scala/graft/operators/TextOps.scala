@@ -464,8 +464,12 @@ object TextOps {
     * token-keyed exchange is the map-side-combined frequency agg. If
     * vocab ever outgrows broadcast, drop the hint and lean on AQE skew
     * join. One division at the edge. */
-  def rareTokenStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  def rareTokenStats(s: SparkSession, dir: String): DataFrame =
+    rareTokenStatsDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (ScaleProbe entry point). */
+  def rareTokenStatsDocs(documents: DataFrame): DataFrame = {
+    val toks = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
     toks.join(broadcast(freq), "tok")
