@@ -47,8 +47,10 @@ object Bench {
       // pre-warmup behavior) instead of risking a harness timeout with no
       // JSON line at all; only the single timed rep is unconditional.
       val warmed = elapsed <= budgetSec
-      val w = if (warmed) once(name, fn) else 0.0
-      val a = if (w < 0) w else once(name, fn)
+      if (warmed) once(name, fn) // warmup result deliberately unused:
+      // even a transient warmup failure must not mask the timed rep —
+      // the single timed rep really is unconditional
+      val a = once(name, fn)
       val b = if (a < 0 || elapsed > budgetSec) a else math.min(a, once(name, fn))
       (name, b, warmed)
     }

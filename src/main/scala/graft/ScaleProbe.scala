@@ -78,7 +78,10 @@ object ScaleProbe {
       time("spatial_join", k, graft.operators.GeoOps.spatialJoinFrames(
         graft.operators.GeoOps.nationBoxes(spark, sfDir),
         graft.operators.GeoOps.pointsFrom(e)))
-      e.unpersist()
+      // drops e AND the contexts frame cooccurrencePairsFrom persists
+      // internally (its caller-drops contract) — a leaked cache here
+      // would pressure every later probe's timings
+      spark.catalog.clearCache()
     }
 
     // ---- z-order: pruning fraction must hold as data AND files grow ----

@@ -94,20 +94,33 @@ object CurationOps {
     // of non-survivors — and correctly yields 0, not null, when no
     // document survives both gates); the flag expressions are
     // spec-pinned to the standalone gate operators
-    val kG = TextOps.gopherKeepExpr(col("text"))
-    val kR = TextOps.repetitionKeepExpr(col("text"))
-    val flags = documents.select(
-      kG.as("k_g"), (kG && kR).as("k_both"),
-      DedupOps.normalizeText(col("text")).as("norm"))
-    val c = flags.agg(
+    val c = funnelFlags(documents).agg(
       count(lit(1)).as("n_input"),
       sum(when(col("k_g"), 1L).otherwise(0L)).as("n_gopher"),
       sum(when(col("k_both"), 1L).otherwise(0L)).as("n_rep"),
       countDistinct(when(col("k_both"), col("norm"))).as("n_dedup"))
-    // stack the ONE agg row into the 4 stage rows (the dq_checks
-    // pattern) — a union of per-stage selects would re-execute the
-    // whole scan+aggregation once per stage (verified: 8 scans, no
-    // exchange reuse)
+    stackFunnel(c)
+  }
+
+  /** The per-row gate-flag frame (k_g, k_both, norm) — THE single
+    * source of the funnel's gate semantics, shared by the batch report
+    * above and the streaming landing
+    * ([[graft.streaming.EventStreams.landCurationFunnelStream]]). */
+  def funnelFlags(documents: DataFrame): DataFrame = {
+    val kG = TextOps.gopherKeepExpr(col("text"))
+    val kR = TextOps.repetitionKeepExpr(col("text"))
+    documents.select(kG.as("k_g"), (kG && kR).as("k_both"),
+      DedupOps.normalizeText(col("text")).as("norm"))
+  }
+
+  /** Stack a one-row (n_input, n_gopher, n_rep, n_dedup) aggregate into
+    * the canonical 4-stage funnel frame (the dq_checks pattern — a
+    * union of per-stage selects would re-execute the whole
+    * scan+aggregation once per stage; verified: 8 scans, no exchange
+    * reuse). Shared with the streaming read-back
+    * ([[graft.streaming.EventStreams.curationFunnelFromLanded]]) so the
+    * two funnel frames cannot drift in shape. */
+  def stackFunnel(c: DataFrame): DataFrame =
     c.select(expr("stack(4, " +
         "'1_input', n_input, '2_gopher', n_gopher, " +
         "'3_repetition', n_rep, '4_dedup_normalized', n_dedup) AS (stage, n_pass)"),
@@ -115,7 +128,6 @@ object CurationOps {
       .select(col("stage"), col("n_pass"),
         (col("n_pass").cast("double") / col("n_input")).as("pass_rate"))
       .orderBy("stage")
-  }
 
   /** corpus_filter — quality ≥ threshold, predicted language must agree
     * with the declared one (language confusion is a quality signal), then

@@ -46,7 +46,7 @@ object SketchOps {
     val daily = ev.groupBy("event_type", "dt")
       .agg(hll_sketch_agg(col("user_id"), lgK).as("sketch"))
     val merged = daily.groupBy("event_type").agg(
-      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("merged_users"),
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("merged_users"),
       count(lit(1)).as("n_partials"))
     direct.join(merged, Seq("event_type"))
       .select(col("event_type"), col("exact_users"), col("approx_users"),
@@ -80,7 +80,7 @@ object SketchOps {
   def mergeDistinctSketches(s: SparkSession, outBase: String): DataFrame =
     s.read.parquet(outBase)
       .groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("approx_users"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("approx_users"))
       .orderBy("event_type")
 
   /** quantile_sketch — the quantile analogue of [[hllDistinct]]: per

@@ -176,16 +176,13 @@ object EventStreams {
     * Stream state: zero (stateless per-batch agg); store state: one
     * KB-sized row per batch. */
   def landCurationFunnelStream(docs: DataFrame, baseDir: String,
-      lgK: Int = 14): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.{DedupOps, TextOps}
+      lgK: Int = 14): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val kG = TextOps.gopherKeepExpr(col("text"))
-        val kR = TextOps.repetitionKeepExpr(col("text"))
-        batch
-          .select(kG.as("k_g"), (kG && kR).as("k_both"),
-            DedupOps.normalizeText(col("text")).as("norm"))
+        // gate flags come from the SHARED funnelFlags frame — the batch
+        // report and this landing cannot drift in gate semantics
+        graft.operators.CurationOps.funnelFlags(batch)
           .agg(count(lit(1)).as("n_input"),
             sum(when(col("k_g"), 1L).otherwise(0L)).as("n_gopher"),
             sum(when(col("k_both"), 1L).otherwise(0L)).as("n_rep"),
@@ -196,7 +193,6 @@ object EventStreams {
           .write.mode("append").parquet(baseDir)
       }
       .start()
-  }
 
   /** Merge every landed curation-funnel partial → the 4-stage funnel
     * frame (same shape as the batch `curation_report`). Replay safety:
@@ -216,16 +212,14 @@ object EventStreams {
       sum(col("n_input")).as("n_input"),
       sum(col("n_gopher")).as("n_gopher"),
       sum(col("n_rep")).as("n_rep"),
-      // all-null sketches (no survivor in any batch) → 0 distinct, not null
-      coalesce(hll_sketch_estimate(hll_union_agg(col("norm_sketch"), lit(false))),
+      // allowDifferentLgConfigK=true: a stream restarted with another
+      // lgK must not make the landing dir unreadable (the union
+      // downgrades to the coarser precision); all-null sketches (no
+      // survivor in any batch) → 0 distinct, not null
+      coalesce(hll_sketch_estimate(hll_union_agg(col("norm_sketch"), lit(true))),
         lit(0L)).as("n_dedup"))
-    c.select(expr("stack(4, " +
-        "'1_input', n_input, '2_gopher', n_gopher, " +
-        "'3_repetition', n_rep, '4_dedup_normalized', n_dedup) AS (stage, n_pass)"),
-        col("n_input"))
-      .select(col("stage"), col("n_pass"),
-        (col("n_pass").cast("double") / col("n_input")).as("pass_rate"))
-      .orderBy("stage")
+    // same stacked 4-stage shape as the batch report — shared builder
+    graft.operators.CurationOps.stackFunnel(c)
   }
 
   /** Streaming heavy hitters, landing side: each micro-batch lands its
@@ -286,7 +280,7 @@ object EventStreams {
   def mergedSketchEstimate(s: SparkSession, baseDir: String): DataFrame =
     s.read.parquet(baseDir)
       .groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("approx_users"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("approx_users"))
       .orderBy("event_type")
 
   /** Stream-stream interval join — the streaming twin of
