@@ -324,6 +324,31 @@ object Jobs {
     path
   }
 
+  /** world_map_features — the choropleth render frame summarized as a
+    * queryable geometry panel: per country, how many polygons (islands)
+    * and vertices its boundary carries, its lon/lat bbox, and whether
+    * stats joined (the reference's merged naturalearth frame,
+    * world_map_transformer.py:205–208, as data instead of pixels).
+    * Rows-only: the geometry comes from the in-code
+    * [[graft.sources.WorldBoundaries]] dim, which has no DuckDB twin
+    * table. All geometry math is array-fold projection over the
+    * broadcast-joined dim — bounded by the planet, zero fact shuffles. */
+  def worldMapFeatures(s: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val world = withBoundaryGeometry(s,
+      SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir)))
+    val pts = flatten(flatten(col("geometry.coordinates")))
+    def lons = transform(pts, p => element_at(p, 1))
+    def lats = transform(pts, p => element_at(p, 2))
+    world.select(col("alpha3"), col("continent"),
+      size(col("geometry.coordinates")).cast("long").as("n_polygons"),
+      size(pts).cast("long").as("n_vertices"),
+      array_min(lons).as("lon_min"), array_max(lons).as("lon_max"),
+      array_min(lats).as("lat_min"), array_max(lats).as("lat_max"),
+      col("perc_dif").isNotNull.as("has_data"))
+      .orderBy("alpha3")
+  }
+
   /** Attach boundary geometry to a world-table frame: broadcast join
     * against the deterministic [[graft.sources.WorldBoundaries]] dim on
     * alpha3 (the reference's naturalearth merge, world_map_transformer

@@ -141,6 +141,9 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => CurationOps.stratifiedSample(s, d)),
     // layout (write-path; rows-only — emits the landed pruning geometry)
     "zorder_layout" -> ((s, d) => LayoutOps.zorderLayout(s, d)),
+    // choropleth render frame (rows-only — geometry from the in-code
+    // boundary dim, the naturalearth analog)
+    "world_map_features" -> (Jobs.worldMapFeatures(_, _)),
     // streaming (#36, batch twin — streaming path in EventStreams + spec)
     "stream_window_agg" -> (EventStreams.streamWindowAggBatch(_, _)))
 
@@ -198,6 +201,8 @@ object SparkEntry {
       "TextAndMmSpec: 'mm_features: fixed-dim unit vectors, one per document, all-scalar output'"),
     "mm_frames" -> ("frame sampling over binary payloads (stubbed codec) has no SQL twin",
       "TextAndMmSpec: 'mm_frames: sampled frame indices, lengths bounded by frame size'"),
+    "world_map_features" -> ("boundary geometry comes from the in-code WorldBoundaries dim (the naturalearth analog) — no DuckDB twin table to query",
+      "WorldBoundariesSpec (ring/area/bbox/alias invariants) + JobsSpec: 'geojson export: ...' known-shape asserts"),
     "zorder_layout" -> ("write-path layout job: the result is landed file pruning geometry, not a SQL-expressible query",
       "LayoutSpec: 'z-ordered files bound BOTH dimensions; sorted layout only one'"))
 }

@@ -81,6 +81,27 @@ class WorldBoundariesSpec extends AnyFunSuite {
     assert(jpn.forall(p => p(0) > 128 && p(0) < 147 && p(1) > 30 && p(1) < 46))
   }
 
+  test("world_map_features: geometry panel matches the parsed boundary rows") {
+    val rows = Jobs.worldMapFeatures(s, sf).collect()
+    assert(rows.length == 25)
+    val byA3 = rows.map(r => r.getAs[String]("alpha3") -> r).toMap
+    val expected = WorldBoundaries.rows
+      .map(r => r.alpha3 -> r.coordinates).toMap
+    byA3.foreach { case (a3, r) =>
+      val polys = expected(a3)
+      assert(r.getAs[Long]("n_polygons") == polys.length.toLong, s"$a3 polygons")
+      assert(r.getAs[Long]("n_vertices") ==
+        polys.flatten.map(_.length).sum.toLong, s"$a3 vertices")
+      val pts = polys.flatten.flatten
+      assert(r.getAs[Double]("lon_min") == pts.map(_(0)).min, s"$a3 bbox")
+      assert(r.getAs[Double]("lat_max") == pts.map(_(1)).max, s"$a3 bbox")
+    }
+    // the iso-miss country (nationkey 5, the deliberate lookup miss)
+    // can never join stats; which OTHERS have facts depends on the SF
+    assert(!byA3("NATION_5_A3").getAs[Boolean]("has_data"))
+    assert(rows.exists(_.getAs[Boolean]("has_data")), "some country has stats")
+  }
+
   test("dim DataFrame: broadcast-shaped MultiPolygon rows joinable on the synthetic key") {
     val d = WorldBoundaries.dim(s)
     assert(d.count() == 25)
