@@ -349,6 +349,22 @@ object OracleSql {
         |FROM customer c LEFT JOIN big b ON c_custkey=b.o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    // skew_join_salted / bloom_prune_join: the oracle is the PLAIN join —
+    // salting and bloom pruning are semantics-preserving physical
+    // rewrites, so equality with the unrewritten join is the whole claim.
+    "skew_join_salted" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_items,
+         |  ${sumE2("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "bloom_prune_join" ->
+      s"""SELECT l_orderkey AS o_orderkey, l_linenumber,
+         |  ${e2("l_extendedprice")} AS cents, o_orderpriority
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         |WHERE o_orderkey % 100 = 0
+         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
     "rollup_agg" ->
       s"""SELECT r_name AS region_name, n_name AS nation_name, COUNT(*) AS n_cust,
          |  CAST(SUM(${e2("c_acctbal")}) AS DOUBLE)/100.0 AS total_bal

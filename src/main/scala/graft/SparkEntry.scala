@@ -51,6 +51,8 @@ object SparkEntry {
     "profile_table" -> (CoreOps.profileTable(_, _)),
     "funnel_steps" -> (CoreOps.funnelSteps(_, _)),
     "semi_anti_join" -> (CoreOps.semiAntiJoin(_, _)),
+    "skew_join_salted" -> (JoinOps.skewJoinSalted(_, _)),
+    "bloom_prune_join" -> (JoinOps.bloomPruneJoin(_, _)),
     "set_ops" -> (CoreOps.setOps(_, _)),
     "rollup_agg" -> (CoreOps.rollupAgg(_, _)),
     "cube_agg" -> (CoreOps.cubeAgg(_, _)),

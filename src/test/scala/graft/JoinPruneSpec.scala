@@ -36,6 +36,19 @@ class JoinPruneSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("bloom_prune_join query key: native prune in plan, equals the plain join") {
+    val q = graft.operators.JoinOps.bloomPruneJoin(s, sf)
+    assert(q.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "query must actually route through the bloom prune")
+    val plain = Tables.lineitem(s, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .join(Tables.orders(s, sf).filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select("o_orderkey", "o_orderpriority"), Seq("o_orderkey"))
+      .orderBy("o_orderkey", "l_linenumber")
+    assert(q.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("text_tfidf: scores match a local recomputation; top-k per doc") {
     val out = graft.operators.TextOps.textTfidf(s, sf).collect()
     assert(out.nonEmpty)

@@ -27,4 +27,19 @@ class SkewJoinSpec extends AnyFunSuite {
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("__salt") || plan.contains("hashpartitioning"), plan.take(800))
   }
+
+  test("skew_join_salted query key: joins on the salt, equals the plain-join aggregate") {
+    val q = graft.operators.JoinOps.skewJoinSalted(s, sf)
+    assert(q.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "query must actually route through the salted join")
+    val li = Tables.lineitem(s, sf)
+    val sup = Tables.supplier(s, sf)
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5))
+          .cast("double") / 100.0).as("revenue"))
+      .orderBy("s_nationkey")
+    assert(q.collect().toSeq == plain.collect().toSeq)
+  }
 }
