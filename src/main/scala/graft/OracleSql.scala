@@ -349,6 +349,27 @@ object OracleSql {
         |FROM customer c LEFT JOIN big b ON c_custkey=b.o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    // incremental_stats: the oracle is the DIRECT one-pass computation —
+    // Spark merges per-(type, day) moment partials, so hash equality
+    // proves merge-of-partials == direct.
+    "incremental_stats" -> {
+      val vc = e2("value")
+      s"""WITH m AS (SELECT event_type,
+         |  CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_partials,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  SUM(CAST($vc AS HUGEINT)) AS s1,
+         |  SUM(CAST($vc AS HUGEINT)*$vc) AS s2,
+         |  MIN($vc) AS mn, MAX($vc) AS mx
+         |FROM events GROUP BY 1)
+         |SELECT event_type, n_partials, n,
+         |  CAST(s1 AS DOUBLE)/100.0 AS sum_v,
+         |  CAST(mn AS DOUBLE)/100.0 AS min_v,
+         |  CAST(mx AS DOUBLE)/100.0 AS max_v,
+         |  CASE WHEN n > 1 THEN CAST(n*s2 - s1*s1 AS DOUBLE) /
+         |    (CAST(n AS DOUBLE)*(n-1)) / 10000.0 END AS var_v
+         |FROM m ORDER BY event_type""".stripMargin
+    },
+
     // skew_join_salted / bloom_prune_join: the oracle is the PLAIN join —
     // salting and bloom pruning are semantics-preserving physical
     // rewrites, so equality with the unrewritten join is the whole claim.

@@ -49,6 +49,7 @@ object SparkEntry {
     "histogram" -> ((s, d) => CoreOps.histogram(s, d)),
     "latest_by_key" -> (CoreOps.latestByKey(_, _)),
     "profile_table" -> (CoreOps.profileTable(_, _)),
+    "incremental_stats" -> (CoreOps.incrementalStats(_, _)),
     "funnel_steps" -> (CoreOps.funnelSteps(_, _)),
     "semi_anti_join" -> (CoreOps.semiAntiJoin(_, _)),
     "skew_join_salted" -> (JoinOps.skewJoinSalted(_, _)),

@@ -347,6 +347,47 @@ object CoreOps {
       .orderBy("col_name")
   }
 
+  /** #19n incremental_stats — incremental maintenance of per-type value
+    * statistics: exact algebraic moments (n, Σcents, Σcents² in
+    * decimal(38,0), min, max) are built per (event_type, day) partition —
+    * the landed-partial shape a 100 TB history maintains — and MERGED to
+    * global per-type stats by summing the moments. The oracle computes
+    * the same stats in ONE direct pass, so cross-engine hash equality IS
+    * the proof that merge-of-partials == direct (the moments are
+    * associative and exact). Two bounded keyed shuffles (types×days,
+    * then types); a new day's partial folds in without touching history
+    * (Round6OpsSpec lands the partials to parquet and re-merges). */
+  def incrementalStats(s: SparkSession, dir: String): DataFrame =
+    mergeStatsPartials(statsPartials(Tables.events(s, dir)))
+
+  /** The per-(type, day) mergeable moment partials. */
+  def statsPartials(events: DataFrame): DataFrame = {
+    val cents = Det.e2(col("value")).cast("decimal(38,0)")
+    events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"),
+        min(Det.e2(col("value")).cast("long")).as("mn"),
+        max(Det.e2(col("value")).cast("long")).as("mx"))
+  }
+
+  /** Merge moment partials → per-type stats (sum/min/max of moments). */
+  def mergeStatsPartials(partials: DataFrame): DataFrame =
+    partials.groupBy("event_type")
+      .agg(count(lit(1)).as("n_partials"), sum("n").as("n"),
+        sum("s1").as("s1"), sum("s2").as("s2"),
+        min("mn").as("mn"), max("mx").as("mx"))
+      .select(col("event_type"), col("n_partials"), col("n"),
+        (col("s1").cast("double") / 100.0).as("sum_v"),
+        (col("mn").cast("double") / 100.0).as("min_v"),
+        (col("mx").cast("double") / 100.0).as("max_v"),
+        when(col("n") > 1,
+          (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1)) / 10000.0)
+          .as("var_v"))
+      .orderBy("event_type")
+
   /** #19i funnel_steps — ordered-event funnel (view → click → purchase):
     * a user counts toward step k only if step k's event happens AT OR
     * AFTER their first step k-1 event.
