@@ -1012,6 +1012,50 @@ object OracleSql {
          |  CAST(SUM(CASE WHEN f.freq <= ${graft.operators.TextOps.RareMaxFreq} THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) <= ${graft.operators.TextOps.RareMaxFrac} AS keep
          |FROM t JOIN f USING (tok) GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    // the 5-term concat chain mirrors TextOps.SpanK = 5 (same w[i]||' '||…
+    // shape as ngram_counts/decontaminate, two terms wider)
+    "repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS gram
+         |      FROM t, UNNEST(generate_series(1, len(w)-${graft.operators.TextOps.SpanK - 1})) AS u(i)
+         |      WHERE len(w) >= ${graft.operators.TextOps.SpanK}),
+         |gd AS (SELECT gram, doc_id, COUNT(*) AS cnt FROM g GROUP BY gram, doc_id),
+         |wd AS (SELECT doc_id, cnt,
+         |       COUNT(*) OVER (PARTITION BY gram) AS n_docs FROM gd),
+         |per AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_spans,
+         |        CAST(SUM(CASE WHEN n_docs >= ${graft.operators.TextOps.SpanDupMinDocs}
+         |                 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |        FROM wd GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+         |  CASE WHEN COALESCE(n_spans, 0) > 0
+         |       THEN CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // unrolled power iteration: GraphOps.PRIterations rounds of the exact
+    // integer recurrence (teleport + (85*(pr//deg))//100 per in-edge) —
+    // BIGINT-only arithmetic, so the recursion is hash-exact vs Spark
+    "graph_pagerank" -> {
+      val t = graft.operators.GraphOps.TeleportE12
+      val steps = (1 to graft.operators.GraphOps.PRIterations).map { k =>
+        s"""r$k AS (SELECT e.dst AS node,
+           |  $t + CAST(SUM((85 * (r.pr // d.deg)) // 100) AS BIGINT) AS pr
+           |  FROM r${k - 1} r JOIN deg d ON r.node = d.node
+           |  JOIN edges e ON r.node = e.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+         |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+         |$steps
+         |SELECT node AS node_id,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |  node // 2 AS key, pr AS rank_e12
+         |FROM r${graft.operators.GraphOps.PRIterations} ORDER BY node_id""".stripMargin
+    },
+
     "token_histogram" ->
       """WITH d AS (SELECT source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),

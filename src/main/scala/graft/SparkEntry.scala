@@ -103,6 +103,8 @@ object SparkEntry {
     "gopher_gates" -> (TextOps.gopherGates(_, _)),
     "dedup_incremental" -> (DedupOps.dedupIncremental(_, _)),
     "rare_token_stats" -> (TextOps.rareTokenStats(_, _)),
+    "repeated_spans" -> (TextOps.repeatedSpans(_, _)),
+    "graph_pagerank" -> (GraphOps.graphPagerank(_, _)),
     "token_histogram" -> (CurationOps.tokenHistogram(_, _)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashVerified(s, d)),

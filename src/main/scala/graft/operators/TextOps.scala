@@ -571,4 +571,49 @@ object TextOps {
           .as("eff_chars"))
       .orderBy("doc_id")
   }
+
+  val SpanK = 5          // span width in tokens
+  val SpanDupMinDocs = 2 // a span is "duplicated" once this many docs carry it
+
+  /** repeated_spans — per-document SPAN-level duplication panel: the
+    * fraction of a document's [[SpanK]]-token windows whose exact text
+    * also occurs in ≥ [[SpanDupMinDocs]] documents. Document-level dedup
+    * (the `dedup_*` family) misses boilerplate STITCHED INTO otherwise
+    * unique pages (headers, license blocks, templated paragraphs) — the
+    * substring-duplication signal the training-data dedup literature
+    * removes at span granularity. This panel scores it so curation can
+    * gate on `dup_frac` the way it gates on repetition_stats.
+    *
+    * Plan shape: explode to gram occurrences (fuses into the scan), ONE
+    * partial-agg shuffle to the (gram, doc) level, one gram-keyed window
+    * for the document-frequency count (partition size = docs sharing the
+    * gram — boilerplate-bounded, same profile as the LSH bucket caps),
+    * then a doc-keyed partial agg. No join against an occurrence-level
+    * frame, so the widest shuffle is the collapsed (gram, doc) frame,
+    * ≤ one row per distinct span per doc. */
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
+    repeatedSpansDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (ScaleProbe / LongDocSpec entry). */
+  def repeatedSpansDocs(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gd = documents
+      .select(col("doc_id"), explode(DedupOps.wordGrams(col("text"), SpanK)).as("gram"))
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("cnt"))
+    val per = gd
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("gram")))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_spans"),
+        sum(when(col("n_docs") >= SpanDupMinDocs, col("cnt")).otherwise(0L))
+          .as("n_dup_spans"))
+    documents.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+            col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }
