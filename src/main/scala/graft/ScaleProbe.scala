@@ -19,6 +19,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(16)
+    // optional comma-separated probe-label filter (dev iteration: re-probe
+    // one operator without paying for the whole sweep)
+    val only = args.lift(2).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -41,6 +44,7 @@ object ScaleProbe {
         col("event_id").as("p_event"), col("value").as("p_value"))
 
     def time(label: String, scale: Int, df: => DataFrame): Unit = {
+      if (!only.forall(_.contains(label))) return
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -50,7 +54,9 @@ object ScaleProbe {
       println(s"""{"probe":"$label","scale":$scale,"wall_sec":${f"$wall%.2f"},"rows":$rows}""")
     }
 
-    for (k <- Seq(1, 4, factor)) {
+    val eventProbes = Set("asof_window", "asof_native", "merge_intervals",
+      "asof_nearest", "cooccurrence_pairs", "lag_features", "spatial_join")
+    for (k <- Seq(1, 4, factor) if only.forall(_.exists(eventProbes))) {
       val e = grown(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count() // materialize outside the timings
       val c = clicks(e); val p = purchases(e)
@@ -90,7 +96,7 @@ object ScaleProbe {
     // holds, touched-file FRACTION shrinks ~1/k (absolute touched count
     // stays ~flat) — that is what stats-based pruning buys at 100 TB.
     val docsBase = Tables.documents(spark, sfDir)
-    for (k <- Seq(1, 4, factor)) {
+    for (k <- Seq(1, 4, factor) if only.forall(_.contains("zorder_write"))) {
       val e = grown(k).select(col("user_id"), col("us"), col("event_type"))
       val out = java.nio.file.Files.createTempDirectory(s"graft_probe_z$k").toString
       val t0 = System.nanoTime()
@@ -116,7 +122,10 @@ object ScaleProbe {
     def grownDocs(k: Int): DataFrame =
       (0 until k).map(i => docsBase.withColumn("doc_id", col("doc_id") + lit(i * maxDoc)))
         .reduce(_ unionByName _)
-    for (k <- Seq(1, 4, factor)) {
+    val docProbes = Set("pack_sequences", "curation_report", "mix_drift",
+      "token_histogram", "rare_token_stats", "decontaminate", "bm25",
+      "repeated_spans")
+    for (k <- Seq(1, 4, factor) if only.forall(_.exists(docProbes))) {
       val d = grownDocs(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()
       time("pack_sequences", k, graft.operators.CurationOps.packSequencesDocs(d))
@@ -139,14 +148,42 @@ object ScaleProbe {
       // BM25 output is top-k (fixed rows) — the probe measures that wall
       // stays scan-bound as the corpus grows (stats stay one broadcast row)
       time("bm25", k, graft.operators.RetrievalOps.bm25Docs(d))
+      // span-dup panel: replica text is identical, so every gram's doc
+      // frequency grows kx but the COLLAPSED (gram,doc) frame — the
+      // widest shuffle — grows exactly kx; output rows = docs = kx
+      time("repeated_spans", k, graft.operators.TextOps.repeatedSpansDocs(d))
       d.unpersist()
+    }
+
+    // ---- graph_pagerank: disjoint-subgraph growth ----
+    // Each replica shifts order/customer/supplier keys into their own id
+    // ranges, so the co-purchase graph becomes k disjoint copies: edges,
+    // nodes, and output rows must grow EXACTLY kx, and every iteration's
+    // two keyed shuffles carry kx volume — any super-linear wall means a
+    // shuffle is amplifying (the 100 TB failure mode for iterative ops)
+    val liBase = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val ordBase = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val maxOrd = ordBase.agg(max("o_orderkey")).head().getLong(0) + 1
+    val maxCust = ordBase.agg(max("o_custkey")).head().getLong(0) + 1
+    val maxSupp = liBase.agg(max("l_suppkey")).head().getLong(0) + 1
+    for (k <- Seq(1, 4, factor) if only.forall(_.contains("graph_pagerank"))) {
+      val li = (0 until k).map(i => liBase
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrd))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * maxSupp)))
+        .reduce(_ unionByName _)
+      val ord = (0 until k).map(i => ordBase
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust)))
+        .reduce(_ unionByName _)
+      time("graph_pagerank", k, graft.operators.GraphOps.graphPagerankFrames(li, ord))
+      spark.catalog.clearCache()
     }
 
     // ---- connector-fed dedup: generated corpora through MinHash-LSH ----
     // The DSv2 source generates rows in-task (no I/O), so this measures
     // the OPERATOR pipeline itself — native signature expression + banded
     // bucket join — at corpus sizes testdata doesn't reach.
-    for (n <- Seq(100000, 1000000)) {
+    for (n <- Seq(100000, 1000000) if only.forall(_.contains("synth_minhash_lsh"))) {
       val d = spark.read.format(classOf[graft.sources.SynthDocsSource].getName)
         .option("rows", n).option("partitions", 64).load()
       time("synth_minhash_lsh", n, graft.operators.DedupOps.minhashCandidates(d))

@@ -56,9 +56,13 @@ object GraphOps {
     * corr_agg pattern) so Σ contributions stays inside int64 — the
     * scaladoc'd bound is nodes × 1e12 × 85 < 2⁶³, i.e. ~10⁵ nodes at
     * this seed. */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graphPagerankFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Core on any lineitem/orders-shaped frames (ScaleProbe entry point). */
+  def graphPagerankFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_suppkey")
+    val ord = orders.select("o_orderkey", "o_custkey")
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()

@@ -161,6 +161,24 @@ class LongDocSpec extends AnyFunSuite {
       // rest of the top-100
       assert(top.drop(1).take(10).forall(_.getAs[Long]("n_total") >= 1999L))
     }
+    timed("repeated_spans") {
+      // the (gram,doc) collapse is the guard: doc 1's 100k occurrences of
+      // 50 distinct 5-grams collapse to 50 rows, doc 2's 1.2M all-distinct
+      // grams stay 1-per-row — both linear; a doc-5 clone of doc 4 pins
+      // the cross-doc dup semantics at full span coverage
+      import s.implicits._
+      val withClone = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(Seq((5L, doc4)).toDF("doc_id", "text"))
+      val rs = TextOps.repeatedSpansDocs(withClone).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Double]("dup_frac")))).toMap
+      assert(rs(1L)._2 == 0.0 && rs(2L)._2 == 0.0 && rs(3L)._2 == 0.0,
+        "intra-doc repetition is NOT cross-doc duplication")
+      assert(rs(4L) == ((16L, 1.0)) && rs(5L) == ((16L, 1.0)),
+        s"cloned doc must be fully span-duplicated: ${rs(4L)} / ${rs(5L)}")
+      assert(rs(2L)._1 == 1199996L, "all-distinct doc span count")
+    }
     timed("gopher_gates") {
       // per-token rlike + per-line lambdas are interpreted but O(L) —
       // the monster docs prove no hidden quadratic
