@@ -1033,6 +1033,32 @@ object OracleSql {
          |       ELSE 0.0 END AS dup_frac
          |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // same SpanK=5 gram chain as repeated_spans; positions are 1-based
+    // here vs Spark's 0-based posexplode — they never cross engines, only
+    // key the anti-join within each
+    "span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, i AS pos,
+         |        w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS gram
+         |      FROM t, UNNEST(generate_series(1, len(w)-${graft.operators.TextOps.SpanK - 1})) AS u(i)
+         |      WHERE len(w) >= ${graft.operators.TextOps.SpanK}),
+         |df AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+         |       GROUP BY gram HAVING COUNT(*) >= ${graft.operators.TextOps.SpanDupMinDocs}),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS wpos
+         |        FROM g SEMI JOIN df USING (gram),
+         |             UNNEST(generate_series(0, ${graft.operators.TextOps.SpanK - 1})) AS v(j)),
+         |words AS (SELECT doc_id, i AS wpos, w[i] AS word
+         |          FROM t, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         string_agg(word, ' ' ORDER BY wpos) AS clean_text
+         |         FROM (SELECT * FROM words ANTI JOIN cov USING (doc_id, wpos))
+         |         GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(string_split(d.text, ' ')) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // unrolled power iteration: GraphOps.PRIterations rounds of the exact
     // integer recurrence (teleport + (85*(pr//deg))//100 per in-edge) —
     // BIGINT-only arithmetic, so the recursion is hash-exact vs Spark

@@ -124,7 +124,7 @@ object ScaleProbe {
         .reduce(_ unionByName _)
     val docProbes = Set("pack_sequences", "curation_report", "mix_drift",
       "token_histogram", "rare_token_stats", "decontaminate", "bm25",
-      "repeated_spans")
+      "repeated_spans", "span_scrub")
     for (k <- Seq(1, 4, factor) if only.forall(_.exists(docProbes))) {
       val d = grownDocs(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()
@@ -152,6 +152,10 @@ object ScaleProbe {
       // frequency grows kx but the COLLAPSED (gram,doc) frame — the
       // widest shuffle — grows exactly kx; output rows = docs = kx
       time("repeated_spans", k, graft.operators.TextOps.repeatedSpansDocs(d))
+      // scrub: at k>1 every replica doc is a clone, so EVERYTHING is
+      // covered — the covered-position explode hits its worst case
+      // (positions = words × k) and must still track the scan linearly
+      time("span_scrub", k, graft.operators.TextOps.spanScrubDocs(d))
       d.unpersist()
     }
 

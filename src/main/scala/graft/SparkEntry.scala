@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_incremental" -> (DedupOps.dedupIncremental(_, _)),
     "rare_token_stats" -> (TextOps.rareTokenStats(_, _)),
     "repeated_spans" -> (TextOps.repeatedSpans(_, _)),
+    "span_scrub" -> (TextOps.spanScrub(_, _)),
     "graph_pagerank" -> (GraphOps.graphPagerank(_, _)),
     "token_histogram" -> (CurationOps.tokenHistogram(_, _)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),

@@ -616,4 +616,54 @@ object TextOps {
           .otherwise(lit(0.0)).as("dup_frac"))
       .orderBy("doc_id")
   }
+
+  /** span_scrub — the TRANSFORM counterpart of [[repeatedSpans]]: excise
+    * every cross-doc duplicated span from each document and re-emit the
+    * cleaned text. A word is removed when ANY duplicated [[SpanK]]-gram
+    * (one appearing in ≥ [[SpanDupMinDocs]] docs — the same criterion as
+    * the panel) covers its position; survivors re-join in order. This is
+    * span-granular dedup: the boilerplate run disappears while the
+    * unique prose around it survives, where doc-level dedup would either
+    * keep the whole page (missed boilerplate) or drop it (lost prose).
+    *
+    * Plan shape: gram occurrences carry their start position; the dup
+    * gram set is a semi-join against the collapsed (gram, doc) frame's
+    * df filter; covered word positions explode only from DUP occurrences
+    * (boilerplate-bounded, not corpus-bounded); kept words are a
+    * (doc, pos)-keyed anti-join; reassembly is one per-doc aggregation
+    * whose sort is bounded by the longest document (the text_tfidf
+    * window precedent). Everything shuffles on (doc, pos) or gram keys —
+    * linear end to end. */
+  def spanScrub(s: SparkSession, dir: String): DataFrame =
+    spanScrubDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (ScaleProbe / LongDocSpec entry). */
+  def spanScrubDocs(documents: DataFrame): DataFrame = {
+    val g = documents
+      .select(col("doc_id"), posexplode(DedupOps.wordGrams(col("text"), SpanK)))
+      .toDF("doc_id", "pos", "gram")
+    val dupGrams = g.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= SpanDupMinDocs)
+      .select("gram")
+    val covered = g.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("wpos"))
+      .distinct()
+    val words = documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "wpos", "word")
+    val kept = words.join(covered, Seq("doc_id", "wpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("wpos"), col("word")))),
+          x => x.getField("word")), " ").as("clean_text"))
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

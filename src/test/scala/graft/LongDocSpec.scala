@@ -179,6 +179,20 @@ class LongDocSpec extends AnyFunSuite {
         s"cloned doc must be fully span-duplicated: ${rs(4L)} / ${rs(5L)}")
       assert(rs(2L)._1 == 1199996L, "all-distinct doc span count")
     }
+    timed("span_scrub") {
+      // worst cases meet: doc 2's 1.2M kept words re-sort in ONE group
+      // (bounded by the longest doc), and clones 4/5 drive the covered-
+      // position explode; the monsters stay unique so survive whole
+      import s.implicits._
+      val withClone = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(Seq((5L, doc4)).toDF("doc_id", "text"))
+      val sc = TextOps.spanScrubDocs(withClone).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+      assert(sc(2L) == 0L && sc(1L) == 0L && sc(3L) == 0L,
+        "unique monsters survive scrubbing whole")
+      assert(sc(4L) == 20L && sc(5L) == 20L, "clones scrub to empty")
+    }
     timed("gopher_gates") {
       // per-token rlike + per-line lambdas are interpreted but O(L) —
       // the monster docs prove no hidden quadratic

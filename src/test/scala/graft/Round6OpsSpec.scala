@@ -55,6 +55,26 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out(5L)._3 > 0.0 && out(5L)._3 < 1.0)
   }
 
+  test("span_scrub: boilerplate excised exactly, unique prose survives in order") {
+    import s.implicits._
+    val boiler = "all rights reserved by the publisher"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler),
+      (3L, "completely original sentence nobody else wrote"),
+      (4L, "too short"),
+      (5L, s"unique page header then $boiler and unique page footer text")
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanScrubDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    assert(out(1L) == ((6L, 6L, "")), "fully duplicated doc scrubs to empty")
+    assert(out(2L) == ((6L, 6L, "")))
+    assert(out(3L)._2 == 0L && out(3L)._3 == "completely original sentence nobody else wrote")
+    assert(out(4L) == ((2L, 0L, "too short")), "sub-SpanK doc untouched")
+    assert(out(5L) == ((15L, 6L, "unique page header then and unique page footer text")),
+      s"stitched boilerplate excised, prose intact in order: got ${out(5L)}")
+  }
+
   test("graph_pagerank: fixed-point recurrence matches an independent replay; hubs outrank leaves") {
     import s.implicits._
     // star: hub 0 <-> leaves 1..4, plus an appendix path 4 <-> 5
