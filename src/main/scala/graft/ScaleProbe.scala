@@ -31,7 +31,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ev = Tables.events(spark, sfDir).withColumn("us", expr("ts div 1000"))
+    val ev = Tables.eventsUs(spark, sfDir)
     val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
     def grown(k: Int): DataFrame =
       (0 until k).map(i => ev.withColumn("user_id", col("user_id") + lit(i * maxUser)))

@@ -20,13 +20,15 @@ object Sql {
     "lineitem", "events", "documents", "embeddings")
 
   /** Register all tables under their canonical names. `events` is
-    * registered with the microsecond-timestamp `ts` (the ns→µs
-    * normalization every query here uses); the raw nanos view is
-    * `events_ns`. */
+    * registered with `ts` normalized to a microsecond TimestampType
+    * (whatever the physical parquet shape — [[Tables.eventsMicros]]);
+    * the raw un-normalized scan stays visible as `events_raw`
+    * (`events_ns` remains as an alias from the nanos-file era). */
   def registerViews(s: SparkSession, sfDir: String): Unit = {
     TableNames.filterNot(_ == "events").foreach { n =>
       Tables.table(s, sfDir, n).createOrReplaceTempView(n)
     }
+    Tables.events(s, sfDir).createOrReplaceTempView("events_raw")
     Tables.events(s, sfDir).createOrReplaceTempView("events_ns")
     Tables.eventsMicros(s, sfDir).createOrReplaceTempView("events")
   }

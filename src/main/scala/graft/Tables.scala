@@ -42,16 +42,49 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) — read as epoch-nanos LongType
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by every graft
-    * session entry point; Spark has no nanosecond timestamp type). */
+  /** Raw events scan. The driver has shipped `ts` in two physical shapes
+    * over time — parquet TIMESTAMP(NANOS) (read as epoch-nanos LongType
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`) and, since the
+    * 2026-08 regeneration, TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (read as TIMESTAMP_NTZ). Operators must NOT consume this directly:
+    * go through [[eventsMicros]]/[[eventsUs]], which normalize either
+    * shape to one contract. */
   def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
 
-  /** events with `ts` converted to a microsecond TimestampType column
-    * (`ns div 1000` — matches DuckDB's ns→us truncation for the oracle). */
-  def eventsMicros(s: SparkSession, d: String): DataFrame = {
+  /** events with `ts` normalized to a microsecond TimestampType column,
+    * whatever the physical parquet type of the source:
+    *  - LongType (legacy nanos-as-long): `timestamp_micros(ts div 1000)`
+    *    — same ns→µs truncation DuckDB applies, keeping the oracle exact;
+    *  - TIMESTAMP_NTZ (current TIMESTAMP_MICROS files): cast to
+    *    TimestampType — a pure reinterpretation under the UTC session
+    *    timezone every graft entry point sets;
+    *  - TimestampType: already canonical.
+    * This is the ONLY events entry operators should use (directly or via
+    * [[eventsUs]]); `ts div 1000` must never appear in an operator. */
+  def eventsMicros(s: SparkSession, d: String): DataFrame =
+    normalizeTs(events(s, d))
+
+  /** The [[eventsMicros]] normalization on ANY events-shaped frame —
+    * factored out so streaming `readStream` sources (whose schema is
+    * pinned up front) share the exact batch semantics. */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — adapt Tables.normalizeTs")
+    }
+  }
+
+  /** [[eventsMicros]] plus a `us: Long` epoch-microseconds column — the
+    * integer time axis the temporal/session/window operators key on
+    * (range windows, as-of joins, gap math all want a plain Long). */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    eventsMicros(s, d).withColumn("us", unix_micros(col("ts")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

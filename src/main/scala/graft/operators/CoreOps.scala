@@ -314,8 +314,7 @@ object CoreOps {
     * key, no per-partition sort of the whole fact table. */
   def latestByKey(s: SparkSession, dir: String): DataFrame = {
     val ord = struct(col("us"), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
       .groupBy("user_id")
       .agg(max_by(col("event_id"), ord).as("last_event"),
         max_by(col("event_type"), ord).as("last_type"),
@@ -358,13 +357,13 @@ object CoreOps {
     * then types); a new day's partial folds in without touching history
     * (Round6OpsSpec lands the partials to parquet and re-merges). */
   def incrementalStats(s: SparkSession, dir: String): DataFrame =
-    mergeStatsPartials(statsPartials(Tables.events(s, dir)))
+    mergeStatsPartials(statsPartials(Tables.eventsUs(s, dir)))
 
   /** The per-(type, day) mergeable moment partials. */
   def statsPartials(events: DataFrame): DataFrame = {
     val cents = Det.e2(col("value")).cast("decimal(38,0)")
     events
-      .withColumn("day", expr("ts div 86400000000000"))
+      .withColumn("day", expr("us div 86400000000"))
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
         sum(cents * cents).as("s2"),
@@ -402,7 +401,7 @@ object CoreOps {
     * bounded by that user's event count, the same bound sessionization
     * already carries. */
   def funnelSteps(s: SparkSession, dir: String): DataFrame =
-    funnelStepsFrom(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
+    funnelStepsFrom(Tables.eventsUs(s, dir))
 
   /** Funnel core on any (user_id, us, event_type) frame (testable). */
   def funnelStepsFrom(ev: DataFrame): DataFrame = {
@@ -460,8 +459,7 @@ object CoreOps {
     * makes the order deterministic without a fact-wide sort, and the
     * output is a scalar string — harness-sortable, no array column. */
   def eventPath(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
       .groupBy("user_id")
       .agg(concat_ws(">",
           transform(
@@ -535,8 +533,7 @@ object CoreOps {
       .rowsBetween(-9, Window.currentRow)
     val med = medOfSorted(array_sort(col("arr")), size(col("arr")))
     val n = size(col("arr"))
-    Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
       .withColumn("cents", graft.functions.Det.e2(col("value")).cast("long"))
       .withColumn("arr", collect_list(col("cents")).over(w))
       .select(col("event_id"), col("user_id"), n.cast("long").as("n_window"),
@@ -564,8 +561,7 @@ object CoreOps {
   def rollingMadOutliers(s: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
       .rowsBetween(-9, Window.currentRow)
-    val base = Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+    val base = Tables.eventsUs(s, dir)
       .withColumn("cents", graft.functions.Det.e2(col("value")).cast("long"))
       .withColumn("arr", collect_list(col("cents")).over(w))
       .withColumn("med", medOfSorted(array_sort(col("arr")), size(col("arr"))))
@@ -611,8 +607,7 @@ object CoreOps {
     * next-action-model primitive. */
   def eventTransitions(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val pairs = Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+    val pairs = Tables.eventsUs(s, dir)
       .withColumn("to_type", lead(col("event_type"), 1).over(wOrd))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
@@ -680,8 +675,7 @@ object CoreOps {
   def windowTimeRange(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"))
       .rangeBetween(-1800L * 1000000L, 0L)
-    Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
       .withColumn("n_30m", count(lit(1)).over(w))
       .withColumn("sum_30m", sum(Det.e2(col("value"))).over(w).cast("double") / lit(100.0))
       .select("event_id", "user_id", "us", "n_30m", "sum_30m")
@@ -699,11 +693,9 @@ object CoreOps {
   /** Shared sessionization core: every event with its session label and
     * the (us, value) columns downstream rollups need. */
   private def sessionized(s: SparkSession, dir: String): DataFrame = {
-    val us = expr("ts div 1000") // epoch-ns → µs, same truncation as the oracle
     val wLag = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .withColumn("us", us)
+    Tables.eventsUs(s, dir)
       .withColumn("prev", lag(col("us"), 1).over(wLag))
       .withColumn("is_new",
         when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
@@ -734,9 +726,9 @@ object CoreOps {
     * row_number; state per key is O(1), no global sort. */
   def scd2History(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    Tables.events(s, dir)
+    Tables.eventsUs(s, dir)
       .select(col("event_id"), col("user_id"),
-        col("event_type").as("state"), expr("ts div 1000").as("us"))
+        col("event_type").as("state"), col("us"))
       .withColumn("prev", lag(col("state"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("state"))
       .withColumn("valid_to_us", lead(col("us"), 1).over(w))

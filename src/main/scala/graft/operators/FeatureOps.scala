@@ -26,7 +26,7 @@ object FeatureOps {
     * hash-compares bit-identically with the SQL twin. The classic
     * feature-engineering frame for churn/LTV models. */
   def lagFeatures(s: SparkSession, dir: String): DataFrame =
-    lagFeaturesFrom(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
+    lagFeaturesFrom(Tables.eventsUs(s, dir))
 
   /** Core on any (event_id, user_id, event_type, us, value) frame. */
   def lagFeaturesFrom(ev: DataFrame): DataFrame = {
@@ -158,8 +158,7 @@ object FeatureOps {
     * Attributed value sums exact cents. */
   def attributionLastTouch(s: SparkSession, dir: String): DataFrame =
     attributionTouches(
-      Tables.events(s, dir)
-        .withColumn("us", expr("ts div 1000"))
+      Tables.eventsUs(s, dir)
         .withColumn("cents", Det.e2(col("value")).cast("long")))
       .groupBy("touch")
       .agg(count(lit(1)).as("n_conversions"),

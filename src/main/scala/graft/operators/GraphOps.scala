@@ -37,6 +37,16 @@ object GraphOps {
     * (85 × share) div 100. */
   val TeleportE12 = 150000000000L
 
+  /** Broadcast the per-round rank state when the graph has at most this
+    * many nodes (~24 B/node → ≤ ~100 MB in the driver/executors — well
+    * inside a production executor, decisively cheaper than the
+    * alternative: a checkpointed frame carries NO size statistics, so
+    * Catalyst assumes it is huge and sort-merge-joins the EDGE frame
+    * every round, re-sorting O(edges) per iteration). Past this bound
+    * the rounds fall back to the keyed shuffle join — the right plan
+    * once node state genuinely outgrows memory. */
+  val BroadcastNodesMax = 4000000L
+
   /** graph_pagerank — PageRank over the customer–supplier co-purchase
     * graph: an edge links a customer to every supplier that appeared on
     * one of their orders (orders ⋈ lineitem on the order key, then
@@ -51,11 +61,14 @@ object GraphOps {
     * shuffle; each iteration is one keyed join (ranks ⋈ edges on src)
     * and one partial-agg groupBy(dst) — 2 shuffles per round over an
     * edge frame that is persisted once and reused by all rounds. Rank
-    * state is O(nodes), never O(edges). At ≥10⁶-node graphs the e12
-    * per-node seed mass must drop (or the sum move to decimal(38,0), the
-    * corr_agg pattern) so Σ contributions stays inside int64 — the
-    * scaladoc'd bound is nodes × 1e12 × 85 < 2⁶³, i.e. ~10⁵ nodes at
-    * this seed. */
+    * state is O(nodes), never O(edges), and is carried as decimal(38,0)
+    * through the rounds (the corr_agg pattern), so neither Σ
+    * contributions nor a hub's accumulated rank can wrap int64 at any
+    * node count. The final `rank_e12` column narrows to BIGINT for the
+    * oracle contract — exact while every per-node rank < 2⁶³, i.e.
+    * until a single node absorbs > 9.2×10¹⁸ of mass; total seeded mass
+    * is nodes × 1e12, so even the degenerate all-mass-to-one-hub graph
+    * is safe below ~9×10⁶ nodes, and any real graph far beyond. */
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     graphPagerankFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
 
@@ -63,9 +76,13 @@ object GraphOps {
   def graphPagerankFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val li = lineitem.select("l_orderkey", "l_suppkey")
     val ord = orders.select("o_orderkey", "o_custkey")
+    // persist the NARROW half: both union branches (and through them the
+    // degree agg and the eDeg join) re-read this 1× frame from cache
+    // instead of re-running the join+distinct per consumer
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     pagerankOnEdges(edges, PRIterations)
@@ -73,7 +90,7 @@ object GraphOps {
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
         expr("node div 2").as("key"),
-        col("pr").as("rank_e12"))
+        col("pr").cast("long").as("rank_e12"))
       .orderBy("node_id")
   }
 
@@ -88,33 +105,60 @@ object GraphOps {
     * positives, matching DuckDB's `//` — the oracle's unrolled CTEs
     * compute the identical recurrence, so hash equality is exact.
     *
-    * Each round `localCheckpoint`s the rank frame (the
-    * connectedComponents lesson: iterated lineage otherwise re-executes
-    * every prior round), and the degree-annotated edge frame is
-    * persisted once up front. */
+    * The rank frame `localCheckpoint`s every SECOND round plus the last
+    * (the connectedComponents lesson: iterated lineage otherwise
+    * re-executes every prior round — but a checkpoint per round paid a
+    * full materialization each time, the round-6 verdict's dominant
+    * cost; two rounds of join+agg lineage re-plan cheaply), and the
+    * degree-annotated edge frame is persisted once up front. */
   def pagerankOnEdges(edges: DataFrame, iterations: Int): DataFrame = {
-    val deg = edges.groupBy(col("src").as("node"))
+    // edge generation feeds TWO consumers (the degree agg and the eDeg
+    // join's probe side); callers hand in a frame whose expensive prefix
+    // is already persisted (graphPagerankFrames persists `pairs`), so
+    // the union/projection replay per consumer is cache-read cheap
+    val e = edges
+    val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+    // The LOOP-INVARIANT join lives outside the loop: annotate every edge
+    // with its source's out-degree ONCE, so a round is a single
+    // ranks⋈e_deg join + one groupBy(dst) — not the round-6 shape that
+    // re-joined ranks⋈deg every round (a per-round O(nodes) shuffle for
+    // a value that never changes). The persisted frame keeps the
+    // hash(src) partitioning of the join output, so each round's
+    // ranks-side shuffle is the only exchange the join needs.
+    val eDeg = e.join(deg.withColumnRenamed("node", "src"), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = deg.select(col("node"), lit(1000000000000L).as("pr"))
+    // seed ranks DERIVE FROM THE PERSISTED FRAME (one distinct over
+    // cached blocks) — deriving from `deg` would re-run the whole edge
+    // generation a second time just to list the nodes
+    var ranks = eDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000000000L).cast("decimal(38,0)").as("pr"))
       .localCheckpoint()
+    // one cheap O(1)-output job; decides the per-round join strategy
+    val broadcastRanks = ranks.count() <= BroadcastNodesMax
     var i = 0
     while (i < iterations) {
-      val contrib = ranks.join(deg, Seq("node"))
-        .select(col("node"), expr("(85 * (pr div deg)) div 100").as("contrib"))
-      // decimal(38,0) accumulation (the corr_agg / incremental_stats
-      // pattern): Σ contrib cannot silently wrap int64 on a hub node,
-      // and the DuckDB twin's HUGEINT sum is exactly as wide
-      ranks = e.join(contrib.withColumnRenamed("node", "src"), Seq("src"))
+      // `pr div deg` is IntegralDivide → BIGINT quotient (≤ the e12
+      // scale), ×85 stays in int64 — computed per edge, identical value
+      // per source, so inlining it into the edge join changes nothing.
+      // decimal(38,0) rank state (the corr_agg / incremental_stats
+      // pattern): Σ contrib cannot wrap int64 on a hub node at ANY node
+      // count, and the DuckDB twin's HUGEINT sum is exactly as wide.
+      val ranksSide = ranks.withColumnRenamed("node", "src")
+      val next = eDeg.join(
+          if (broadcastRanks) broadcast(ranksSide) else ranksSide, Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg((lit(TeleportE12) + sum(col("contrib").cast("decimal(38,0)")))
-          .cast("long").as("pr"))
-        .localCheckpoint()
+        .agg((lit(TeleportE12) +
+            sum(expr("(85 * (pr div deg)) div 100").cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("pr"))
+      // Checkpoint every SECOND round only, and never the last: the final
+      // frame is consumed exactly once downstream, so a checkpoint there
+      // would pay a full materialization purely to hand the sink a
+      // shorter lineage.
+      ranks = if (i % 2 == 1 && i != iterations - 1) next.localCheckpoint()
+        else next
       i += 1
     }
-    e.unpersist()
-    deg.unpersist()
     ranks
   }
 }

@@ -78,8 +78,8 @@ object LayoutOps {
     * the landing back and emit each file's bounding box (filename dropped —
     * output is the stable pruning geometry, one row per file). */
   def zorderLayout(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(s, dir)
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val ev = graft.Tables.eventsUs(s, dir)
+      .select(col("user_id"), col("us"), col("event_type"))
     // ONE overwrite-mode landing per (session, input dir): re-invocation
     // redoes the write (it IS the operator) but never grows /tmp
     val out = java.nio.file.Paths.get(

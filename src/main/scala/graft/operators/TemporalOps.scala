@@ -190,7 +190,7 @@ object TemporalOps {
     * brute-force-ranked DuckDB oracle. Clicks with no purchase drop
     * (join-style, as the oracle's inner join). */
   def asofClickPurchaseNearestNative(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val ev = Tables.eventsUs(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("us"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -212,7 +212,7 @@ object TemporalOps {
     * tiebreak (p_event, p_value) mirrors the window twin's struct order,
     * so the two operators are bit-identical even on (key, ts) ties. */
   def asofClickPurchaseNative(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val ev = Tables.eventsUs(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("us"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -229,7 +229,7 @@ object TemporalOps {
     * at or before it (event-time in epoch-µs, matching the oracle's
     * ns→µs truncation). */
   def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val ev = Tables.eventsUs(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("us"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -245,7 +245,7 @@ object TemporalOps {
   /** `range_join` query — clicks falling inside the 30-minute window
     * opened by each purchase of the same user. */
   def rangeClickInPurchaseWindow(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val ev = Tables.eventsUs(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("c_event"), col("user_id"), col("us"))
     val windows = ev.filter(col("event_type") === "purchase")
@@ -267,7 +267,7 @@ object TemporalOps {
     * first over the tagged union) replace any join: cost O(n log n) per
     * user partition, never clicks × purchases. */
   def asofNearest(s: SparkSession, dir: String): DataFrame =
-    asofNearestEvents(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
+    asofNearestEvents(Tables.eventsUs(s, dir))
 
   /** Core on any events-shaped frame (testable / probe-able). */
   def asofNearestEvents(ev: DataFrame): DataFrame = {
@@ -317,8 +317,7 @@ object TemporalOps {
     * family — one exchange total. */
   def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("us", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
       .withColumn("next_us", lead(col("us"), 1).over(wOrd))
       .filter(col("next_us").isNotNull)
       .select(col("user_id"),
@@ -347,7 +346,7 @@ object TemporalOps {
     * the final groupBy (same key family — no second shuffle); the sort is
     * in-partition. All-long arithmetic → exact oracle twin. */
   def mergeIntervals(s: SparkSession, dir: String): DataFrame =
-    mergeIntervalsEvents(Tables.events(s, dir).withColumn("us", expr("ts div 1000")))
+    mergeIntervalsEvents(Tables.eventsUs(s, dir))
 
   /** Core on any events-shaped frame (testable / probe-able). */
   def mergeIntervalsEvents(ev: DataFrame): DataFrame = {

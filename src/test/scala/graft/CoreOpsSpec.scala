@@ -144,8 +144,7 @@ class CoreOpsSpec extends AnyFunSuite {
       "histogram buckets must partition the table")
     hist.foreach(r => assert(r.getAs[Double]("lo") < r.getAs[Double]("hi")))
     // one-agg latest == the window-rank formulation
-    val viaWindow = Tables.events(s, sf)
-      .withColumn("us", expr("ts div 1000"))
+    val viaWindow = Tables.eventsUs(s, sf)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("user_id")
           .orderBy(col("us").desc, col("event_id").desc)))

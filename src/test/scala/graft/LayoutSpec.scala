@@ -23,8 +23,8 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("z-ordered files bound BOTH dimensions; sorted layout only one") {
-    val ev = Tables.events(s, sf)
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val ev = Tables.eventsUs(s, sf)
+      .select(col("user_id"), col("us"), col("event_type"))
     val files = 8
     val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
     val tDir = java.nio.file.Files.createTempDirectory("graft_t").toString

@@ -200,8 +200,8 @@ class Round5OpsSpec extends AnyFunSuite {
     val out = TemporalOps.mergeIntervals(s, sf).collect()
     assert(out.nonEmpty)
     // brute-force recompute from the raw purchase events
-    val iv = Tables.events(s, sf).filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts div 1000").as("lo")).collect()
+    val iv = Tables.eventsUs(s, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("lo")).collect()
       .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("lo"), r.getAs[Long]("lo") + 1800L * 1000000L))
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
     def merge(xs: List[(Long, Long)]): List[(Long, Long, Int)] =
@@ -231,8 +231,8 @@ class Round5OpsSpec extends AnyFunSuite {
     import graft.operators.TemporalOps
     val out = TemporalOps.asofNearest(s, sf).collect()
     assert(out.nonEmpty)
-    val ev = Tables.events(s, sf)
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+    val ev = Tables.eventsUs(s, sf)
+      .select(col("event_id"), col("user_id"), col("us"),
         col("event_type")).collect()
     val clicks = ev.filter(_.getAs[String]("event_type") == "click")
     val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
@@ -296,8 +296,8 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("n_window") >= 1 &&
       r.getAs[Long]("n_window") <= 10))
     val u = out.head.getAs[Long]("user_id")
-    val ev = Tables.events(s, sf).filter(col("user_id") === u)
-      .select(expr("ts div 1000").as("us"), col("event_id"), col("value")).collect()
+    val ev = Tables.eventsUs(s, sf).filter(col("user_id") === u)
+      .select(col("us"), col("event_id"), col("value")).collect()
       .map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"),
         math.floor(r.getAs[Double]("value") * 100.0 + 0.5).toLong))
       .sortBy(t => (t._1, t._2))
@@ -317,8 +317,8 @@ class Round5OpsSpec extends AnyFunSuite {
     val out = CoreOps.rollingMadOutliers(s, sf).collect()
     assert(out.nonEmpty)
     val u = out.head.getAs[Long]("user_id")
-    val ev = Tables.events(s, sf).filter(col("user_id") === u)
-      .select(expr("ts div 1000").as("us"), col("event_id"), col("value")).collect()
+    val ev = Tables.eventsUs(s, sf).filter(col("user_id") === u)
+      .select(col("us"), col("event_id"), col("value")).collect()
       .map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"),
         math.floor(r.getAs[Double]("value") * 100.0 + 0.5).toLong))
       .sortBy(t => (t._1, t._2))
@@ -346,8 +346,8 @@ class Round5OpsSpec extends AnyFunSuite {
     val out = TemporalOps.timeWeightedAvg(s, sf).collect()
     assert(out.nonEmpty)
     val u = out.head.getAs[Long]("user_id")
-    val ev = Tables.events(s, sf).filter(col("user_id") === u)
-      .select(expr("ts div 1000").as("us"), col("event_id"), col("value")).collect()
+    val ev = Tables.eventsUs(s, sf).filter(col("user_id") === u)
+      .select(col("us"), col("event_id"), col("value")).collect()
       .map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"), r.getAs[Double]("value")))
       .sortBy(t => (t._1, t._2))
     val ivs = ev.zip(ev.tail).map { case ((us, _, v), (nus, _, _)) =>

@@ -12,7 +12,7 @@ class Round6OpsSpec extends AnyFunSuite {
   val sf = TestSpark.sf
 
   test("incremental_stats: landed partials re-merge to the direct answer, new day folds in") {
-    val ev = Tables.events(s, sf)
+    val ev = Tables.eventsUs(s, sf)
     val direct = CoreOps.incrementalStats(s, sf).collect().toSeq
 
     // land the daily partials, read back, merge — the incremental path
@@ -22,7 +22,7 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(landed == direct, "merge of landed partials != direct")
 
     // a new day folds in without touching history: split at a median day
-    val withDay = ev.withColumn("day", expr("ts div 86400000000000"))
+    val withDay = ev.withColumn("day", expr("us div 86400000000"))
     val days = withDay.select("day").distinct().collect().map(_.getLong(0)).sorted
     assert(days.length > 1, "need multiple days to exercise the fold")
     val cut = days(days.length / 2)
@@ -82,7 +82,10 @@ class Round6OpsSpec extends AnyFunSuite {
     val edges = raw.toDF("a", "b")
       .select(col("a").as("src"), col("b").as("dst"))
       .union(raw.toDF("a", "b").select(col("b").as("src"), col("a").as("dst")))
+    // pr rides decimal(38,0) internally (hub-overflow safety at any node
+    // count) — narrow at the edge exactly like graphPagerankFrames does
     val got = GraphOps.pagerankOnEdges(edges, GraphOps.PRIterations)
+      .select(col("node"), col("pr").cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // independent replay of the integer recurrence in plain Scala

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-drift canary: reads every table's ACTUAL parquet schema and
+  * asserts the column/type contract the operators assume, naming the
+  * drifted table+column in the failure message.
+  *
+  * Round-6 lesson: the driver regenerated events.parquet with `ts` as
+  * TIMESTAMP(MICROS) (previously TIMESTAMP(NANOS) read as Long) and the
+  * breakage surfaced as 37 cryptic DATATYPE_MISMATCH test failures
+  * spread over every events consumer. This spec exists so the NEXT
+  * regeneration fails ONE test with a readable diff instead.
+  *
+  * `ts` deliberately accepts EITHER physical shape the driver has
+  * shipped — Long (legacy nanos-as-long) or timestamp (µs) — because
+  * [[Tables.eventsMicros]]/[[Tables.eventsUs]] normalize both; anything
+  * else is drift.
+  */
+class SchemaCanarySpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private val integral: Set[DataType] = Set(IntegerType, LongType)
+  private def num(dt: DataType) = dt == DoubleType
+
+  /** expected: column -> predicate on the Spark-read type. */
+  private val contract: Map[String, Map[String, DataType => Boolean]] = Map(
+    "region" -> Map("r_regionkey" -> integral.contains, "r_name" -> (_ == StringType)),
+    "nation" -> Map("n_nationkey" -> integral.contains, "n_name" -> (_ == StringType),
+      "n_regionkey" -> integral.contains),
+    "customer" -> Map("c_custkey" -> (_ == LongType), "c_name" -> (_ == StringType),
+      "c_nationkey" -> integral.contains, "c_acctbal" -> num,
+      "c_mktsegment" -> (_ == StringType)),
+    "supplier" -> Map("s_suppkey" -> (_ == LongType), "s_name" -> (_ == StringType),
+      "s_nationkey" -> integral.contains, "s_acctbal" -> num),
+    "part" -> Map("p_partkey" -> (_ == LongType), "p_name" -> (_ == StringType),
+      "p_brand" -> (_ == StringType), "p_type" -> (_ == StringType),
+      "p_size" -> integral.contains, "p_retailprice" -> num),
+    "orders" -> Map("o_orderkey" -> (_ == LongType), "o_custkey" -> (_ == LongType),
+      "o_orderstatus" -> (_ == StringType), "o_totalprice" -> num,
+      "o_orderdate" -> (dt => dt == TimestampType || dt == TimestampNTZType),
+      "o_orderpriority" -> (_ == StringType)),
+    "lineitem" -> Map("l_orderkey" -> (_ == LongType), "l_partkey" -> (_ == LongType),
+      "l_suppkey" -> (_ == LongType), "l_linenumber" -> integral.contains,
+      "l_quantity" -> num, "l_extendedprice" -> num, "l_discount" -> num,
+      "l_tax" -> num, "l_returnflag" -> (_ == StringType),
+      "l_linestatus" -> (_ == StringType),
+      "l_shipdate" -> (dt => dt == TimestampType || dt == TimestampNTZType)),
+    "events" -> Map("event_id" -> (_ == LongType),
+      "ts" -> (dt => dt == LongType || dt == TimestampType || dt == TimestampNTZType),
+      "user_id" -> (_ == LongType), "event_type" -> (_ == StringType),
+      "value" -> num, "props" -> (_ == StringType)),
+    "documents" -> Map("doc_id" -> (_ == LongType), "text" -> (_ == StringType),
+      "lang" -> (_ == StringType), "source" -> (_ == StringType),
+      "n_chars" -> (_ == LongType)),
+    "embeddings" -> Map("vec_id" -> (_ == LongType),
+      "embedding" -> {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      },
+      "label" -> integral.contains))
+
+  test("every table's parquet schema honors the operator contract (drift names the column)") {
+    val drifted = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val schema = Tables.table(s, sf, table).schema
+      val present = schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.toSeq.sortBy(_._1).flatMap { case (c, ok) =>
+        present.get(c) match {
+          case None => Some(s"$table.$c MISSING (have: ${schema.fieldNames.mkString(", ")})")
+          case Some(dt) if !ok(dt) => Some(s"$table.$c drifted to $dt")
+          case _ => None
+        }
+      }
+    }
+    assert(drifted.isEmpty,
+      s"\nTESTDATA SCHEMA DRIFT — adapt Tables.scala (see eventsMicros for the pattern):\n  ${drifted.mkString("\n  ")}")
+  }
+
+  test("events normalization: eventsMicros yields TimestampType, eventsUs a Long microsecond axis") {
+    val em = Tables.eventsMicros(s, sf)
+    assert(em.schema("ts").dataType == TimestampType,
+      s"eventsMicros.ts is ${em.schema("ts").dataType}, want TimestampType")
+    val eu = Tables.eventsUs(s, sf)
+    assert(eu.schema("us").dataType == LongType)
+    // the us axis and the ts column agree (unix_micros is the definition)
+    val bad = eu.filter(org.apache.spark.sql.functions.expr("unix_micros(ts) <> us")).count()
+    assert(bad == 0L, s"$bad rows where us != unix_micros(ts)")
+  }
+}

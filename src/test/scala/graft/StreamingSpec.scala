@@ -51,11 +51,9 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(TestSpark.sf + "/events.parquet"),
       dir.resolve("events.parquet"))
-    val streamDf = s.readStream
+    val streamDf = graft.Tables.normalizeTs(s.readStream
       .schema(graft.Tables.events(s, TestSpark.sf).schema)
-      .parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .parquet(dir.toString))
     val q = EventStreams.windowAgg(streamDf).writeStream
       .outputMode("complete").format("memory").queryName("graft_file_stream")
       .start()

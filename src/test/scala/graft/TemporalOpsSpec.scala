@@ -85,7 +85,7 @@ class TemporalOpsSpec extends AnyFunSuite {
     val out = TemporalOps.asofClickPurchase(s, sf)
     assert(out.filter(col("p_us") > col("us")).count() == 0, "match after click")
     // cross-check a sample user against a brute-force non-equi join
-    val ev = Tables.events(s, sf).withColumn("us", expr("ts div 1000"))
+    val ev = Tables.eventsUs(s, sf)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("us"))
     val purch = ev.filter(col("event_type") === "purchase")
@@ -99,7 +99,7 @@ class TemporalOpsSpec extends AnyFunSuite {
 
   test("range_join on sf data matches the brute-force inequality join") {
     val got = TemporalOps.rangeClickInPurchaseWindow(s, sf).count()
-    val ev = Tables.events(s, sf).withColumn("us", expr("ts div 1000"))
+    val ev = Tables.eventsUs(s, sf)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("us").as("c_us"))
     val purch = ev.filter(col("event_type") === "purchase")

@@ -37,7 +37,9 @@ for SF in 0.001 0.01; do
 done
 
 echo "-- Bench sf0.1"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_BUDGET="${SPARK_GRAFT_BENCH_BUDGET:-900}" \
+  sbt -batch "runMain graft.Bench" \
   >"$OUT/bench.out" 2>"$OUT/bench.err" || FAIL="$FAIL bench"
 BENCH=$(grep -o '{"metric".*' "$OUT/bench.out" | tail -1)
 echo "$BENCH" >"$OUT/bench.json"
