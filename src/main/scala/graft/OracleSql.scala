@@ -571,6 +571,61 @@ object OracleSql {
          |GROUP BY tr.doc_id HAVING COUNT(DISTINCT tr.shingle) >= ${graft.operators.CurationOps.DecontMinShingles}
          |ORDER BY doc_id""".stripMargin,
 
+    // same 3-gram shingle chain as decontaminate; LENGTH-INVARIANT
+    // fractional scoring (share of the doc's own distinct shingles)
+    "decontaminate_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+         |ev AS (SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE source = '${graft.operators.CurationOps.EvalSource}'),
+         |per AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |        CAST(SUM(CASE WHEN e.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |        FROM sh s LEFT JOIN ev e USING (shingle)
+         |        WHERE s.source <> '${graft.operators.CurationOps.EvalSource}' GROUP BY s.doc_id),
+         |per2 AS (SELECT doc_id, n_shingles, n_shared,
+         |         CASE WHEN n_shingles > 0 THEN CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         |              ELSE 0.0 END AS overlap_frac FROM per)
+         |SELECT d.doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+         |  COALESCE(n_shared, 0) AS n_shared,
+         |  COALESCE(overlap_frac, 0.0) AS overlap_frac,
+         |  COALESCE(overlap_frac, 0.0) < ${graft.operators.CurationOps.DecontOverlapTau} AS kept
+         |FROM documents d LEFT JOIN per2 USING (doc_id)
+         |WHERE d.source <> '${graft.operators.CurationOps.EvalSource}'
+         |ORDER BY doc_id""".stripMargin,
+
+    // eval-side leakage audit; shingle chain shared with decontaminate
+    "contamination_report" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE source = '${graft.operators.CurationOps.EvalSource}'),
+         |tdf AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS train_df FROM sh
+         |        WHERE source <> '${graft.operators.CurationOps.EvalSource}' GROUP BY shingle)
+         |SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN train_df IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(SUM(CASE WHEN train_df IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS contamination_frac,
+         |  MAX(COALESCE(train_df, 0)) AS max_train_df
+         |FROM ev LEFT JOIN tdf USING (shingle)
+         |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
+
+    // corpus bigram document frequency folded back per doc — integer df
+    // sums, ONE double division at the edge (the oracle-parity rule)
+    "text_familiarity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |       FROM t, UNNEST(generate_series(1, len(w)-1)) AS u(i) WHERE len(w) >= 2),
+        |df AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS df FROM bg GROUP BY bigram),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |        SUM(df) AS sum_df, MIN(df) AS min_df
+        |        FROM bg JOIN df USING (bigram) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(min_df, 0) AS min_df,
+        |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+        |       THEN CAST(sum_df AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |       ELSE 0.0 END AS avg_df
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, doc_id % ${graft.operators.CurationOps.PackShards} AS shard,
          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

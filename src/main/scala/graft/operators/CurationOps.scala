@@ -196,6 +196,93 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Overlap fraction above which [[decontaminateOverlap]] drops a
+    * training document (the n-gram-overlap decontamination convention:
+    * an absolute shared-shingle COUNT, as `decontaminate` uses, over-
+    * flags long documents — a 10⁵-word page trivially shares 3 shingles
+    * with some benchmark; a FRACTION of the doc's own shingles is
+    * length-invariant). */
+  val DecontOverlapTau = 0.5
+
+  /** decontaminate_overlap — FRACTIONAL benchmark decontamination: every
+    * training document scored by the share of its distinct word-3-gram
+    * shingles that appear anywhere in the held-out eval set
+    * (source = [[EvalSource]]), kept iff that share < [[DecontOverlapTau]].
+    * The report twin of [[decontaminate]]'s hard count filter — emitting
+    * EVERY train doc with its score lets curation tune τ without
+    * re-running the scan.
+    *
+    * Scale shape: identical to `decontaminate` — the eval side is the
+    * benchmark (tiny by construction), so its distinct shingle set
+    * BROADCASTS; the train side is scanned once, its shingle explode
+    * left-probes the broadcast, and the only exchange is the final
+    * partial-agg groupBy on doc_id. Short docs (< 3 words, no shingles)
+    * come back via the left join as overlap 0 / kept. */
+  def decontaminateOverlap(s: SparkSession, dir: String): DataFrame =
+    decontaminateOverlapDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (testable). */
+  def decontaminateOverlapDocs(docs: DataFrame,
+      evalSource: String = EvalSource,
+      tau: Double = DecontOverlapTau): DataFrame = {
+    val evalSh = DedupOps.shingles(docs.filter(col("source") === evalSource))
+      .select("shingle").distinct()
+    val per = DedupOps.shingles(docs.filter(col("source") =!= evalSource))
+      .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+    val n = coalesce(col("n_shingles"), lit(0L))
+    val shared = coalesce(col("n_shared"), lit(0L))
+    val frac = when(n > 0, shared.cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    docs.filter(col("source") =!= evalSource).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), n.as("n_shingles"), shared.as("n_shared"),
+        frac.as("overlap_frac"), (frac < tau).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** contamination_report — the EVAL-side mirror of decontamination: for
+    * each held-out document, how much of it already sits in the training
+    * corpus (the leakage audit run BEFORE trusting a benchmark score).
+    * Per eval doc: distinct-shingle count, how many of those shingles
+    * occur in ≥ 1 train doc, that fraction, and the highest train
+    * document-frequency among its contaminated shingles (1 doc = a
+    * single leaked page; thousands = boilerplate, not leakage).
+    *
+    * Scale shape: the corpus is scanned ONCE — train shingles probe the
+    * broadcast eval shingle set and collapse to per-shingle train-df,
+    * an eval-bounded frame that broadcasts back onto the eval explode;
+    * the only exchanges are the two eval-bounded partial aggs. Eval
+    * docs with < 3 words have no shingles and no row (nothing to
+    * audit). */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    contaminationReportDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (testable). */
+  def contaminationReportDocs(docs: DataFrame,
+      evalSource: String = EvalSource): DataFrame = {
+    val evalSh = DedupOps.shingles(docs.filter(col("source") === evalSource))
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    // per-shingle train document frequency, ONLY for shingles the eval
+    // set contains ([[DedupOps.shingles]] is distinct-per-doc, so a
+    // plain count is the doc frequency)
+    val trainDf = DedupOps.shingles(docs.filter(col("source") =!= evalSource))
+      .join(broadcast(evalSh.select("shingle").distinct()), Seq("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("train_df"))
+    evalSh.join(broadcast(trainDf), Seq("shingle"), "left")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("train_df").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        max(coalesce(col("train_df"), lit(0L))).as("max_train_df"))
+      .select(col("eval_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination_frac"),
+        col("max_train_df"))
+      .orderBy("eval_id")
+  }
+
   /** #35h dataset_split (*rows-only*: the 64-bit keyed hash is not
     * oracle-portable) — deterministic train/val/test assignment: the
     * split is a pure function of (doc_id, seed), so it is stable across

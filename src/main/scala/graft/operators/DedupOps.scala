@@ -175,21 +175,27 @@ object DedupOps {
   def minhashCandidates(docs: DataFrame): DataFrame =
     minhashCandidatesFrom(minhashSignatures(docs))
 
-  /** Banded candidate generation from a signature frame (`sig` array). */
-  def minhashCandidatesFrom(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band, bucket) rows from a signature frame — band hash =
+    * xxhash64 of the band's consecutive signature slots. Shared by the
+    * full-corpus candidate join and the incremental batch-vs-corpus
+    * admission path. */
+  def bandBuckets(sigs: DataFrame): DataFrame = {
     val rows = MinhashK / MinhashBands // slots per band
     val bands = (0 until MinhashBands).map { b =>
       val slot = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(slot: _*).as("bucket"))
     }
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    bucketPairs(buckets, Seq("band", "bucket"))
+  }
+
+  /** Banded candidate generation from a signature frame (`sig` array). */
+  def minhashCandidatesFrom(sigs: DataFrame): DataFrame =
+    bucketPairs(bandBuckets(sigs), Seq("band", "bucket"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** 64-bit SimHash per document: per-bit signed vote of each token's
     * xxhash64, sign → bit — computed by the native codegen expression
@@ -324,6 +330,87 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** dedup_minhash_incremental (rows-only) — FUZZY admission control:
+    * [[dedupIncremental]]'s ingest shape with near-duplicate semantics.
+    * A new batch (doc_id ≥ [[IncrementalSplit]]) is screened against the
+    * already-ingested corpus (doc_id < split) and against earlier docs
+    * of the same batch; each batch doc gets `dup_of_corpus` /
+    * `dup_in_batch` flags and the `keep` admission verdict, where "dup"
+    * means exact shingle-Jaccard ≥ threshold verified on MinHash-LSH
+    * candidates only.
+    *
+    * The scale property that matters: the corpus side is NEVER re-paired
+    * with itself. Corpus band buckets are a precomputable index the
+    * batch probes (batch⋈corpus equi-join on (band, bucket)); in-batch
+    * pairs come from the batch's own buckets. Corpus buckets larger than
+    * [[MaxBucket]] are boilerplate and skipped, exactly as the
+    * full-corpus path does. Verification joins run over |candidates|
+    * pairs, so daily-ingest cost is O(batch + touched corpus), not
+    * O(corpus²) — the fuzzy analogue of the hash-index anti-join. */
+  def dedupMinhashIncremental(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    dedupMinhashIncrementalFrom(Tables.documents(s, dir), IncrementalSplit, threshold)
+
+  /** Admission core on any documents-shaped frame (testable): split into
+    * corpus/batch by doc_id, build the corpus index in place, delegate. */
+  def dedupMinhashIncrementalFrom(docs: DataFrame, split: Long,
+      threshold: Double): DataFrame = {
+    val corpus = docs.filter(col("doc_id") < split)
+    admissionAgainstIndex(docs.filter(col("doc_id") >= split),
+      bandBuckets(minhashSignatures(corpus)), hashedShingles(corpus), threshold)
+  }
+
+  /** The admission kernel: batch docs vs a PRECOMPUTED corpus index —
+    * `corpusBuckets` (doc_id, band, bucket) and `corpusShingles`
+    * (doc_id, hb), exactly what [[bandBuckets]]/[[hashedShingles]] emit.
+    * The index is LANDABLE: at scale it lives as parquet the ingest job
+    * appends to, so each day's batch probes an index instead of
+    * re-shingling the corpus ([[graft.streaming.EventStreams]] lands it
+    * per micro-batch). Corpus and batch doc_ids must be disjoint. */
+  def admissionAgainstIndex(batchDocs: DataFrame, corpusBuckets: DataFrame,
+      corpusShingles: DataFrame, threshold: Double): DataFrame = {
+    // batch shingles feed the size agg and both verify sides — persisted
+    // (the dedup_minhash_verified contract: caller drops via clearCache)
+    val batchSh = hashedShingles(batchDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    val batchB = bandBuckets(minhashSignatures(batchDocs))
+    val bigBuckets = corpusBuckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") > MaxBucket)
+      .select("band", "bucket")
+    val candCorpus = batchB.select(col("doc_id").as("b"), col("band"), col("bucket"))
+      .join(corpusBuckets.join(bigBuckets, Seq("band", "bucket"), "left_anti")
+        .select(col("doc_id").as("o"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("b", "o").distinct()
+    // in-batch: (a < b) pairs; the EARLIER doc is the blocker, matching
+    // dedupIncremental's first-in-batch-wins convention
+    val candBatch = bucketPairs(batchB, Seq("band", "bucket"))
+      .select(col("doc_b").as("b"), col("doc_a").as("o"))
+      .distinct()
+    val cands = candCorpus.withColumn("from_corpus", lit(true))
+      .unionByName(candBatch.withColumn("from_corpus", lit(false)))
+    val shO = corpusShingles.unionByName(batchSh)
+    val sizes = shO.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = cands
+      .join(batchSh.select(col("doc_id").as("b"), col("hb")), Seq("b"))
+      .join(shO.select(col("doc_id").as("o"), col("hb")), Seq("o", "hb"))
+      .groupBy("b", "o", "from_corpus").agg(count(lit(1)).as("common"))
+    val verified = common
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .join(sizes.select(col("doc_id").as("o"), col("n_sh").as("no")), Seq("o"))
+      .filter(col("common").cast("double") /
+        (col("nb") + col("no") - col("common")) >= threshold)
+    val perDoc = verified.groupBy(col("b").as("doc_id"))
+      .agg(max(col("from_corpus")).as("dup_of_corpus"),
+        max(!col("from_corpus")).as("dup_in_batch"))
+    batchDocs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_of_corpus"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("dup_in_batch"), lit(false)).as("dup_in_batch"))
+      .withColumn("keep", !col("dup_of_corpus") && !col("dup_in_batch"))
+      .orderBy("doc_id")
   }
 
   /** Connected components over an undirected edge list by iterative

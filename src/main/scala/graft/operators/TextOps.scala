@@ -683,4 +683,46 @@ object TextOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** text_familiarity — corpus-fluency scoring: each document's DISTINCT
+    * word-bigrams weighted by their corpus-wide document frequency. A
+    * high average df means the doc is built from phrases the corpus has
+    * seen everywhere (fluent, or boilerplate); min_df = 1 means at least
+    * one phrase is unique to this doc (novelty — or garbage). The
+    * integer-exact cousin of an n-gram LM quality filter: df sums are
+    * exact longs with ONE double division at the edge, so the score is
+    * deterministic and fully oracle-checkable (a real log-prob LM score
+    * sums floats and is not).
+    *
+    * Scale shape: one bigram explode (distinct per doc at the row level,
+    * fused into the scan) persisted for its two consumers; the global df
+    * agg collapses to vocabulary size; the score join keys on the bigram
+    * (df side collapsed — AQE handles the power-law head), then ONE
+    * partial-agg groupBy on doc_id. Linear end to end; nothing
+    * all-pairs, nothing corpus² — the rare_token_stats shape one n-gram
+    * order up. */
+  def textFamiliarity(s: SparkSession, dir: String): DataFrame =
+    textFamiliarityDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (testable). */
+  def textFamiliarityDocs(documents: DataFrame): DataFrame = {
+    // two consumers (global df, per-doc score join) — persisted; the
+    // caller drops it (Bench/Verify clearCache, the repo-wide contract)
+    val bg = documents
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.wordGrams(col("text"), 2))).as("bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = bg.groupBy("bigram").agg(count(lit(1)).as("df"))
+    val per = bg.join(df, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("df")).as("sum_df"),
+        min(col("df")).as("min_df"))
+    val n = coalesce(col("n_bigrams"), lit(0L))
+    documents.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), n.as("n_bigrams"),
+        coalesce(col("min_df"), lit(0L)).as("min_df"),
+        when(n > 0, col("sum_df").cast("double") / n.cast("double"))
+          .otherwise(lit(0.0)).as("avg_df"))
+      .orderBy("doc_id")
+  }
 }

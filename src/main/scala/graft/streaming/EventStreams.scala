@@ -222,6 +222,67 @@ object EventStreams {
     graft.operators.CurationOps.stackFunnel(c)
   }
 
+  /** Streaming fuzzy admission — the ingest-time twin of
+    * [[graft.operators.DedupOps.dedupMinhashIncremental]]: every
+    * micro-batch of documents is screened against the LANDED corpus
+    * index (band buckets under `indexDir/buckets`, hashed shingles under
+    * `indexDir/shingles` — exactly the frames `bandBuckets`/
+    * `hashedShingles` emit), verdicts land to `indexDir/verdicts`, and
+    * the ADMITTED docs' buckets+shingles append to the index — so
+    * micro-batch N+1 near-dup-checks against the corpus plus everything
+    * admitted in 1..N. Rejected dups are not indexed (later copies still
+    * match the original — the standard first-wins convention).
+    *
+    * foreachBatch is the production shape here: the admission kernel is
+    * joins + aggs against a static index, which no single-pass streaming
+    * state machine expresses, and the per-batch index append IS the
+    * pipeline's output. Stream state: zero; store state: the index
+    * (O(admitted corpus)). Replay caveat: a re-delivered batch re-lands
+    * its verdict rows; consumers key by doc_id (the
+    * quantilesFromLanded one-row-per-key contract). */
+  def landAdmissionStream(docs: DataFrame, indexDir: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.DedupOps
+        val s = batch.sparkSession
+        def readOr(path: String, ddl: String): DataFrame =
+          if (new java.io.File(path).exists()) s.read.parquet(path)
+          else s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        val b = batch.persist()
+        val corpusB = readOr(s"$indexDir/buckets",
+          "doc_id BIGINT, band INT, bucket BIGINT")
+        val corpusSh = readOr(s"$indexDir/shingles", "doc_id BIGINT, hb BIGINT")
+        val verdicts = DedupOps
+          .admissionAgainstIndex(b, corpusB, corpusSh, threshold)
+          .withColumn("batch_id", lit(batchId))
+          .persist()
+        verdicts.write.mode("append").parquet(s"$indexDir/verdicts")
+        // MATERIALIZE the admitted docs BEFORE touching the index: each
+        // append below fires recacheByPath on its target, invalidating
+        // every cached plan that reads the index paths — `verdicts`
+        // among them — so a lazy `admitted` would silently recompute
+        // against the half-updated index (the bucket append would make
+        // each admitted doc its own corpus dup and empty the shingle
+        // append). localCheckpoint cuts the file-reading lineage.
+        val admitted = b.join(
+            verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+          .localCheckpoint()
+        DedupOps.bandBuckets(DedupOps.minhashSignatures(admitted))
+          .write.mode("append").parquet(s"$indexDir/buckets")
+        DedupOps.hashedShingles(admitted)
+          .write.mode("append").parquet(s"$indexDir/shingles")
+        verdicts.unpersist()
+        b.unpersist()
+        // the admission kernel persists its shingle frame internally —
+        // a per-batch job must not leak blocks across batches
+        s.catalog.clearCache()
+      }
+      .start()
+
   /** Streaming heavy hitters, landing side: each micro-batch lands its
     * own Misra–Gries candidate summary as (tok, w) rows plus the batch
     * token count. Soundness of the union: a token with global frequency
