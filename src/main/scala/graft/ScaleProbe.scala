@@ -124,7 +124,8 @@ object ScaleProbe {
         .reduce(_ unionByName _)
     val docProbes = Set("pack_sequences", "curation_report", "mix_drift",
       "token_histogram", "rare_token_stats", "decontaminate", "bm25",
-      "repeated_spans", "span_scrub")
+      "repeated_spans", "span_scrub", "decontaminate_overlap",
+      "contamination_report", "text_familiarity", "dedup_minhash_incremental")
     for (k <- Seq(1, 4, factor) if only.forall(_.exists(docProbes))) {
       val d = grownDocs(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()
@@ -156,6 +157,26 @@ object ScaleProbe {
       // covered — the covered-position explode hits its worst case
       // (positions = words × k) and must still track the scan linearly
       time("span_scrub", k, graft.operators.TextOps.spanScrubDocs(d))
+      // fractional decontamination + the eval-side audit: the eval
+      // source grows kx with the corpus here (worst case — real eval
+      // sets are fixed), so the broadcast side is probed at kx too
+      time("decontaminate_overlap", k,
+        graft.operators.CurationOps.decontaminateOverlapDocs(d))
+      time("contamination_report", k,
+        graft.operators.CurationOps.contaminationReportDocs(d))
+      // replica text identical ⇒ bigram vocab FIXED while df grows kx:
+      // the collapsed df frame must stay vocab-sized (the broadcast-side
+      // invariant), rows exactly kx
+      time("text_familiarity", k, graft.operators.TextOps.textFamiliarityDocs(d))
+      // fuzzy admission, clone-growth worst case: first k/2 replicas are
+      // the corpus, rest the batch — every batch doc near-dups its clone
+      // in EVERY corpus replica, so candidate volume grows with clone
+      // count by construction (output rows stay one per batch doc);
+      // the MaxBucket cap is what bounds the blow-up at real scale
+      time("dedup_minhash_incremental", k,
+        graft.operators.DedupOps.dedupMinhashIncrementalFrom(
+          // k=1: split inside the single replica; k>1: first k/2 replicas
+          d, if (k == 1) maxDoc / 2 else (k.toLong / 2L) * maxDoc, 0.5))
       d.unpersist()
     }
 
