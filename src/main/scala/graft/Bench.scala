@@ -46,7 +46,8 @@ object Bench {
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
       "repeated_spans", "steam_pipeline", "zorder_layout", "dedup_minhash_verified",
-      "text_tfidf", "bm25_topk", "dedup_ngram_jaccard")
+      "dedup_minhash_incremental", "quantile_sketch", "text_tfidf", "bm25_topk",
+      "dedup_ngram_jaccard")
     val order = heavyFirst.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(heavyFirst.contains).sorted
     val results = order.map(k => (k, SparkEntry.queries(k))).map { case (name, fn) =>
