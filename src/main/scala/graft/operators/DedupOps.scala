@@ -432,11 +432,21 @@ object DedupOps {
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // A checkpointed frame carries NO size statistics, so Catalyst would
+    // sort-merge-join the ADJACENCY side against it every round (the
+    // graph_pagerank lesson, GraphOps.BroadcastNodesMax). Label state is
+    // two longs per node — broadcast it below the same bound; past it,
+    // fall back to the keyed shuffle join, the right plan once node
+    // state outgrows memory.
+    val broadcastLabels =
+      labels.count() <= graft.operators.GraphOps.BroadcastNodesMax
+    def maybeBc(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbor = adj
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(maybeBc(labels.withColumnRenamed("id", "dst")), Seq("dst"))
         .select(col("src").as("id"), col("label"))
       // pointer jump (path halving): also adopt the label OF my label —
       // labels reach fixpoint in O(log diameter) rounds instead of
