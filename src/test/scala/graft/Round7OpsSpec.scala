@@ -48,6 +48,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, 0.0, 0L)), "clean eval doc")
   }
 
+  test("decontamination family on sf data: fractions bounded, verdicts consistent, totals reconcile") {
+    val docs = Tables.documents(s, sf)
+    val trainN = docs.filter(col("source") =!= CurationOps.EvalSource).count()
+    val evalShingled = docs.filter(col("source") === CurationOps.EvalSource)
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    val ov = CurationOps.decontaminateOverlap(s, sf)
+    assert(ov.count() == trainN, "one verdict per train doc")
+    assert(ov.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1).count() == 0)
+    assert(ov.filter(col("n_shared") > col("n_shingles")).count() == 0)
+    assert(ov.filter(col("kept") =!= (col("overlap_frac") < CurationOps.DecontOverlapTau))
+      .count() == 0, "kept must be exactly frac < tau")
+    val rep = CurationOps.contaminationReport(s, sf)
+    assert(rep.count() == evalShingled, "one audit row per shingled eval doc")
+    assert(rep.filter(col("n_contaminated") > col("n_shingles")).count() == 0)
+    assert(rep.filter(col("contamination_frac") < 0 || col("contamination_frac") > 1)
+      .count() == 0)
+    assert(rep.filter(col("n_contaminated") === 0 && col("max_train_df") =!= 0)
+      .count() == 0, "clean docs carry zero max_train_df")
+    assert(rep.filter(col("n_contaminated") > 0 && col("max_train_df") < 1)
+      .count() == 0, "contaminated docs name a positive train df")
+    s.catalog.clearCache()
+  }
+
   test("text_familiarity: bigram df stats recompute by hand; sub-bigram docs zeroed") {
     import s.implicits._
     val docs = Seq(

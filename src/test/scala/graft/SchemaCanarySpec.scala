@@ -78,6 +78,32 @@ class SchemaCanarySpec extends AnyFunSuite {
       s"\nTESTDATA SCHEMA DRIFT — adapt Tables.scala (see eventsMicros for the pattern):\n  ${drifted.mkString("\n  ")}")
   }
 
+  test("legacy nanos-as-long events shape normalizes identically to the micros shape") {
+    // The current testdata ships ts as TIMESTAMP(MICROS), so the
+    // LongType branch of Tables.eventsMicros would otherwise be dead
+    // code until the driver regenerates again — fabricate the legacy
+    // shape (epoch-NANOS as BIGINT, what nanosAsLong produced) from the
+    // real table and prove both roads normalize to the same rows.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_events")
+    val sub = dir.resolve("sf").toFile; sub.mkdirs()
+    Tables.eventsMicros(s, sf)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .orderBy("event_id").limit(500)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(sub.getAbsolutePath + "/events.parquet")
+    val legacy = Tables.eventsUs(s, sub.getAbsolutePath)
+    assert(legacy.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val viaLegacy = legacy.select("event_id", "ts", "us")
+      .orderBy("event_id").collect().toSeq
+    val direct = Tables.eventsUs(s, sf)
+      .select("event_id", "ts", "us")
+      .orderBy("event_id").limit(500).collect().toSeq
+    assert(viaLegacy.map(_.toString) == direct.map(_.toString),
+      "legacy Long path and micros path must normalize identically")
+  }
+
   test("events normalization: eventsMicros yields TimestampType, eventsUs a Long microsecond axis") {
     val em = Tables.eventsMicros(s, sf)
     assert(em.schema("ts").dataType == TimestampType,
