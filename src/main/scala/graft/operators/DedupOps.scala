@@ -368,7 +368,10 @@ object DedupOps {
     * The index is LANDABLE: at scale it lives as parquet the ingest job
     * appends to, so each day's batch probes an index instead of
     * re-shingling the corpus ([[graft.streaming.EventStreams]] lands it
-    * per micro-batch). Corpus and batch doc_ids must be disjoint. */
+    * per micro-batch). Corpus and batch doc_ids must be disjoint; as
+    * defense in depth against an at-least-once replay where a batch doc
+    * already made it into the index, self-pairs (b == o) are dropped —
+    * a doc can never be a dup of its own index entry. */
   def admissionAgainstIndex(batchDocs: DataFrame, corpusBuckets: DataFrame,
       corpusShingles: DataFrame, threshold: Double): DataFrame = {
     // batch shingles feed the size agg and both verify sides — persisted
@@ -382,6 +385,7 @@ object DedupOps {
       .join(corpusBuckets.join(bigBuckets, Seq("band", "bucket"), "left_anti")
         .select(col("doc_id").as("o"), col("band"), col("bucket")),
         Seq("band", "bucket"))
+      .filter(col("b") =!= col("o"))
       .select("b", "o").distinct()
     // in-batch: (a < b) pairs; the EARLIER doc is the blocker, matching
     // dedupIncremental's first-in-batch-wins convention
@@ -390,7 +394,13 @@ object DedupOps {
       .distinct()
     val cands = candCorpus.withColumn("from_corpus", lit(true))
       .unionByName(candBatch.withColumn("from_corpus", lit(false)))
-    val shO = corpusShingles.unionByName(batchSh)
+    // only corpus docs that surfaced as a candidate `o` feed the verify:
+    // semi-join the corpus shingles down to that set BEFORE the (o, hb)
+    // join and the size agg, so each batch costs O(batch + touched
+    // corpus) — not a full-corpus shuffle per micro-batch
+    val touched = cands.select(col("o").as("doc_id")).distinct()
+    val shO = corpusShingles.join(touched, Seq("doc_id"), "left_semi")
+      .unionByName(batchSh)
     val sizes = shO.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = cands
       .join(batchSh.select(col("doc_id").as("b"), col("hb")), Seq("b"))

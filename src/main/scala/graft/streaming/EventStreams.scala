@@ -237,51 +237,85 @@ object EventStreams {
     * joins + aggs against a static index, which no single-pass streaming
     * state machine expresses, and the per-batch index append IS the
     * pipeline's output. Stream state: zero; store state: the index
-    * (O(admitted corpus)). Replay caveat: a re-delivered batch re-lands
-    * its verdict rows; consumers key by doc_id (the
-    * quantilesFromLanded one-row-per-key contract). */
+    * (O(admitted corpus)).
+    *
+    * Replay safety: foreachBatch is at-least-once, so [[admitBatch]] is
+    * written to be IDEMPOTENT. Docs whose verdict already landed are
+    * anti-joined out before screening (a re-delivered batch re-lands
+    * nothing and — crucially — never re-pairs an admitted doc with its
+    * own index entry), and each index append anti-joins against the
+    * doc_ids its target already contains, so a batch that died between
+    * the verdict append and either index append completes exactly the
+    * missing piece on redelivery. */
   def landAdmissionStream(docs: DataFrame, indexDir: String,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.DedupOps
-        val s = batch.sparkSession
-        def readOr(path: String, ddl: String): DataFrame =
-          if (new java.io.File(path).exists()) s.read.parquet(path)
-          else s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        val b = batch.persist()
-        val corpusB = readOr(s"$indexDir/buckets",
-          "doc_id BIGINT, band INT, bucket BIGINT")
-        val corpusSh = readOr(s"$indexDir/shingles", "doc_id BIGINT, hb BIGINT")
-        val verdicts = DedupOps
-          .admissionAgainstIndex(b, corpusB, corpusSh, threshold)
-          .withColumn("batch_id", lit(batchId))
-          .persist()
-        verdicts.write.mode("append").parquet(s"$indexDir/verdicts")
-        // MATERIALIZE the admitted docs BEFORE touching the index: each
-        // append below fires recacheByPath on its target, invalidating
-        // every cached plan that reads the index paths — `verdicts`
-        // among them — so a lazy `admitted` would silently recompute
-        // against the half-updated index (the bucket append would make
-        // each admitted doc its own corpus dup and empty the shingle
-        // append). localCheckpoint cuts the file-reading lineage.
-        val admitted = b.join(
-            verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-          .localCheckpoint()
-        DedupOps.bandBuckets(DedupOps.minhashSignatures(admitted))
-          .write.mode("append").parquet(s"$indexDir/buckets")
-        DedupOps.hashedShingles(admitted)
-          .write.mode("append").parquet(s"$indexDir/shingles")
-        verdicts.unpersist()
-        b.unpersist()
-        // the admission kernel persists its shingle frame internally —
-        // a per-batch job must not leak blocks across batches
-        s.catalog.clearCache()
+        admitBatch(batch, batchId, indexDir, threshold)
       }
       .start()
+
+  /** One micro-batch of [[landAdmissionStream]], exposed so the replay
+    * contract is directly testable: calling this twice with the same
+    * batch leaves verdicts and index byte-for-byte unchanged. */
+  def admitBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      threshold: Double): Unit = {
+    import graft.operators.DedupOps
+    val s = batch.sparkSession
+    def readOr(path: String, ddl: String): DataFrame =
+      if (new java.io.File(path).exists()) s.read.parquet(path)
+      else s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val bAll = batch.persist()
+    val corpusB = readOr(s"$indexDir/buckets",
+      "doc_id BIGINT, band INT, bucket BIGINT")
+    val corpusSh = readOr(s"$indexDir/shingles", "doc_id BIGINT, hb BIGINT")
+    val landed = readOr(s"$indexDir/verdicts",
+      "doc_id BIGINT, dup_of_corpus BOOLEAN, dup_in_batch BOOLEAN, " +
+        "keep BOOLEAN, batch_id BIGINT")
+    // REPLAY GUARD: a doc verdicted by an earlier delivery is settled —
+    // re-screening it against an index that may now contain its own
+    // entry would flip keep→dup_of_corpus and land two contradictory
+    // verdicts for one doc_id. localCheckpoint cuts the verdict-path
+    // lineage so the append below can't recompute this frame.
+    val bNew = bAll.join(landed.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val verdicts = DedupOps
+      .admissionAgainstIndex(bNew, corpusB, corpusSh, threshold)
+      .withColumn("batch_id", lit(batchId))
+      .persist()
+    verdicts.write.mode("append").parquet(s"$indexDir/verdicts")
+    // Index forward every keep-verdicted doc of THIS batch — newly
+    // screened or landed by a partially-failed earlier delivery — that
+    // the target doesn't already contain. Per-target anti-joins make
+    // each append individually idempotent. MATERIALIZE both frames
+    // BEFORE the first append: appends fire recacheByPath on their
+    // target, and a lazy frame still reading the index paths would
+    // recompute against the half-updated index. localCheckpoint cuts
+    // the file-reading lineage.
+    val keepIds = verdicts.filter(col("keep")).select("doc_id")
+      .unionByName(landed.filter(col("keep")).select("doc_id")
+        .join(bAll.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .distinct()
+    val admitted = bAll.join(keepIds, Seq("doc_id"), "left_semi")
+    val newBuckets = DedupOps.bandBuckets(DedupOps.minhashSignatures(
+        admitted.join(corpusB.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")))
+      .localCheckpoint()
+    val newShingles = DedupOps.hashedShingles(
+        admitted.join(corpusSh.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti"))
+      .localCheckpoint()
+    newBuckets.write.mode("append").parquet(s"$indexDir/buckets")
+    newShingles.write.mode("append").parquet(s"$indexDir/shingles")
+    verdicts.unpersist()
+    bAll.unpersist()
+    // the admission kernel persists its shingle frame internally —
+    // a per-batch job must not leak blocks across batches
+    s.catalog.clearCache()
+  }
 
   /** Streaming heavy hitters, landing side: each micro-batch lands its
     * own Misra–Gries candidate summary as (tok, w) rows plus the batch
