@@ -137,23 +137,60 @@ class TextAndMmSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_metadata: byte_len matches text length, batched decode is total") {
-    val rows = MultimodalOps.mmMetadata(s, sf).collect()
-    assert(rows.length == 500)
-    val chars = Tables.documents(s, sf).select("doc_id", "n_chars").collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
-    rows.foreach { r =>
-      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
-      assert(r.getAs[Long]("byte_len") == chars(r.getAs[Long]("doc_id")),
-        "ascii payload byte_len must equal n_chars")
-      assert(r.getAs[Double]("feat_mean") >= 0)
-      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
-      assert(math.max(ow, oh) == 224, "aspect-fit must touch the target box")
-      assert(ow >= 1 && oh >= 1 && ow <= 224 && oh <= 224)
-    }
+  // ---------- multimodal: decode-from-bytes contract ----------
+  // The spec carries its OWN GRMM parser (header offsets hand-written
+  // from the format doc) so the operators are checked against an
+  // independent reparse, not against MediaCodec's kernel.
+
+  private def specParse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'R' || b(2) != 'M' ||
+        b(3) != 'M' || b(4) != 1) return None
+    if (b(13) != (0 until 13).map(b(_) & 0xff).reduce(_ ^ _).toByte) return None
+    val kind = b(5) & 0xff
+    val w = ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    val h = ((b(8) & 0xff) << 8) | (b(9) & 0xff)
+    val c = b(10) & 0xff
+    val f = ((b(11) & 0xff) << 8) | (b(12) & 0xff)
+    if (b.length - 14 != f * w * h * c) None else Some((kind, w, h, c, f))
   }
 
-  test("mm_features: fixed-dim unit vectors, one per document, all-scalar output") {
+  test("mm_metadata: fields equal an independent byte-level reparse; corruption flips valid") {
+    val payloads = MultimodalOps.mmSource(s, sf).collect()
+      .map(r => r.doc_id -> r.payload).toMap
+    val rows = MultimodalOps.mmMetadata(s, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val b = payloads(id)
+      val Some((kind, w, h, c, f)) = specParse(b)
+      assert(r.getAs[Boolean]("valid"))
+      assert(r.getAs[Int]("kind") == kind && kind == (id % 3).toInt)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == c && r.getAs[Int]("n_frames") == f)
+      assert(r.getAs[Long]("byte_len") == b.length.toLong)
+      assert(r.getAs[Long]("body_len") == (b.length - 14).toLong)
+      val sum = b.drop(14).map(_ & 0xff).map(_.toLong).sum
+      assert(r.getAs[Double]("feat_mean") == sum.toDouble / (b.length - 14),
+        "feat_mean must be the decoded body byte mean")
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(math.max(ow, oh) == 224, "aspect-fit must touch the target box")
+      assert((ow, oh) == MultimodalOps.fitDims(w, h))
+    }
+    // corrupt one header byte → valid=false, zeroed dims (never a crash)
+    import s.implicits._
+    val good = payloads.head._2
+    val bad = good.clone(); bad(2) = 'X'.toByte
+    val badBody = good.clone()
+    badBody(13) = (badBody(13) ^ 0x7f).toByte // checksum mismatch
+    val out = Seq((1L, good), (2L, bad), (3L, badBody), (4L, Array[Byte](1, 2)))
+      .toDF("id", "p")
+      .select(col("id"), graft.functions.MediaCodec.mediaInfo(col("p")).as("m"))
+      .select(col("id"), col("m.valid")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("mm_features: decoded from bytes — checksum changes when one payload byte changes") {
     val df = MultimodalOps.mmFeatures(s, sf)
     // harness contract: no array/struct/map columns (driver sorts via pandas)
     df.schema.fields.foreach { fld =>
@@ -162,28 +199,60 @@ class TextAndMmSpec extends AnyFunSuite {
     }
     val rows = df.collect()
     assert(rows.length == 500)
+    val payloads = MultimodalOps.mmSource(s, sf).collect()
+      .map(r => r.doc_id -> r.payload).toMap
     rows.foreach { r =>
+      val b = payloads(r.getAs[Long]("doc_id"))
       assert(r.getAs[Int]("dim") == MultimodalOps.FeatureDim)
       val f = (0 until MultimodalOps.FeatureDim).map(i => r.getAs[Float](s"f$i")).toArray
       val n = math.sqrt(f.map(x => x.toDouble * x).sum)
       assert(math.abs(n - 1.0) < 1e-3, s"features must be L2-normalized, got $n")
       assert(r.getAs[Long]("feat_checksum") == MultimodalOps.featureChecksum(f),
         "checksum must be the FNV-1a of the e6-scaled components")
+      // independent recompute from the raw body bytes
+      val exp = new Array[Float](MultimodalOps.FeatureDim)
+      for (i <- 14 until b.length)
+        exp((i - 14) % MultimodalOps.FeatureDim) += (b(i) & 0xff) / 255.0f
+      val en = math.sqrt(exp.map(x => x.toDouble * x).sum)
+      val expN = if (en == 0) exp else exp.map(x => (x / en).toFloat)
+      assert(f.sameElements(expN), "vector must equal the byte-level recompute")
     }
+    // flip ONE body byte → different checksum; invalid container → dropped
+    import s.implicits._
+    val good = payloads.head._2
+    val tweaked = good.clone()
+    tweaked(14) = (tweaked(14) ^ 0x01).toByte
+    val broken = good.clone(); broken(0) = 'X'.toByte
+    val out = Seq((1L, good), (2L, tweaked), (3L, broken)).toDF("id", "p")
+      .select(col("id"), graft.functions.MediaCodec.mediaFeatures(col("p")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("id"), col("m.checksum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L), "invalid container must be dropped")
+    assert(out(1L) != out(2L), "one flipped body byte must change the checksum")
   }
 
-  test("mm_frames: sampled frame indices, lengths bounded by frame size") {
+  test("mm_frames: frame sums equal an independent byte-level recompute") {
     val rows = MultimodalOps.mmFrameSample(s, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getAs[Int]("frame_idx") % MultimodalOps.SampleEvery == 0)
-      val len = r.getAs[Long]("frame_len")
-      assert(len >= 1 && len <= MultimodalOps.FrameBytes)
+    val payloads = MultimodalOps.mmSource(s, sf).collect()
+      .filter(_.media_type == "video").map(r => r.doc_id -> r.payload).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == payloads.keySet, "every (and only) video doc appears")
+    byDoc.foreach { case (id, frames) =>
+      val b = payloads(id)
+      val Some((_, w, h, c, nf)) = specParse(b)
+      val flen = w * h * c
+      val expIdx = (0 until nf by graft.functions.MediaCodec.SampleEvery).toSeq
+      assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == expIdx)
+      frames.foreach { fr =>
+        val idx = fr.getAs[Int]("frame_idx")
+        assert(fr.getAs[Long]("frame_len") == flen.toLong)
+        val exp = (14 + idx * flen until 14 + (idx + 1) * flen)
+          .map(b(_) & 0xff).map(_.toLong).sum
+        assert(fr.getAs[Long]("frame_sum") == exp,
+          s"doc $id frame $idx sum must equal the byte-level recompute")
+      }
     }
-    // every video doc with a payload appears
-    val videoDocs = Tables.documents(s, sf)
-      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 2"))
-      .count()
-    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == videoDocs)
   }
 }
