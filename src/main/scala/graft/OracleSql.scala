@@ -861,6 +861,38 @@ object OracleSql {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_clusters" ->
+      // same exact-Jaccard pair pipeline as dedup_ngram_jaccard, then a
+      // recursive reachability closure: a node's label set is every node
+      // that reaches it over the undirected pair graph; MIN(label) is the
+      // component minimum — exactly what iterative min-label pointer
+      // jumping converges to. UNION (not UNION ALL) dedups rows, so the
+      // recursion reaches the transitive-closure fixpoint and stops.
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+         |kept AS (SELECT shingle FROM sh0 GROUP BY shingle
+         |         HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b
+         |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
+         |      WHERE CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) >= 0.5),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM j
+         |      UNION ALL SELECT doc_b, doc_a FROM j),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.id),
+         |lab AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN lab USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

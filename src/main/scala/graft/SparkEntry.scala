@@ -193,8 +193,6 @@ object SparkEntry {
       "DedupSpec: 'minhash-verified pairs are exact-Jaccard-correct (subset of the full exact output)'"),
     "dedup_minhash_incremental" -> ("candidates come from the seeded MinHash-LSH band buckets (non-ANSI hashes); admission verdicts are spec-checked against a brute-force exact-Jaccard recompute",
       "Round7OpsSpec: 'dedup_minhash_incremental: verdicts match a brute-force Jaccard recompute; corpus never self-pairs'"),
-    "dedup_clusters" -> ("cluster labels derive from the seeded LSH candidate graph plus iterative pointer-jumping (no ANSI fixed-point)",
-      "DedupSpec: 'dedup_clusters: every doc labeled, pairs co-clustered, keepers are minima' + connected-components property tests"),
     "dedup_simhash" -> ("64-bit SimHash with wrap-around arithmetic, not ANSI-expressible",
       "DedupSpec: 'simhash: identical docs at hamming 0, near-dups close' + 'native SimHash64 matches the exploded vote-aggregate formulation'"),
     "dedup_embedding_lsh" -> ("buckets come from seeded random hyperplanes; the exact-cosine verify is spec-checked against brute force",

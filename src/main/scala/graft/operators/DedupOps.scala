@@ -487,15 +487,25 @@ object DedupOps {
     labels
   }
 
-  /** dedup_clusters (rows-only) — the last stage of production dedup:
-    * verified near-dup pairs → connected components → one cluster id per
-    * document (its own id for non-duplicated docs, the cluster-min id
-    * otherwise). Downstream keeps exactly the rows where
-    * doc_id == cluster_id. */
+  /** dedup_clusters — the last stage of production dedup: near-dup pairs
+    * → connected components → one cluster id per document (its own id for
+    * non-duplicated docs, the cluster-min id otherwise). Downstream keeps
+    * exactly the rows where doc_id == cluster_id.
+    *
+    * Edge source: the EXACT posting-list Jaccard pairs
+    * ([[ngramJaccardPairs]], oracle-twinned) — deterministic, so the
+    * whole operator (including the ITERATIVE pointer-jumping label
+    * propagation) is oracle-checked against a DuckDB `WITH RECURSIVE`
+    * min-label closure. At 100 TB the same [[connectedComponents]] call
+    * composes with [[dedupMinhashVerified]]'s LSH-verified pair graph
+    * instead (the sub-quadratic candidate path); the spec asserts every
+    * LSH-verified pair is co-clustered here, pinning the two edge
+    * sources to the same cluster structure. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     // persisted: the adjacency union reads this frame twice, and each read
-    // would otherwise re-run the whole LSH+verify pipeline
-    val pairs = dedupMinhashVerified(s, dir).select("doc_a", "doc_b")
+    // would otherwise re-run the whole shingle+posting pipeline
+    val pairs = ngramJaccardPairs(Tables.documents(s, dir), 0.5)
+      .select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // connectedComponents materializes eagerly (per-round checkpoints), and
     // the returned labels frame is checkpointed — the pair cache is dead
