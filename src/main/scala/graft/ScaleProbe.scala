@@ -204,6 +204,45 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- ann_ivf: corpus growth with cells following √corpus ----
+    // Replicas shift vec_id into disjoint ranges AND jitter each
+    // component with a replica-dependent wobble (exact clones would give
+    // every query a cos≈1 twin and recall would measure nothing). Recall
+    // is measured on the FIRST replica's query subset against a brute
+    // top-k over the whole grown corpus — |Q₀|·corpus dots, cheap at any
+    // k — so the recall series isolates what matters: does the √corpus
+    // cell rule hold the operating point as the corpus grows 16×?
+    val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val maxVec = embBase.agg(max("vec_id")).head().getLong(0) + 1
+    def grownEmb(k: Int): DataFrame =
+      (0 until k).map(i => embBase
+        .withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, j) => (x * (lit(1.0f) + lit(0.05f * i) *
+            sin(j.cast("double") + lit(i.toDouble)).cast("float"))).cast("float"))))
+        .reduce(_ unionByName _)
+    for (k <- Seq(1, 4, factor) if only.forall(_.contains("ann_ivf"))) {
+      val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = e.count()
+      val cells = math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+      val ivf = graft.operators.SimilarityOps.annIvfFrom(e, cells = cells, nprobe = 2)
+      val t0 = System.nanoTime()
+      val ivfRows = ivf.collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val q0 = (id: Long) => id < maxVec && id % graft.operators.SimilarityOps.QueryModulus == 0
+      val got = ivfRows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .filter(p => q0(p._1)).toSet
+      val brute = graft.operators.SimilarityOps.annCosineTopKFrom(e).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .filter(p => q0(p._1)).toSet
+      val recall = (got & brute).size.toDouble / brute.size
+      println(s"""{"probe":"ann_ivf","scale":$k,"wall_sec":${f"$wall%.2f"},""" +
+        s""""rows":${ivfRows.length},"corpus":$n,"cells":$cells,""" +
+        s""""recall":${f"$recall%.3f"}}""")
+      e.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // ---- connector-fed dedup: generated corpora through MinHash-LSH ----
     // The DSv2 source generates rows in-task (no I/O), so this measures
     // the OPERATOR pipeline itself — native signature expression + banded

@@ -28,14 +28,21 @@ object SimilarityOps {
 
   /** Embeddings with the exact scaled-int squared norm attached. */
   private def withNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), normE12(col("embedding")).as("nrm"))
+    normed(Tables.embeddings(s, dir))
+
+  private def normed(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), normE12(col("embedding")).as("nrm"))
 
   /** #29 ann_cosine_topk — brute-force exact cosine top-k for the query
     * subset (vec_id % 100 == 0). The query side is tiny → broadcast; the
     * corpus streams once; TakeOrdered per query via window row_number. */
-  def annCosineTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = withNorm(s, dir)
+  def annCosineTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    annCosineTopKFrom(Tables.embeddings(s, dir), k)
+
+  /** Brute-force core on any (vec_id, embedding) frame (ScaleProbe's
+    * recall baseline at grown corpus sizes). */
+  def annCosineTopKFrom(emb: DataFrame, k: Int = 5): DataFrame = {
+    val e = normed(emb)
     val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
@@ -85,20 +92,27 @@ object SimilarityOps {
     * blow up the plan (round-2 verdict). Probe selection stays codegen'd:
     * DotE12 against the joined centroid column, window top-nprobe. */
   def annIvf(s: SparkSession, dir: String, k: Int = 5, cells: Int = 16,
+      nprobe: Int = 2, maxIter: Int = 2): DataFrame =
+    annIvfFrom(Tables.embeddings(s, dir), k, cells, nprobe, maxIter)
+
+  /** IVF core on any (vec_id, embedding) frame — lets ScaleProbe grow the
+    * corpus and follow cells ≈ √corpus, the sizing rule the scaladoc
+    * claims; recall + probe cost at 1×/4×/16× are recorded in SURVEY §5. */
+  def annIvfFrom(emb: DataFrame, k: Int = 5, cells: Int = 16,
       nprobe: Int = 2, maxIter: Int = 2): DataFrame = {
     // maxIter=2: a coarse quantizer only needs approximate cells — measured
     // recall at sf0.1 is 0.45 @ 2 iters vs 0.48 @ 5, for ~30% less fit
     // time; raise it when cells must be tight (many cells, low nprobe)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import s.implicits._
+    import emb.sparkSession.implicits._
     // Persisted: kmeans|| fit makes one pass per iteration over this frame,
     // and it feeds the corpus/probe sides afterwards — without the persist
     // every pass re-reads parquet and rebuilds vectors (ML itself warns
     // when its input is uncached). Cache contract: consumed by the
     // returned lazy plan — callers clear it once the result is consumed
     // (spark.catalog.clearCache(), as Verify/Bench do per query).
-    val e = withNorm(s, dir)
+    val e = normed(emb)
       .withColumn("features", array_to_vector(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(maxIter).fit(e)
