@@ -400,52 +400,112 @@ object Jobs {
       "world_map_etl.rows" -> world.count().toString)
   }
 
+  /** Retry policy for the ingest jobs. The reference's extract loop
+    * sleeps a fixed wait between calls and skips failures outright
+    * (steam_prices_transformer.py:134–166, `time.sleep(wait_time)` +
+    * per-(app, cc) try/except-continue); at engine scale the policy is
+    * DATA, not sleeps: every transient failure lands in a RETRY QUEUE
+    * row carrying its next attempt number and exponential backoff
+    * seconds (the fetcher's re-fetch schedule), and a row that exhausts
+    * `maxAttempts` lands in the permanent rejects with its attempt count
+    * — so the quarantine records exactly how hard the pipeline tried. */
+  case class RetryPolicy(maxAttempts: Int = 3, baseBackoffSecs: Long = 3,
+      factor: Long = 3) {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    /** Backoff before attempt `n` (1-based): base · factor^(n-1). */
+    def backoffSecs(attempt: Int): Long =
+      baseBackoffSecs * math.round(math.pow(factor.toDouble, (attempt - 1).toDouble))
+  }
+
   /** IngestETL — the reference's HTTP extract layer re-expressed as a
     * landing job (reference: external_resources.py:100–137 SteamWebApi
     * .get_app_price digs price_overview.final_formatted/currency out of
     * each API response and asserts their presence). The driver-side
     * fetcher drops raw responses as JSONL, one response per line (the
-    * splittable layout); this job parses them DISTRIBUTED-side with an
-    * explicit schema — one `from_json`-equivalent pass, no inference scan
-    * — and lands the usable price facts under the date-stamped key the
-    * downstream jobs already read. Where the reference `assert`s, a
-    * 100 TB feed quarantines: rows missing the price fields or failing to
-    * parse land in a rejects drop with the raw line, never fail the job.
-    * Returns (landedPath, rejectsPath). */
+    * splittable layout), optionally tagging each line with the HTTP
+    * `status` and the 0-based `attempt` that produced it; this job
+    * parses them DISTRIBUTED-side with an explicit schema — one
+    * `from_json`-equivalent pass, no inference scan — and lands the
+    * usable price facts under the date-stamped key the downstream jobs
+    * already read. Where the reference `assert`s, a 100 TB feed
+    * quarantines — and TRIAGES: transient failures (429/5xx/truncated
+    * line) go to the retry queue with `attempt`+`backoff_secs` per
+    * [[RetryPolicy]] until exhausted; everything else (2xx without
+    * price fields, 4xx) is a fact about the app, not the transport, and
+    * rejects immediately with a reason. The fetcher replays the retry
+    * queue after the recorded backoff, carrying `attempt` forward, so
+    * recovery needs no job-side state beyond the drops themselves.
+    * Returns (landedPath, retryQueuePath, rejectsPath). */
   def runPriceIngestJob(s: SparkSession, rawJsonl: String, outDir: String,
-      date: String): (String, String) = {
+      date: String, retry: RetryPolicy = RetryPolicy()): (String, String, String) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val schema = StructType.fromDDL(
-      "app_id BIGINT, cc STRING, " +
+      "app_id BIGINT, cc STRING, status INT, attempt INT, " +
         "data STRUCT<price_overview: STRUCT<final_formatted: STRING, currency: STRING>>")
     val raw = graft.sources.Formats.readJsonlPermissive(s, rawJsonl, schema)
       .select(col("app_id"), col("cc"),
         col("data.price_overview.final_formatted").as("price_str"),
         col("data.price_overview.currency").as("currency"),
+        col("status"), coalesce(col("attempt"), lit(0)).as("attempt"),
         col("_corrupt_record"))
-    val usable = col("_corrupt_record").isNull &&
+    val httpOk = col("status").isNull || (col("status") >= 200 && col("status") < 300)
+    val usable = col("_corrupt_record").isNull && httpOk &&
       col("price_str").isNotNull && col("currency").isNotNull
+    val transient = col("_corrupt_record").isNotNull ||
+      (col("status").isNotNull && (col("status") === 429 || col("status") >= 500))
+    val attemptsMade = col("attempt") + lit(1)
     val landed = SteamOps.writeDateStamped(
       raw.filter(usable).select("app_id", "cc", "price_str", "currency"),
       s"$outDir/api_prices", date)
+    val retryQueue = SteamOps.writeDateStamped(
+      raw.filter(!usable && transient && attemptsMade < retry.maxAttempts)
+        .select(col("app_id"), col("cc"), col("status"),
+          attemptsMade.as("attempt"),
+          (lit(retry.baseBackoffSecs) * round(pow(lit(retry.factor.toDouble),
+            (attemptsMade - 1).cast("double")))).cast("bigint").as("backoff_secs"),
+          col("_corrupt_record")),
+      s"$outDir/api_retry", date)
     val rejects = SteamOps.writeDateStamped(
-      raw.filter(!usable), s"$outDir/api_rejects", date)
-    (landed, rejects)
+      raw.filter(!usable && (!transient || attemptsMade >= retry.maxAttempts))
+        .withColumn("attempts_made", attemptsMade)
+        .withColumn("reason",
+          when(transient, lit("retries_exhausted"))
+            .when(!httpOk, lit("http_error"))
+            .otherwise(lit("no_price"))),
+      s"$outDir/api_rejects", date)
+    (landed, retryQueue, rejects)
   }
 
   /** Exchange-rates ingest (reference: external_resources.py:139–175
     * OpenExRatesApi.get_ex_rates returns one `rates` object): each JSONL
     * line is one API response; the rates map explodes to (currency, rate)
-    * rows — the shape SteamOps.currencyConvert joins against. */
+    * rows — the shape SteamOps.currencyConvert joins against. Same
+    * [[RetryPolicy]] triage as the price ingest (one response per line;
+    * a 429/5xx/corrupt line re-queues with backoff until exhausted).
+    * Returns (landedPath, retryQueuePath). */
   def runRatesIngestJob(s: SparkSession, rawJsonl: String, outDir: String,
-      date: String): String = {
+      date: String, retry: RetryPolicy = RetryPolicy()): (String, String) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val schema = StructType.fromDDL("base STRING, rates MAP<STRING, DOUBLE>")
-    val rates = graft.sources.Formats.readJsonl(s, rawJsonl, schema)
-      .select(col("base"), explode(col("rates")).as(Seq("currency", "rate")))
-    SteamOps.writeDateStamped(rates, s"$outDir/ex_rates", date)
+    val schema = StructType.fromDDL(
+      "base STRING, status INT, attempt INT, rates MAP<STRING, DOUBLE>")
+    val raw = graft.sources.Formats.readJsonlPermissive(s, rawJsonl, schema)
+    val httpOk = col("status").isNull || (col("status") >= 200 && col("status") < 300)
+    val usable = col("_corrupt_record").isNull && httpOk && col("rates").isNotNull
+    val attemptsMade = coalesce(col("attempt"), lit(0)) + lit(1)
+    val landed = SteamOps.writeDateStamped(
+      raw.filter(usable)
+        .select(col("base"), explode(col("rates")).as(Seq("currency", "rate"))),
+      s"$outDir/ex_rates", date)
+    val retryQueue = SteamOps.writeDateStamped(
+      raw.filter(!usable && attemptsMade < retry.maxAttempts)
+        .select(col("base"), col("status"), attemptsMade.as("attempt"),
+          (lit(retry.baseBackoffSecs) * round(pow(lit(retry.factor.toDouble),
+            (attemptsMade - 1).cast("double")))).cast("bigint").as("backoff_secs"),
+          col("_corrupt_record")),
+      s"$outDir/rates_retry", date)
+    (landed, retryQueue)
   }
 
   /** WorldMapETL: pick the latest date partition of the prices drop,

@@ -83,16 +83,71 @@ class JobsSpec extends AnyFunSuite {
       """{"app_id": 30, "cc": "fr", "data": {}}""",
       // malformed line — must quarantine, not fail the job
       """{"app_id": 40, "cc": "es", "data": {broken""").mkString("\n"))
-    val (landed, rejects) = Jobs.runPriceIngestJob(s, raw.toString, dir.toString, "2024-01-01")
+    val (landed, retryQ, rejects) =
+      Jobs.runPriceIngestJob(s, raw.toString, dir.toString, "2024-01-01")
     assert(landed.endsWith("dt=2024-01-01"))
     val ok = s.read.parquet(landed).collect()
     assert(ok.length == 1)
     assert(ok.head.getAs[String]("price_str") == "$9.99" &&
       ok.head.getAs[String]("currency") == "USD")
+    // missing-price responses are FACTS (the app has no price), rejected
+    // immediately with a reason; the truncated line is transport, queued
+    // for retry with its raw text
     val bad = s.read.parquet(rejects).collect()
-    assert(bad.length == 3, s"expected 3 quarantined rows, got ${bad.length}")
-    assert(bad.count(_.getAs[String]("_corrupt_record") != null) == 1,
-      "the malformed line must carry its raw text")
+    assert(bad.length == 2, s"expected 2 permanent rejects, got ${bad.length}")
+    assert(bad.forall(_.getAs[String]("reason") == "no_price"))
+    assert(bad.forall(_.getAs[Int]("attempts_made") == 1))
+    val rq = s.read.parquet(retryQ).collect()
+    assert(rq.length == 1 && rq.head.getAs[String]("_corrupt_record") != null,
+      "the malformed line must queue for retry carrying its raw text")
+    assert(rq.head.getAs[Int]("attempt") == 1 &&
+      rq.head.getAs[Long]("backoff_secs") == 3L)
+  }
+
+  test("price ingest retry policy: transient failure recovers on replay, then exhausts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry")
+    val policy = Jobs.RetryPolicy(maxAttempts = 3, baseBackoffSecs = 3, factor = 3)
+    // drop 1: the fetcher got rate-limited on app 50
+    java.nio.file.Files.writeString(dir.resolve("d1.jsonl"),
+      """{"app_id": 50, "cc": "it", "status": 429}""")
+    val (l1, r1, j1) = Jobs.runPriceIngestJob(
+      s, dir.resolve("d1.jsonl").toString, dir.toString, "2024-01-01", policy)
+    assert(s.read.parquet(l1).isEmpty && s.read.parquet(j1).isEmpty)
+    val q1 = s.read.parquet(r1).collect()
+    assert(q1.length == 1 && q1.head.getAs[Int]("attempt") == 1 &&
+      q1.head.getAs[Long]("backoff_secs") == 3L,
+      "first transient failure: attempt 1, base backoff")
+
+    // drop 2: the fetcher replayed the queue after the backoff and the
+    // fetch SUCCEEDED — the row lands, nothing re-queues
+    java.nio.file.Files.writeString(dir.resolve("d2.jsonl"),
+      """{"app_id": 50, "cc": "it", "status": 200, "attempt": 1, """ +
+        """"data": {"price_overview": {"final_formatted": "9,99€", "currency": "EUR"}}}""")
+    val (l2, r2, j2) = Jobs.runPriceIngestJob(
+      s, dir.resolve("d2.jsonl").toString, dir.toString, "2024-01-02", policy)
+    val ok = s.read.parquet(l2).collect()
+    assert(ok.length == 1 && ok.head.getAs[String]("currency") == "EUR",
+      "recovered row must land")
+    assert(s.read.parquet(r2).isEmpty && s.read.parquet(j2).isEmpty)
+
+    // drop 3: a persistently-failing app on its 2nd replay (attempt=2 →
+    // third try) exhausts maxAttempts=3 and rejects permanently with the
+    // attempt count; on its 1st replay it would re-queue at backoff 9 s
+    java.nio.file.Files.writeString(dir.resolve("d3.jsonl"), Seq(
+      """{"app_id": 60, "cc": "de", "status": 503, "attempt": 1}""",
+      """{"app_id": 61, "cc": "fr", "status": 503, "attempt": 2}""").mkString("\n"))
+    val (_, r3, j3) = Jobs.runPriceIngestJob(
+      s, dir.resolve("d3.jsonl").toString, dir.toString, "2024-01-03", policy)
+    val q3 = s.read.parquet(r3).collect()
+    assert(q3.length == 1 && q3.head.getAs[Long]("app_id") == 60L &&
+      q3.head.getAs[Int]("attempt") == 2 &&
+      q3.head.getAs[Long]("backoff_secs") == 9L,
+      "second attempt re-queues with exponential backoff")
+    val dead = s.read.parquet(j3).collect()
+    assert(dead.length == 1 && dead.head.getAs[Long]("app_id") == 61L &&
+      dead.head.getAs[String]("reason") == "retries_exhausted" &&
+      dead.head.getAs[Int]("attempts_made") == 3,
+      "exhausted row records how hard the pipeline tried")
   }
 
   test("rates ingest job: one response object explodes to (currency, rate) rows") {
@@ -100,10 +155,11 @@ class JobsSpec extends AnyFunSuite {
     val raw = dir.resolve("rates.jsonl")
     java.nio.file.Files.writeString(raw,
       """{"base": "USD", "rates": {"EUR": 0.9, "GBP": 0.8, "JPY": 150.0}}""")
-    val path = Jobs.runRatesIngestJob(s, raw.toString, dir.toString, "2024-01-01")
+    val (path, retryQ) = Jobs.runRatesIngestJob(s, raw.toString, dir.toString, "2024-01-01")
     val rows = s.read.parquet(path).collect()
       .map(r => r.getAs[String]("currency") -> r.getAs[Double]("rate")).toMap
     assert(rows == Map("EUR" -> 0.9, "GBP" -> 0.8, "JPY" -> 150.0))
+    assert(s.read.parquet(retryQ).isEmpty)
   }
 
   test("config-driven wiring: one yml drives the two-job pipeline; world-map data export lands") {
