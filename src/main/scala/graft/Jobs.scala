@@ -102,9 +102,19 @@ object Jobs {
     * in `.dt=<date>.old` — the next run self-heals by restoring it. True
     * reader-isolated commits belong to a table format (Iceberg/Delta
     * snapshot commit); this is the plain-filesystem contract, stated
-    * honestly. Returns the resulting file count. */
+    * honestly. Returns the resulting file count.
+    *
+    * `layout`: when non-empty, the rewrite RE-CLUSTERS on the z-order of
+    * these columns (range-partition + sort on the interleaved z-value,
+    * [[graft.operators.LayoutOps.zorderWrite]]) instead of plain
+    * `repartition(n)` — which round-robins rows and would flatten every
+    * file's min-max bounding box to the full key range, silently
+    * destroying the stats pruning a z-ordered landing was written for.
+    * This is what Delta/Iceberg `OPTIMIZE ZORDER` is: compaction and
+    * re-clustering as ONE rewrite. */
   def compactPartition(s: SparkSession, baseDir: String, date: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      layout: Seq[String] = Nil): Int = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     def listParquet[A](dir: Path)(f: Seq[Path] => A): A = {
       val st = Files.list(dir)
@@ -126,12 +136,82 @@ object Jobs {
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = s.read.parquet(part.toString)
     val tmp = Paths.get(s"$baseDir/.dt=$date.compact.tmp")
-    df.repartition(nFiles).write.mode("overwrite")
-      .option("compression", "snappy").parquet(tmp.toString)
+    if (layout.nonEmpty)
+      graft.operators.LayoutOps.zorderWrite(df, layout, tmp.toString, nFiles)
+    else
+      df.repartition(nFiles).write.mode("overwrite")
+        .option("compression", "snappy").parquet(tmp.toString)
     Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     listParquet(part)(_.size)
+  }
+
+  /** Maintenance pass — the nightly table service over ONE landed dt
+    * partition, chaining the three operators a real lakehouse runs
+    * together: z-order-aware COMPACTION ([[compactPartition]] with
+    * `layout`, so the rewrite preserves the pruning geometry the landing
+    * was z-ordered for) followed by a DQ GATE over the rewritten
+    * partition. Returns one row per gate rule (`rule`, `violations`,
+    * `checked`, `pass`) + the layout audit columns:
+    *
+    *  - `rows_preserved`   — the rewrite must not drop or duplicate rows
+    *  - `layout_key_notnull` — clustering keys must stay non-null (a null
+    *    key row sorts to one end and poisons that file's bounding box)
+    *  - `pruning_preserved` — the fraction of files a mid-range probe on
+    *    the leading layout column touches must not grow: compaction that
+    *    widens the boxes (e.g. a plain repartition) fails THIS rule even
+    *    though rows and schema survive — the regression only a
+    *    stats-geometry audit can see.
+    *
+    * All three rules ride scalar aggregates (the bounds frame is one row
+    * per FILE, the probe is a broadcast single-row range agg) — report
+    * cost is independent of partition row count beyond the one rewrite
+    * and two stats passes. */
+  def runMaintenanceJob(s: SparkSession, baseDir: String, date: String,
+      layoutCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(layoutCols.nonEmpty, "maintenance needs the layout columns")
+    val part = s"$baseDir/dt=$date"
+    val key = layoutCols.head
+    // touched-file count for the probe box [mid, mid + range/16] on the
+    // leading layout column — the pruning a stats-based reader gets
+    def probe(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val g = df.agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+      val r = graft.operators.LayoutOps.fileBounds(df, Seq(key))
+        .join(broadcast(g))
+        .agg(count(lit(1)).as("files"),
+          sum((col(s"mn_$key") <= col("lo") + (col("hi") - col("lo")) / 2
+              + (col("hi") - col("lo")) / 16 &&
+            col(s"mx_$key") >= col("lo") + (col("hi") - col("lo")) / 2)
+            .cast("long")).as("touched"))
+        .head()
+      (r.getAs[Long]("files"), r.getAs[Long]("touched"))
+    }
+    val before = s.read.parquet(part)
+    val rowsBefore = before.count()
+    val (filesBefore, touchedBefore) = probe(before)
+    compactPartition(s, baseDir, date, targetFileBytes, layoutCols)
+    val after = s.read.parquet(part)
+    val rowsAfter = after.count()
+    val (filesAfter, touchedAfter) = probe(after)
+    val nullKeys = after.filter(layoutCols.map(col(_).isNull).reduce(_ || _)).count()
+    // fraction tolerance: one file of slack — with fewer, larger files a
+    // probe box inherently spans a larger share of each file's range
+    val fracBefore = touchedBefore.toDouble / filesBefore
+    val fracAfter = touchedAfter.toDouble / filesAfter
+    val pruningOk = fracAfter <= fracBefore + 1.0 / filesAfter + 1e-9
+    import s.implicits._
+    Seq(
+      ("rows_preserved", math.abs(rowsAfter - rowsBefore), rowsBefore,
+        rowsAfter == rowsBefore, filesBefore, filesAfter, fracBefore, fracAfter),
+      ("layout_key_notnull", nullKeys, rowsAfter, nullKeys == 0L,
+        filesBefore, filesAfter, fracBefore, fracAfter),
+      ("pruning_preserved", if (pruningOk) 0L else 1L, filesAfter, pruningOk,
+        filesBefore, filesAfter, fracBefore, fracAfter))
+      .toDF("rule", "violations", "checked", "pass",
+        "files_before", "files_after", "touched_frac_before", "touched_frac_after")
   }
 
   /** CDC upsert — MERGE INTO semantics on a keyed parquet table: rows of

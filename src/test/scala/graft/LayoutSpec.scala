@@ -66,4 +66,57 @@ class LayoutSpec extends AnyFunSuite {
     // row fidelity: layout changes nothing about the data
     assert(s.read.parquet(zDir).count() == ev.count())
   }
+
+  test("maintenance chain: z-order layout survives compaction; plain repartition would not") {
+    val ev = Tables.eventsUs(s, sf)
+      .select(col("user_id"), col("us"), col("event_type"))
+    val base = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val dt = "2024-02-01"
+    LayoutOps.zorderWrite(ev, Seq("user_id", "us"), s"$base/dt=$dt", 8)
+
+    def bytes(dir: String): Long = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally st.close()
+    }
+    def midTouchedFrac(dir: String): Double = {
+      val b = LayoutOps.fileBounds(s.read.parquet(dir), Seq("user_id")).collect()
+      val lo0 = b.map(_.getAs[Long]("mn_user_id")).min
+      val hi0 = b.map(_.getAs[Long]("mx_user_id")).max
+      val (lo, hi) = (lo0 + (hi0 - lo0) / 2, lo0 + (hi0 - lo0) / 2 + (hi0 - lo0) / 16)
+      b.count(r => r.getAs[Long]("mn_user_id") <= hi &&
+        r.getAs[Long]("mx_user_id") >= lo).toDouble / b.length
+    }
+    val fracBefore = midTouchedFrac(s"$base/dt=$dt")
+    assert(fracBefore < 0.9, "z-ordered landing must prune the mid-range probe")
+
+    // keep the file count stable (target = total/8 + 1 → ceil gives 8):
+    // at equal counts "pruning preserved" is apples-to-apples
+    val target = bytes(s"$base/dt=$dt") / 8 + 1
+    val report = Jobs.runMaintenanceJob(s, base, dt, Seq("user_id", "us"), target)
+      .collect().map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Boolean]("pass"), r.getAs[Long]("violations")))).toMap
+    assert(report.keySet ==
+      Set("rows_preserved", "layout_key_notnull", "pruning_preserved"))
+    report.foreach { case (rule, (pass, v)) =>
+      assert(pass && v == 0L, s"maintenance gate rule $rule failed with $v violations")
+    }
+    val fracAfter = midTouchedFrac(s"$base/dt=$dt")
+    assert(fracAfter <= fracBefore + 1.0 / 8 + 1e-9,
+      f"pruning degraded: $fracBefore%.3f -> $fracAfter%.3f")
+    assert(s.read.parquet(s"$base/dt=$dt").count() == ev.count())
+
+    // CONTRAST: a plain (layout-less) compaction of the same landing
+    // round-robins rows — every file's box widens to the full key range
+    // and the probe touches (nearly) everything. This is the regression
+    // pruning_preserved exists to catch.
+    val base2 = java.nio.file.Files.createTempDirectory("graft_maint2").toString
+    LayoutOps.zorderWrite(ev, Seq("user_id", "us"), s"$base2/dt=$dt", 8)
+    Jobs.compactPartition(s, base2, dt, bytes(s"$base2/dt=$dt") / 8 + 1)
+    val fracPlain = midTouchedFrac(s"$base2/dt=$dt")
+    assert(fracPlain > 0.9,
+      f"expected plain repartition to destroy the boxes, touched $fracPlain%.3f")
+  }
 }
