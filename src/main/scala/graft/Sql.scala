@@ -22,14 +22,20 @@ object Sql {
   /** Register all tables under their canonical names. `events` is
     * registered with `ts` normalized to a microsecond TimestampType
     * (whatever the physical parquet shape — [[Tables.eventsMicros]]);
-    * the raw un-normalized scan stays visible as `events_raw`
-    * (`events_ns` remains as an alias from the nanos-file era). */
+    * the raw un-normalized scan stays visible as `events_raw`.
+    * `events_ns` keeps its nanos-file-era PROMISE — `ts` as epoch-nanos
+    * BIGINT — by deriving from the normalized view (`us × 1000`), so ad
+    * hoc SQL written against the old physical shape keeps reading
+    * correct values whatever is on disk today. */
   def registerViews(s: SparkSession, sfDir: String): Unit = {
     TableNames.filterNot(_ == "events").foreach { n =>
       Tables.table(s, sfDir, n).createOrReplaceTempView(n)
     }
     Tables.events(s, sfDir).createOrReplaceTempView("events_raw")
-    Tables.events(s, sfDir).createOrReplaceTempView("events_ns")
+    Tables.eventsUs(s, sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("us * 1000"))
+      .drop("us")
+      .createOrReplaceTempView("events_ns")
     Tables.eventsMicros(s, sfDir).createOrReplaceTempView("events")
   }
 

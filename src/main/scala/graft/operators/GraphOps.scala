@@ -62,10 +62,10 @@ object GraphOps {
     * and one partial-agg groupBy(dst) — 2 shuffles per round over an
     * edge frame that is persisted once and reused by all rounds. Rank
     * state is O(nodes), never O(edges), and is carried as decimal(38,0)
-    * through the rounds (the corr_agg pattern), so neither Σ
-    * contributions nor a hub's accumulated rank can wrap int64 at any
-    * node count. The final `rank_e12` column narrows to BIGINT for the
-    * oracle contract — exact while every per-node rank < 2⁶³, i.e.
+    * through the rounds (the corr_agg pattern), so the Σ of per-edge
+    * contributions never wraps. The per-edge quotient `pr div deg` and
+    * the final `rank_e12` BIGINT narrowing share one bound: both are
+    * exact while every per-node rank < 2⁶³, i.e.
     * until a single node absorbs > 9.2×10¹⁸ of mass; total seeded mass
     * is nodes × 1e12, so even the degenerate all-mass-to-one-hub graph
     * is safe below ~9×10⁶ nodes, and any real graph far beyond. */
@@ -138,12 +138,13 @@ object GraphOps {
     val broadcastRanks = ranks.count() <= BroadcastNodesMax
     var i = 0
     while (i < iterations) {
-      // `pr div deg` is IntegralDivide → BIGINT quotient (≤ the e12
-      // scale), ×85 stays in int64 — computed per edge, identical value
-      // per source, so inlining it into the edge join changes nothing.
-      // decimal(38,0) rank state (the corr_agg / incremental_stats
-      // pattern): Σ contrib cannot wrap int64 on a hub node at ANY node
-      // count, and the DuckDB twin's HUGEINT sum is exactly as wide.
+      // `pr div deg` is IntegralDivide → a BIGINT quotient; the
+      // decimal(38,0) rank state (the corr_agg pattern) makes the Σ of
+      // those quotients exact at any fan-in, but the quotient itself —
+      // like the final rank_e12 BIGINT narrowing — requires every
+      // per-node rank < 2⁶³. Same ~9×10⁶-node degenerate bound the
+      // operator scaladoc states (all seeded mass on one hub); widening
+      // past it means decimal quotients AND a decimal output column.
       val ranksSide = ranks.withColumnRenamed("node", "src")
       val next = eDeg.join(
           if (broadcastRanks) broadcast(ranksSide) else ranksSide, Seq("src"))

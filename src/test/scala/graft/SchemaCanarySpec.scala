@@ -78,6 +78,44 @@ class SchemaCanarySpec extends AnyFunSuite {
       s"\nTESTDATA SCHEMA DRIFT — adapt Tables.scala (see eventsMicros for the pattern):\n  ${drifted.mkString("\n  ")}")
   }
 
+  test("every table's PHYSICAL layout honors the one-file/one-row-group contract (drift names the property)") {
+    // Physical-layout canary (round-7 verdict): a testdata regeneration
+    // can change scan parallelism without touching any type — e.g. many
+    // small files (per-file task overhead, different AQE coalescing) or
+    // many tiny row groups (different pushdown granularity, different
+    // stats boxes). Every shipped testdata generation so far has been
+    // exactly ONE file with ONE row group per table; if the next one
+    // isn't, fail HERE with the table and drifted property, not in some
+    // timing-sensitive bench diff.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sparkContext.hadoopConfiguration
+    val drifted = Sql.TableNames.flatMap { t =>
+      val p = new java.io.File(s"$sf/$t.parquet")
+      val files: Seq[java.io.File] =
+        if (p.isDirectory) p.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        else Seq(p)
+      val fileDrift =
+        if (files.size == 1) None
+        else Some(s"$t: files=${files.size}, contract is 1 " +
+          "(per-file scheduling + AQE coalescing change)")
+      val groups = files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try r.getFooter.getBlocks.size finally r.close()
+      }.sum
+      val groupDrift =
+        if (groups == files.size) None
+        else Some(s"$t: row_groups=$groups over ${files.size} file(s), contract is 1/file " +
+          "(row-group split points change scan parallelism and stats granularity)")
+      fileDrift.toSeq ++ groupDrift.toSeq
+    }
+    assert(drifted.isEmpty,
+      s"\nTESTDATA PHYSICAL-LAYOUT DRIFT — re-baseline this canary AND re-check " +
+        s"Bench/ScaleProbe assumptions:\n  ${drifted.mkString("\n  ")}")
+  }
+
   test("legacy nanos-as-long events shape normalizes identically to the micros shape") {
     // The current testdata ships ts as TIMESTAMP(MICROS), so the
     // LongType branch of Tables.eventsMicros would otherwise be dead
@@ -102,6 +140,22 @@ class SchemaCanarySpec extends AnyFunSuite {
       .orderBy("event_id").limit(500).collect().toSeq
     assert(viaLegacy.map(_.toString) == direct.map(_.toString),
       "legacy Long path and micros path must normalize identically")
+  }
+
+  test("events_ns view keeps its epoch-nanos BIGINT promise whatever the physical shape") {
+    // The view NAME is a contract: ad hoc SQL written in the nanos-file
+    // era reads `ts` as epoch-nanos Longs. Since the physical shape
+    // drifted to TIMESTAMP(MICROS), the view must DERIVE nanos from the
+    // normalized axis — never alias the raw scan (a silent 1000× unit
+    // change, the round-7 ADVICE finding).
+    Sql.registerViews(s, sf)
+    val ns = s.table("events_ns")
+    assert(ns.schema("ts").dataType == LongType,
+      s"events_ns.ts is ${ns.schema("ts").dataType}, promised BIGINT nanos")
+    val bad = s.sql(
+      """SELECT count(*) FROM events_ns n JOIN events e USING (event_id)
+        |WHERE n.ts <> unix_micros(e.ts) * 1000""".stripMargin).head().getLong(0)
+    assert(bad == 0L, s"$bad rows where events_ns.ts is not epoch-nanos of events.ts")
   }
 
   test("events normalization: eventsMicros yields TimestampType, eventsUs a Long microsecond axis") {
