@@ -404,6 +404,61 @@ object Jobs {
     path
   }
 
+  /** PNG choropleth render — the reference's uploaded artifact is a
+    * RASTERIZED figure (world_map_transformer.py:214–273 draws a
+    * matplotlib PNG; external_resources.py:54–68 uploads the bytes).
+    * [[renderWorldMapSvg]] covers the vector path; this renders the SAME
+    * merged frame to real PNG bytes via [[graft.render.Raster]]
+    * (even-odd scanline fill + a from-scratch PNG encoder over
+    * java.util.zip — zero plotting dependencies). Same projection
+    * formula, palette, bucketing, and no-data gray as the SVG, so the
+    * two artifacts cannot disagree. The pixel pass runs over the
+    * COLLECTED world dim — bounded by the planet (≤ ~250 features), the
+    * same bound the SVG's collect_list fold already materializes into
+    * one row; no fact table is ever touched. Deterministic end to end
+    * (deflate of a deterministic raster), so re-runs land byte-equal
+    * files. Returns the written file path. */
+  def renderWorldMapPng(s: SparkSession, sfDir: String, outDir: String,
+      date: String): String = {
+    import org.apache.spark.sql.functions._
+    val (w, h) = (1000, 500)
+    val world = withBoundaryGeometry(s,
+      SteamOps.withEuPropagatedDif(SteamOps.worldTable(s, sfDir)))
+    def px(pt: org.apache.spark.sql.Column) =
+      (element_at(pt, 1) + lit(180.0)) / lit(360.0) * lit(w.toDouble)
+    def py(pt: org.apache.spark.sql.Column) =
+      (lit(90.0) - element_at(pt, 2)) / lit(180.0) * lit(h.toDouble)
+    val palette = array(Seq("#f7fbff", "#deebf7", "#c6dbef", "#9ecae1",
+      "#6baed6", "#4292c6", "#2171b5", "#08519c", "#08306b").map(lit): _*)
+    val stats = world.agg(min(col("perc_dif")).as("lo"), max(col("perc_dif")).as("hi"))
+    val bucket = when(col("hi") > col("lo"),
+      least(floor((col("perc_dif") - col("lo")) / (col("hi") - col("lo")) * 9)
+        .cast("int"), lit(8))).otherwise(lit(4))
+    val fill = when(col("perc_dif").isNull, lit("#cccccc"))
+      .otherwise(element_at(palette, bucket + 1))
+    val feats = world.join(broadcast(stats))
+      .select(col("alpha3"),
+        transform(flatten(col("geometry.coordinates")),
+          ring => transform(ring, pt => array(px(pt), py(pt)))).as("rings"),
+        fill.as("fill"))
+      .orderBy("alpha3")
+      .collect() // planet-bounded dim: the artifact step, never a fact scan
+    // Spark hands nested arrays back as mutable ArraySeq — type the cast
+    // with collection.Seq or the inner maps ClassCastException
+    val features = feats.toSeq.map { r =>
+      val rings = r.getAs[collection.Seq[collection.Seq[collection.Seq[Double]]]]("rings")
+      (rings.toSeq.map(_.toSeq.map(p => (p(0), p(1)))),
+        graft.render.Raster.hex(r.getAs[String]("fill")))
+    }
+    val img = graft.render.Raster.fillPolygons(w, h, 0xffffff, features,
+      stroke = 0x555555)
+    val dir = java.nio.file.Paths.get(s"$outDir/world_map_png/dt=$date")
+    java.nio.file.Files.createDirectories(dir)
+    val file = dir.resolve("world_map.png")
+    java.nio.file.Files.write(file, graft.render.Raster.encodePng(w, h, img))
+    file.toString
+  }
+
   /** world_map_features — the choropleth render frame summarized as a
     * queryable geometry panel: per country, how many polygons (islands)
     * and vertices its boundary carries, its lon/lat bbox, and whether
