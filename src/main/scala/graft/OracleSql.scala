@@ -1196,6 +1196,22 @@ object OracleSql {
         |  CAST(SUM(v6) AS DOUBLE)/COUNT(*)/1000000.0 AS centroid
         |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
+    "embedding_project" -> {
+      // same seeded ±1 planes as SimilarityOps.projPlanes, inlined as
+      // DuckDB list literals; per-term floor(x*w*1e12+0.5) then integer
+      // sum — the DotE12 recurrence, order-independent and bit-exact
+      val cols = graft.operators.SimilarityOps.projPlanes(8).zipWithIndex
+        .map { case (p, i) =>
+          val w = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+          s"CAST(list_sum(list_transform(generate_series(1,64), i -> " +
+            s"CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*($w)[i]*1000000000000.0+0.5) " +
+            s"AS BIGINT))) AS BIGINT) AS p$i"
+        }.mkString(",\n|  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

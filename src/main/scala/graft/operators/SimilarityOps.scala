@@ -259,4 +259,33 @@ object SimilarityOps {
       .select(col("label"), col("dim"), col("n"),
         (col("sum_e6").cast("double") / col("n") / lit(1000000.0)).as("centroid"))
       .orderBy("label", "dim")
+
+  /** Deterministic ±1 projection planes for [[embeddingProject]] — a
+    * DIFFERENT seed family from the LSH planes so the two operators stay
+    * independent. Shared with the DuckDB oracle (OracleSql interpolates
+    * the same values as list literals). */
+  def projPlanes(k: Int, dim: Int = 64): IndexedSeq[Array[Float]] =
+    (0 until k).map { p =>
+      val rng = new scala.util.Random(1234L * (p + 7))
+      Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+    }
+
+  /** embedding_project — Johnson–Lindenstrauss random projection: each
+    * output coordinate is the EXACT scaled-int dot product (native
+    * codegen [[DotE12]]) of the embedding with a seeded ±1 plane,
+    * reducing 64-dim float vectors to `k` exact BIGINTs. The cheap
+    * preprocessing for clustering/dedup at 10⁹⁺ vectors: pairwise
+    * distances survive within (1±ε) with high probability, downstream
+    * operators compare k integers instead of 64 floats, and the
+    * all-integer output hash-matches the DuckDB oracle bit-for-bit.
+    * One projection inside whole-stage codegen; zero shuffles before
+    * the presentation sort. */
+  def embeddingProject(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val cols = projPlanes(k).zipWithIndex.map { case (p, i) =>
+      dotE12(col("embedding"), array(p.toIndexedSeq.map(lit): _*)).as(s"p$i")
+    }
+    Tables.embeddings(s, dir)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy("vec_id")
+  }
 }
