@@ -180,6 +180,26 @@ object ScaleProbe {
       d.unpersist()
     }
 
+    // ---- bpe_train: vocabulary-bounded training ----
+    // Replicas duplicate TEXT identically, so the distinct-word vocab is
+    // FIXED while corpus word counts grow kx: the one freq-table pass
+    // tracks the scan, but all training rounds iterate the SAME
+    // vocab-sized frame — wall must stay ~flat, and the learned merges
+    // must be IDENTICAL (every pair count scales uniformly kx, so each
+    // round's argmax cannot change).
+    var bpeBaseline: Seq[(Int, String, String)] = null
+    for (k <- Seq(1, 4, factor) if only.forall(_.contains("bpe_train"))) {
+      val d = grownDocs(k)
+      val t0 = System.nanoTime()
+      val merges = graft.operators.TokenizerOps.bpeTrain(d, 16)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val shape = merges.map { case (i, l, r, _) => (i, l, r) }
+      if (bpeBaseline == null) bpeBaseline = shape
+      println(s"""{"probe":"bpe_train","scale":$k,"wall_sec":${f"$wall%.2f"},""" +
+        s""""merges":${merges.length},"stable":${shape == bpeBaseline}}""")
+      spark.catalog.clearCache()
+    }
+
     // ---- graph_pagerank: disjoint-subgraph growth ----
     // Each replica shifts order/customer/supplier keys into their own id
     // ranges, so the co-purchase graph becomes k disjoint copies: edges,
