@@ -976,6 +976,34 @@ object OracleSql {
          |  CAST(stop_n AS DOUBLE)/words_n*0.5 + (1.0 - CAST(punct_n AS DOUBLE)/chars_n)*0.3 + least(words_n,100)/100.0*0.2 >= 0.5 AS keep
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    "text_fingerprint" ->
+      // FNV-1a with Java wrap-around, emulated EXACTLY in DuckDB: codepoints
+      // re-encode to UTF-8 bytes (the hash is over bytes, not chars), the
+      // fold runs in HUGEINT mod 2^64 (the 2^104-bit product fits int128),
+      // xor touches only the low byte (h ^ b == h - h%256 + xor(h%256, b)
+      // for b < 256), and the final value re-signs into BIGINT — verified
+      // bit-equal to the JVM kernel on ASCII, 2/3/4-byte UTF-8.
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(flatten(list_transform(range(1, length(text)+1), i -> (
+        |      CASE
+        |        WHEN ord(text[i]) < 128 THEN [ord(text[i])]
+        |        WHEN ord(text[i]) < 2048 THEN [192 + ord(text[i]) // 64, 128 + ord(text[i]) % 64]
+        |        WHEN ord(text[i]) < 65536 THEN [224 + ord(text[i]) // 4096, 128 + (ord(text[i]) // 64) % 64, 128 + ord(text[i]) % 64]
+        |        ELSE [240 + ord(text[i]) // 262144, 128 + (ord(text[i]) // 4096) % 64, 128 + (ord(text[i]) // 64) % 64, 128 + ord(text[i]) % 64]
+        |      END))) AS BIGINT[]) AS bytes
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT), list_transform(bytes, x -> CAST(x AS HUGEINT))),
+        |    (h, x) -> ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT)) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS uh
+        |  FROM b)
+        |SELECT doc_id, CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+        |  THEN CAST(uh - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+        |  ELSE CAST(uh AS BIGINT) END AS fingerprint
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "heavy_hitters" ->
       """WITH w AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w)

@@ -205,8 +205,6 @@ object SparkEntry {
       "RecallSpec: 'ann_lsh multi-probe recall vs brute-force top-k (sf0.1)' + DedupSpec subset-quality check"),
     "ann_ivf" -> ("kmeans|| coarse quantizer is iterative and seed-dependent; recall vs brute force is recorded by spec",
       "RecallSpec: 'ann_ivf: plan size independent of cell count; recall at cells=64 recorded (sf0.1)' + DedupSpec recall check"),
-    "text_fingerprint" -> ("FNV-1a over 64-bit wrap-around multiplication, not expressible in ANSI SQL",
-      "TextAndMmSpec: 'fingerprint: deterministic, content-sensitive (FNV-1a)'"),
     "text_winnow" -> ("winnowing fingerprints are xxhash64 k-gram hashes (wrap-around), not ANSI-expressible",
       "Round4OpsSpec: 'winnowing: a shared run of >= w+k-1 tokens shares a fingerprint'"),
     "mm_metadata" -> ("GRMM container decode (checksummed binary header + body stats) over synthesized payloads — DuckDB has no twin of the byte-level decoder",
