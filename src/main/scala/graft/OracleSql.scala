@@ -151,6 +151,71 @@ object OracleSql {
   private def avgE2(x: String) = s"CAST(SUM(${e2(x)}) AS DOUBLE)/100.0/COUNT(*)"
 
   // embeddings: exact scaled-int dot product, mirroring graft's DotE12
+  // ---------- XXH64 single-long fold, emulated exactly in DuckDB ----------
+  // Spark's xxhash64(longCol, longLit) (the sampling operators' keyed
+  // coin) is XXH64.hashLong folded per argument from seed 42. DuckDB has
+  // no xxhash64, but every step is expressible in HUGEINT arithmetic:
+  // 64×64-bit products split 32/32 (a full product would overflow the
+  // signed int128), rotations as shift+or on disjoint bit ranges, xor by
+  // re-signing through BIGINT (two's-complement xor IS 64-bit xor). The
+  // stage chain lands in MATERIALIZED CTEs — DuckDB inlines plain CTEs
+  // and lateral aliases by substitution, and the 24-deep chain would
+  // otherwise expand exponentially. Verified bit-equal to the JVM on the
+  // operators' own outputs.
+  private val XxM = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private val XxH63 = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
+  private val XxB32 = "CAST(4294967296 AS HUGEINT)" // 2^32
+  private val XxP1 = "CAST('11400714785074694791' AS HUGEINT)"
+  private val XxP2 = "CAST('14029467366897019727' AS HUGEINT)"
+  private val XxP3 = "CAST('1609587929392839161' AS HUGEINT)"
+  private val XxP4 = "CAST('9650029242287828579' AS HUGEINT)"
+  private val XxP5 = "CAST('2870177450012600261' AS HUGEINT)"
+
+  private def xxMulMod(x: String, y: String) =
+    s"(((($x // $XxB32) * $y % $XxB32) * $XxB32 + ($x % $XxB32) * $y) % $XxM)"
+  private def xxSign(x: String) =
+    s"(CASE WHEN $x >= $XxH63 THEN CAST($x - $XxM AS BIGINT) ELSE CAST($x AS BIGINT) END)"
+  private def xxUxor(a: String, b: String) = {
+    val s = s"xor(${xxSign(a)}, ${xxSign(b)})"
+    s"(CAST($s AS HUGEINT) + CASE WHEN $s < 0 THEN $XxM ELSE CAST(0 AS HUGEINT) END)"
+  }
+  private def xxRotl(x: String, r: Int) =
+    s"((($x * ${1L << r}) % $XxM) + ($x // ${1L << (64 - r)}))"
+
+  /** MATERIALIZED CTE stages computing `{p}out` = XXH64.hashLong(inp, seed)
+    * starting from CTE `src`, carrying `keep` columns through. */
+  private def xxHashLongCtes(p: String, src: String, keep: Seq[String],
+      inp: String, seed: String): Seq[(String, String)] = {
+    val k = keep.mkString(", ")
+    Seq(
+      (s"${p}s1", s"SELECT $k, ${xxMulMod(inp, XxP2)} AS ${p}k1, " +
+        s"(($seed + $XxP5 + 8) % $XxM) AS ${p}h0 FROM $src"),
+      (s"${p}s2", s"SELECT $k, ${p}h0, ${xxRotl(s"${p}k1", 31)} AS ${p}k2 FROM ${p}s1"),
+      (s"${p}s2b", s"SELECT $k, ${p}h0, ${xxMulMod(s"${p}k2", XxP1)} AS ${p}k3 FROM ${p}s2"),
+      (s"${p}s3", s"SELECT $k, ${xxUxor(s"${p}h0", s"${p}k3")} AS ${p}h1 FROM ${p}s2b"),
+      (s"${p}s3b", s"SELECT $k, ${xxRotl(s"${p}h1", 27)} AS ${p}h2 FROM ${p}s3"),
+      (s"${p}s4", s"SELECT $k, (${xxMulMod(s"${p}h2", XxP1)} + $XxP4) % $XxM AS ${p}h3 FROM ${p}s3b"),
+      (s"${p}s4b", s"SELECT $k, ${xxUxor(s"${p}h3", s"(${p}h3 // 8589934592)")} AS ${p}f1 FROM ${p}s4"),
+      (s"${p}s5", s"SELECT $k, ${xxMulMod(s"${p}f1", XxP2)} AS ${p}f2 FROM ${p}s4b"),
+      (s"${p}s5b", s"SELECT $k, ${xxUxor(s"${p}f2", s"(${p}f2 // 536870912)")} AS ${p}f3 FROM ${p}s5"),
+      (s"${p}s6", s"SELECT $k, ${xxMulMod(s"${p}f3", XxP3)} AS ${p}f4 FROM ${p}s5b"),
+      (s"${p}s7", s"SELECT $k, ${xxUxor(s"${p}f4", s"(${p}f4 // 4294967296)")} AS ${p}out FROM ${p}s6"))
+  }
+
+  /** CTE block `hx` exposing `keep` + `pm` = Spark
+    * `pmod(xxhash64(doc_id, <seed>L), m)` for every documents row. */
+  private def xxDocCoinCtes(keep: Seq[String], seed: Long, m: Long): String = {
+    val ctes =
+      xxHashLongCtes("a", "documents", keep,
+        s"(CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + $XxM " +
+          s"ELSE CAST(doc_id AS HUGEINT) END)", s"CAST(42 AS HUGEINT)") ++
+      xxHashLongCtes("b", "as7", keep :+ "aout",
+        s"CAST($seed AS HUGEINT)", "aout")
+    (ctes.map { case (n, q) => s"$n AS MATERIALIZED ($q)" } :+
+      (s"hx AS (SELECT ${keep.mkString(", ")}, " +
+        s"(((${xxSign("bout")} % $m) + $m) % $m) AS pm FROM bs7)")).mkString(",\n")
+  }
+
   private def dotE12(a: String, b: String) =
     s"CAST(list_sum(list_transform(generate_series(1,64), i -> " +
       s"CAST(FLOOR(CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)*1000000000000.0+0.5) AS BIGINT))) AS BIGINT)"
@@ -1223,6 +1288,41 @@ object OracleSql {
         |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(v6) AS DOUBLE)/COUNT(*)/1000000.0 AS centroid
         |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    "stratified_sample" ->
+      s"""WITH ${xxDocCoinCtes(Seq("doc_id", "lang", "source", "n_chars"), 42L, 1048576L)}
+         |SELECT doc_id, lang, source, n_chars FROM hx
+         |WHERE CAST(pm AS DOUBLE)/1048576.0 <
+         |  (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dataset_split" ->
+      s"""WITH ${xxDocCoinCtes(Seq("doc_id", "lang", "source", "n_chars"), 42L, 10000L)}
+         |SELECT doc_id,
+         |  CASE WHEN pm < 100 THEN 'test' WHEN pm < 200 THEN 'val'
+         |    ELSE 'train' END AS split,
+         |  lang, source, n_chars FROM hx
+         |ORDER BY doc_id""".stripMargin,
+
+    "mixture_sample" ->
+      // rate formula replicated with Spark's exact expression tree
+      // (((n^α / Z) * (total·budget)) / n); Z accumulates in source order
+      // via an explicitly sequential list_reduce — a windowed SUM's
+      // accumulation order is engine-internal and could diverge at ulp
+      s"""WITH ${xxDocCoinCtes(Seq("doc_id", "source", "lang", "n_chars"), 42L, 1048576L)},
+         |counts AS (SELECT source, COUNT(*) AS src_n FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(src_n) AS BIGINT) AS total,
+         |  list_reduce(list(pow(CAST(src_n AS DOUBLE), ${graft.operators.CurationOps.MixAlpha}) ORDER BY source),
+         |    (a, b) -> a + b) AS z
+         |  FROM counts),
+         |rates AS (SELECT source,
+         |  LEAST(1.0, ((pow(CAST(src_n AS DOUBLE), ${graft.operators.CurationOps.MixAlpha}) / z)
+         |    * (CAST(total AS DOUBLE) * ${graft.operators.CurationOps.MixBudget})) / CAST(src_n AS DOUBLE)) AS rate
+         |  FROM counts, tot)
+         |SELECT h.doc_id, h.source, h.lang, h.n_chars
+         |FROM hx h JOIN rates r USING (source)
+         |WHERE CAST(h.pm AS DOUBLE)/1048576.0 < r.rate
+         |ORDER BY doc_id""".stripMargin,
 
     "embedding_project" -> {
       // same seeded ±1 planes as SimilarityOps.projPlanes, inlined as

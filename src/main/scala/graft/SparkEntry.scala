@@ -185,12 +185,6 @@ object SparkEntry {
       "SketchSpec: 'hll_distinct: merging daily partials loses nothing vs the direct sketch'"),
     "quantile_sketch" -> ("DDSketch bucket estimates are sketch-specific (no DuckDB twin); the α-error and merge contracts are the spec",
       "SketchSpec: 'quantile_sketch: merged == direct, every estimate within α of the exact percentile'"),
-    "dataset_split" -> ("split coin is xxhash64 with 64-bit wrap-around arithmetic, not expressible in ANSI SQL",
-      "Round4OpsSpec: 'dataset_split: deterministic, exhaustive, growth-stable eval set'"),
-    "stratified_sample" -> ("sampling coin is a seeded xxhash64 (wrap-around), not ANSI-expressible",
-      "CurationSpec: 'stratified_sample: deterministic, nested across rates, near target rates' + 'survives repartitioning unchanged'"),
-    "mixture_sample" -> ("per-source n^alpha resampling uses seeded xxhash64 coins, not ANSI-expressible",
-      "Round5OpsSpec: 'mixture_sample: deterministic, subset, and rates follow n^alpha'"),
     "dedup_minhash_lsh" -> ("signatures are seeded xxhash64 minima (64-bit wrap-around), not ANSI-expressible",
       "DedupSpec: 'minhash LSH surfaces exact and near duplicates as candidates' + 'native MinHash32 matches the exploded min-aggregate formulation'"),
     "dedup_minhash_verified" -> ("candidate set comes from the seeded MinHash-LSH pass (same non-ANSI hashes); the exact-Jaccard verify IS spec-checked against the full exact output",
