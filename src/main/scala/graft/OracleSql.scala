@@ -179,6 +179,8 @@ object OracleSql {
     val s = s"xor(${xxSign(a)}, ${xxSign(b)})"
     s"(CAST($s AS HUGEINT) + CASE WHEN $s < 0 THEN $XxM ELSE CAST(0 AS HUGEINT) END)"
   }
+  private def xxUnsign(x: String) =
+    s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $XxM ELSE CAST(($x) AS HUGEINT) END)"
   private def xxRotl(x: String, r: Int) =
     s"((($x * ${1L << r}) % $XxM) + ($x // ${1L << (64 - r)}))"
 
@@ -202,6 +204,76 @@ object OracleSql {
       (s"${p}s7", s"SELECT $k, ${xxUxor(s"${p}f4", s"(${p}f4 // 4294967296)")} AS ${p}out FROM ${p}s6"))
   }
 
+  // ---------- XXH64 over STRINGS (full algorithm: 32-byte stripes, 8/4/1-
+  // byte tails), emulated in DuckDB ----------
+  // Verified bit-equal to Spark's xxhash64 on ASCII and multi-byte UTF-8
+  // at every length regime (<32, ==32, >32, 8k+r tails). The fold phases
+  // run as list_reduce over the DATA (stripe lists / tail lanes), so the
+  // recurrence depth lives in rows, not in the expression tree — only
+  // the fixed stage chain needs MATERIALIZED CTEs.
+
+  private val XxV1 = "CAST('6983438078262162944' AS HUGEINT)" // (42+P1+P2) mod 2^64
+  private val XxV2 = "CAST('14029467366897019769' AS HUGEINT)" // 42+P2
+  private val XxV3 = "CAST(42 AS HUGEINT)"
+  private val XxV4 = "CAST('7046029288634856867' AS HUGEINT)" // (42-P1) mod 2^64
+
+  /** UTF-8 byte list of a string expression (codepoints re-encoded — the
+    * hash is over bytes; shared recipe with the text_fingerprint twin). */
+  private def xxUtf8Bytes(t: String): String =
+    s"CAST(flatten(list_transform(range(1, length($t)+1), ci -> (CASE " +
+      s"WHEN ord($t[ci]) < 128 THEN [ord($t[ci])] " +
+      s"WHEN ord($t[ci]) < 2048 THEN [192 + ord($t[ci]) // 64, 128 + ord($t[ci]) % 64] " +
+      s"WHEN ord($t[ci]) < 65536 THEN [224 + ord($t[ci]) // 4096, 128 + (ord($t[ci]) // 64) % 64, 128 + ord($t[ci]) % 64] " +
+      s"ELSE [240 + ord($t[ci]) // 262144, 128 + (ord($t[ci]) // 4096) % 64, 128 + (ord($t[ci]) // 64) % 64, 128 + ord($t[ci]) % 64] END))) AS BIGINT[])"
+
+  /** One stripe-lane round: v ← rotl31(v + lane·P2)·P1, all mod 2⁶⁴. */
+  private def xxRound(v: String, l: String): String =
+    xxMulMod(xxRotl(s"(($v) + ${xxMulMod(l, XxP2)}) % $XxM", 31), XxP1)
+
+  /** One accumulator merge: h ← (h ⊕ rotl31(v·P2)·P1)·P1 + P4. */
+  private def xxMerge(h: String, v: String): String =
+    s"(${xxMulMod(xxUxor(h, xxMulMod(xxRotl(xxMulMod(v, XxP2), 31), XxP1)), XxP1)} + $XxP4) % $XxM"
+
+  /** MATERIALIZED CTE chain from `src` (columns: `keep` + BIGINT[] `bs`)
+    * to CTE `xh` (columns: `keep` + unsigned-HUGEINT `xh` =
+    * XXH64(bytes, seed 42) — Spark's `xxhash64` on the original string). */
+  private def xxStringCtes(src: String, keep: Seq[String]): String = {
+    val k = keep.mkString(", ")
+    val w8sum = (0 until 8).map(t =>
+      s"CAST(bs[8*wj+${t + 1}] AS HUGEINT) * CAST('${BigInt(1) << (8 * t)}' AS HUGEINT)")
+      .mkString(" + ")
+    val lane4 = (0 until 4).map(t =>
+      s"CAST(bs[(n//8)*8+${t + 1}] AS HUGEINT) * ${1L << (8 * t)}").mkString(" + ")
+    s"""x1 AS MATERIALIZED (SELECT $k, bs, len(bs) AS n,
+       |  list_transform(range(0, len(bs)//8), wj -> $w8sum) AS w8 FROM $src),
+       |x2 AS MATERIALIZED (SELECT $k, bs, n, w8,
+       |  list_reduce(list_prepend([$XxV1, $XxV2, $XxV3, $XxV4],
+       |    list_transform(range(0, n//32), sj -> [w8[4*sj+1], w8[4*sj+2], w8[4*sj+3], w8[4*sj+4]])),
+       |    (a, l) -> [${xxRound("a[1]", "l[1]")}, ${xxRound("a[2]", "l[2]")}, ${xxRound("a[3]", "l[3]")}, ${xxRound("a[4]", "l[4]")}]) AS acc FROM x1),
+       |x3a AS MATERIALIZED (SELECT $k, bs, n, w8, acc,
+       |  (${xxRotl("acc[1]", 1)} + ${xxRotl("acc[2]", 7)} + ${xxRotl("acc[3]", 12)} + ${xxRotl("acc[4]", 18)}) % $XxM AS hm FROM x2),
+       |x3b AS MATERIALIZED (SELECT $k, bs, n, w8, acc, ${xxMerge("hm", "acc[1]")} AS hm FROM x3a),
+       |x3c AS MATERIALIZED (SELECT $k, bs, n, w8, acc, ${xxMerge("hm", "acc[2]")} AS hm FROM x3b),
+       |x3d AS MATERIALIZED (SELECT $k, bs, n, w8, acc, ${xxMerge("hm", "acc[3]")} AS hm FROM x3c),
+       |x3e AS MATERIALIZED (SELECT $k, bs, n, w8,
+       |  ((CASE WHEN n >= 32 THEN ${xxMerge("hm", "acc[4]")} ELSE (42 + $XxP5) % $XxM END) + n) % $XxM AS h FROM x3d),
+       |x4 AS MATERIALIZED (SELECT $k, bs, n,
+       |  list_reduce(list_prepend(h, list_transform(range((n//32)*4, n//8), wj -> w8[wj+1])),
+       |    (a, l) -> (${xxMulMod(xxRotl(xxUxor("a", xxMulMod(xxRotl(xxMulMod("l", XxP2), 31), XxP1)), 27), XxP1)} + $XxP4) % $XxM) AS h FROM x3e),
+       |x5 AS MATERIALIZED (SELECT $k, bs, n,
+       |  CASE WHEN n - (n//8)*8 >= 4
+       |    THEN (${xxMulMod(xxRotl(xxUxor("h", xxMulMod(s"($lane4)", XxP1)), 23), XxP2)} + $XxP3) % $XxM
+       |    ELSE h END AS h FROM x4),
+       |x6 AS MATERIALIZED (SELECT $k,
+       |  list_reduce(list_prepend(h,
+       |      list_transform(range((n//8)*8 + CASE WHEN n - (n//8)*8 >= 4 THEN 4 ELSE 0 END, n),
+       |        bj -> CAST(bs[bj+1] AS HUGEINT))),
+       |    (a, b) -> ${xxMulMod(xxRotl(xxUxor("a", s"(b * $XxP5) % $XxM"), 11), XxP1)}) AS h FROM x5),
+       |x7 AS MATERIALIZED (SELECT $k, ${xxMulMod(xxUxor("h", "(h // 8589934592)"), XxP2)} AS f2 FROM x6),
+       |x8 AS MATERIALIZED (SELECT $k, ${xxMulMod(xxUxor("f2", "(f2 // 536870912)"), XxP3)} AS f4 FROM x7),
+       |xh AS (SELECT $k, ${xxUxor("f4", "(f4 // 4294967296)")} AS xh FROM x8)""".stripMargin
+  }
+
   /** CTE block `hx` exposing `keep` + `pm` = Spark
     * `pmod(xxhash64(doc_id, <seed>L), m)` for every documents row. */
   private def xxDocCoinCtes(keep: Seq[String], seed: Long, m: Long): String = {
@@ -219,6 +291,20 @@ object OracleSql {
   private def dotE12(a: String, b: String) =
     s"CAST(list_sum(list_transform(generate_series(1,64), i -> " +
       s"CAST(FLOOR(CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)*1000000000000.0+0.5) AS BIGINT))) AS BIGINT)"
+
+  /** Exact scaled-int dot of an embedding column with a LITERAL ±1 plane
+    * (the LSH/projection plane family, inlined as a DuckDB list). */
+  private def dotPlane(emb: String, w: String) =
+    s"CAST(list_sum(list_transform(generate_series(1,64), i -> " +
+      s"CAST(FLOOR(CAST($emb[i] AS DOUBLE)*($w)[i]*1000000000000.0+0.5) AS BIGINT))) AS BIGINT)"
+
+  /** SimilarityOps.lshBucket's bit-exact SQL twin: bit p set iff the
+    * exact dot with seeded plane p is strictly positive. */
+  private def lshBucketSql(emb: String): String =
+    graft.operators.SimilarityOps.planeWeights(64).zipWithIndex.map { case (p, i) =>
+      val w = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN ${dotPlane(emb, w)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
   private def cosSim(dt: String, na: String, nb: String) =
     s"CAST($dt AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
 
@@ -1288,6 +1374,200 @@ object OracleSql {
         |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(v6) AS DOUBLE)/COUNT(*)/1000000.0 AS centroid
         |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    "text_winnow" -> {
+      val k = graft.operators.TextOps.WinnowK
+      val w = graft.operators.TextOps.WinnowW
+      val gram = (0 until k).map(j => s"wds[i+$j]").mkString(" || ' ' || ")
+      // grams hash through the full XXH64 string emulation; winnowing =
+      // min signed hash over each w-window of gram positions, distinct
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS wds FROM documents),
+         |g AS (SELECT doc_id, i, $gram AS gram
+         |  FROM t, UNNEST(generate_series(1, len(wds)-${k - 1})) AS u(i)
+         |  WHERE len(wds) >= ${k + w - 1}),
+         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("gram")} AS bs FROM g),
+         |${xxStringCtes("src", Seq("doc_id", "i"))},
+         |win AS (SELECT doc_id, i,
+         |  MIN(${xxSign("xh")}) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+         |  MAX(i) OVER (PARTITION BY doc_id) AS mx FROM xh)
+         |SELECT DISTINCT doc_id, fp FROM win WHERE i <= mx - ${w - 1}
+         |ORDER BY doc_id, fp""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val pow2 = (0 until 64).map(b => s"CAST('${BigInt(1) << b}' AS HUGEINT)")
+        .mkString("[", ",", "]")
+      val bandDiv = Seq("1", "65536", "4294967296", "281474976710656")
+        .mkString("[", ",", "]")
+      // per-token XXH64 → ±1 votes per bit (on the UNSIGNED value, so
+      // (xh // 2^b) % 2 is exactly Java's >>> b & 1) → majority bits →
+      // 16-bit band buckets (size in [2, MaxBucket]) → hamming via
+      // bit_count(xor) on the re-signed signatures
+      s"""WITH tk AS (SELECT doc_id, tok FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |src AS (SELECT doc_id, ${xxUtf8Bytes("tok")} AS bs FROM tk),
+         |${xxStringCtes("src", Seq("doc_id"))},
+         |vt AS (SELECT doc_id, b,
+         |  SUM(CASE WHEN (xh // ($pow2)[b+1]) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM xh, UNNEST(generate_series(0, 63)) AS bb(b) GROUP BY doc_id, b),
+         |sg AS (SELECT doc_id,
+         |  SUM(CASE WHEN v > 0 THEN ($pow2)[b+1] ELSE CAST(0 AS HUGEINT) END) AS usig
+         |  FROM vt GROUP BY doc_id),
+         |bb AS (SELECT doc_id, ${xxSign("usig")} AS sh, band,
+         |  CAST((usig // ($bandDiv)[band+1]) % 65536 AS BIGINT) AS bucket
+         |  FROM sg, UNNEST([0, 1, 2, 3]) AS bd(band)),
+         |sz AS (SELECT band, bucket FROM bb GROUP BY band, bucket
+         |  HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.DedupOps.MaxBucket}),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |  JOIN sz ON a.band = sz.band AND a.bucket = sz.bucket)
+         |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 16
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_minhash_lsh" -> {
+      // The FULL MinHash-LSH candidate pipeline, bit-exact in DuckDB:
+      // shingle → XXH64 string hash (hb) → 32 signature slots, slot k =
+      // min over hashLong(hb, slot_seed(k)) with slot_seed(k) =
+      // XXH64.hashInt(k, 42) interpolated straight from Spark's own
+      // kernel — then 8 band buckets, each a 4-deep hashLong fold over
+      // the band's signature slots from seed 42 (Spark's multi-arg
+      // xxhash64), bucket-size cap [2, MaxBucket], in-bucket pairs.
+      val seeds = (0 until graft.functions.MinHash32.K).map { k =>
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, 42L)
+        s"CAST('${(BigInt(v) + (BigInt(1) << 64)) % (BigInt(1) << 64)}' AS HUGEINT)"
+      }.mkString("[", ",", "]")
+      val slotChain = xxHashLongCtes("sl", "kx", Seq("doc_id", "k"), "xh", "sseed")
+        .map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")
+      def bandChain(p: String, src: String, rest: Seq[String], slot: String,
+          seed: String) =
+        xxHashLongCtes(p, src, Seq("doc_id", "band") ++ rest, xxUnsign(slot), seed)
+          .map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS wds FROM documents),
+         |g AS (SELECT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS gram
+         |  FROM t, UNNEST(generate_series(1, len(wds)-2)) AS u(i) WHERE len(wds) >= 3),
+         |src AS (SELECT doc_id, ${xxUtf8Bytes("gram")} AS bs FROM g),
+         |${xxStringCtes("src", Seq("doc_id"))},
+         |kx AS (SELECT doc_id, xh, kk AS k, ($seeds)[kk+1] AS sseed
+         |  FROM xh, UNNEST(generate_series(0, 31)) AS ks(kk)),
+         |$slotChain,
+         |sm AS (SELECT doc_id, k, MIN(${xxSign("slout")}) AS smin FROM sls7 GROUP BY doc_id, k),
+         |bands AS (SELECT doc_id, k // 4 AS band,
+         |  MAX(CASE WHEN k % 4 = 0 THEN smin END) AS s1,
+         |  MAX(CASE WHEN k % 4 = 1 THEN smin END) AS s2,
+         |  MAX(CASE WHEN k % 4 = 2 THEN smin END) AS s3,
+         |  MAX(CASE WHEN k % 4 = 3 THEN smin END) AS s4
+         |  FROM sm GROUP BY doc_id, k // 4),
+         |${bandChain("c1", "bands", Seq("s2", "s3", "s4"), "s1", "CAST(42 AS HUGEINT)")},
+         |${bandChain("c2", "c1s7", Seq("s3", "s4"), "s2", "c1out")},
+         |${bandChain("c3", "c2s7", Seq("s4"), "s3", "c2out")},
+         |${bandChain("c4", "c3s7", Seq(), "s4", "c3out")},
+         |bb AS (SELECT doc_id, band, ${xxSign("c4out")} AS bucket FROM c4s7),
+         |sz AS (SELECT band, bucket FROM bb GROUP BY band, bucket
+         |  HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.DedupOps.MaxBucket}),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |  JOIN sz ON a.band = sz.band AND a.bucket = sz.bucket)
+         |SELECT doc_a, doc_b, COUNT(*) AS n_bands FROM pr GROUP BY doc_a, doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_minhash_verified" -> {
+      // the LSH candidate block above + exact Jaccard on candidates only
+      // (sizes/intersections over DISTINCT per-doc shingle hashes — the
+      // engine's hashedShingles frame)
+      val seeds = (0 until graft.functions.MinHash32.K).map { k =>
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, 42L)
+        s"CAST('${(BigInt(v) + (BigInt(1) << 64)) % (BigInt(1) << 64)}' AS HUGEINT)"
+      }.mkString("[", ",", "]")
+      val slotChain = xxHashLongCtes("sl", "kx", Seq("doc_id", "k"), "xh", "sseed")
+        .map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")
+      def bandChain(p: String, src: String, rest: Seq[String], slot: String,
+          seed: String) =
+        xxHashLongCtes(p, src, Seq("doc_id", "band") ++ rest, xxUnsign(slot), seed)
+          .map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS wds FROM documents),
+         |g AS (SELECT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS gram
+         |  FROM t, UNNEST(generate_series(1, len(wds)-2)) AS u(i) WHERE len(wds) >= 3),
+         |src AS (SELECT doc_id, ${xxUtf8Bytes("gram")} AS bs FROM g),
+         |${xxStringCtes("src", Seq("doc_id"))},
+         |kx AS (SELECT doc_id, xh, kk AS k, ($seeds)[kk+1] AS sseed
+         |  FROM xh, UNNEST(generate_series(0, 31)) AS ks(kk)),
+         |$slotChain,
+         |sm AS (SELECT doc_id, k, MIN(${xxSign("slout")}) AS smin FROM sls7 GROUP BY doc_id, k),
+         |bands AS (SELECT doc_id, k // 4 AS band,
+         |  MAX(CASE WHEN k % 4 = 0 THEN smin END) AS s1,
+         |  MAX(CASE WHEN k % 4 = 1 THEN smin END) AS s2,
+         |  MAX(CASE WHEN k % 4 = 2 THEN smin END) AS s3,
+         |  MAX(CASE WHEN k % 4 = 3 THEN smin END) AS s4
+         |  FROM sm GROUP BY doc_id, k // 4),
+         |${bandChain("c1", "bands", Seq("s2", "s3", "s4"), "s1", "CAST(42 AS HUGEINT)")},
+         |${bandChain("c2", "c1s7", Seq("s3", "s4"), "s2", "c1out")},
+         |${bandChain("c3", "c2s7", Seq("s4"), "s3", "c2out")},
+         |${bandChain("c4", "c3s7", Seq(), "s4", "c3out")},
+         |bb AS (SELECT doc_id, band, ${xxSign("c4out")} AS bucket FROM c4s7),
+         |sz AS (SELECT band, bucket FROM bb GROUP BY band, bucket
+         |  HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.DedupOps.MaxBucket}),
+         |cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |  JOIN sz ON a.band = sz.band AND a.bucket = sz.bucket),
+         |shd AS (SELECT DISTINCT doc_id, xh FROM xh),
+         |szs AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+         |cm AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+         |  FROM cp c JOIN shd a ON a.doc_id = c.doc_a
+         |  JOIN shd b ON b.doc_id = c.doc_b AND b.xh = a.xh
+         |  GROUP BY c.doc_a, c.doc_b),
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) AS jaccard
+         |  FROM cm JOIN szs za ON doc_a = za.doc_id JOIN szs zb ON doc_b = zb.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "ann_lsh" -> {
+      // the SAME seeded ±1 hyperplanes as SimilarityOps.lshBucket,
+      // inlined as list literals; bucket bit p = sign of the exact
+      // scaled-int dot — approximate vs BRUTE by design, but a pure
+      // function of (embedding, planes), so algorithm parity is
+      // oracle-checkable even though recall is RecallSpec's business
+      val masks = graft.operators.SimilarityOps.probeMasks(2)
+        .mkString("[", ",", "]")
+      s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |b AS (SELECT vec_id, embedding, nrm, ${lshBucketSql("embedding")} AS bucket FROM n),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |  unnest(list_transform($masks, m -> xor(bucket, m))) AS bucket
+         |  FROM b WHERE vec_id % ${graft.operators.SimilarityOps.QueryModulus} = 0),
+         |sc AS (SELECT q.q_id, e.vec_id AS n_id,
+         |  ${cosSim(dotE12("q_emb", "e.embedding"), "q_nrm", "e.nrm")} AS cos_sim
+         |  FROM b e JOIN q ON e.bucket = q.bucket AND q.q_id <> e.vec_id),
+         |r AS (SELECT q_id, n_id, cos_sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    "dedup_embedding_lsh" -> {
+      val masks = graft.operators.SimilarityOps.probeMasks(2)
+        .mkString("[", ",", "]")
+      s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |b AS (SELECT vec_id, ${lshBucketSql("embedding")} AS bucket FROM n),
+         |p AS (SELECT vec_id, unnest(list_transform($masks, m -> xor(bucket, m))) AS bucket FROM b),
+         |c AS (SELECT DISTINCT a.vec_id AS id_a, p.vec_id AS id_b
+         |  FROM b a JOIN p ON a.bucket = p.bucket AND a.vec_id < p.vec_id),
+         |s AS (SELECT id_a, id_b,
+         |  ${cosSim(dotE12("na.embedding", "nb.embedding"), "na.nrm", "nb.nrm")} AS cos_sim
+         |  FROM c JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "stratified_sample" ->
       s"""WITH ${xxDocCoinCtes(Seq("doc_id", "lang", "source", "n_chars"), 42L, 1048576L)}

@@ -185,22 +185,10 @@ object SparkEntry {
       "SketchSpec: 'hll_distinct: merging daily partials loses nothing vs the direct sketch'"),
     "quantile_sketch" -> ("DDSketch bucket estimates are sketch-specific (no DuckDB twin); the α-error and merge contracts are the spec",
       "SketchSpec: 'quantile_sketch: merged == direct, every estimate within α of the exact percentile'"),
-    "dedup_minhash_lsh" -> ("signatures are seeded xxhash64 minima (64-bit wrap-around), not ANSI-expressible",
-      "DedupSpec: 'minhash LSH surfaces exact and near duplicates as candidates' + 'native MinHash32 matches the exploded min-aggregate formulation'"),
-    "dedup_minhash_verified" -> ("candidate set comes from the seeded MinHash-LSH pass (same non-ANSI hashes); the exact-Jaccard verify IS spec-checked against the full exact output",
-      "DedupSpec: 'minhash-verified pairs are exact-Jaccard-correct (subset of the full exact output)'"),
     "dedup_minhash_incremental" -> ("candidates come from the seeded MinHash-LSH band buckets (non-ANSI hashes); admission verdicts are spec-checked against a brute-force exact-Jaccard recompute",
       "Round7OpsSpec: 'dedup_minhash_incremental: verdicts match a brute-force Jaccard recompute; corpus never self-pairs'"),
-    "dedup_simhash" -> ("64-bit SimHash with wrap-around arithmetic, not ANSI-expressible",
-      "DedupSpec: 'simhash: identical docs at hamming 0, near-dups close' + 'native SimHash64 matches the exploded vote-aggregate formulation'"),
-    "dedup_embedding_lsh" -> ("buckets come from seeded random hyperplanes; the exact-cosine verify is spec-checked against brute force",
-      "RecallSpec: 'planted near-dups: dedup_embedding_lsh == brute force at threshold 0.9 (recall 1.0)'"),
-    "ann_lsh" -> ("seeded hyperplane buckets (approximate by design); recall vs brute force is recorded by spec",
-      "RecallSpec: 'ann_lsh multi-probe recall vs brute-force top-k (sf0.1)' + DedupSpec subset-quality check"),
     "ann_ivf" -> ("kmeans|| coarse quantizer is iterative and seed-dependent; recall vs brute force is recorded by spec",
       "RecallSpec: 'ann_ivf: plan size independent of cell count; recall at cells=64 recorded (sf0.1)' + DedupSpec recall check"),
-    "text_winnow" -> ("winnowing fingerprints are xxhash64 k-gram hashes (wrap-around), not ANSI-expressible",
-      "Round4OpsSpec: 'winnowing: a shared run of >= w+k-1 tokens shares a fingerprint'"),
     "mm_metadata" -> ("GRMM container decode (checksummed binary header + body stats) over synthesized payloads — DuckDB has no twin of the byte-level decoder",
       "TextAndMmSpec: 'mm_metadata: fields equal an independent byte-level reparse; corruption flips valid'"),
     "mm_features" -> ("feature vectors are decoded from payload body bytes (native expression); no SQL twin",

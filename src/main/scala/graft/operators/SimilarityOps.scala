@@ -64,7 +64,9 @@ object SimilarityOps {
 
   /** Deterministic ±1 hyperplane weights (seeded), as literal float arrays
     * baked into the plan — broadcast to every executor for free. */
-  private def planeWeights(dim: Int): IndexedSeq[Array[Float]] = {
+  // package-visible: OracleSql inlines the SAME planes as DuckDB list
+  // literals so the LSH bucket oracles are bit-exact
+  private[graft] def planeWeights(dim: Int): IndexedSeq[Array[Float]] = {
     (0 until NumPlanes).map { p =>
       val rng = new scala.util.Random(42L * (p + 1))
       Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
