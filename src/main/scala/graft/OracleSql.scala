@@ -1478,6 +1478,82 @@ object OracleSql {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    "dedup_minhash_incremental" -> {
+      // the fuzzy admission kernel: batch (doc_id >= split) vs corpus
+      // (doc_id < split) candidates from the banded index (corpus
+      // mega-buckets skipped, self-pairs guarded) + in-batch pairs
+      // (earlier doc blocks, batch bucket size in [2, MaxBucket]), then
+      // exact Jaccard >= 0.5 verified on candidates only — per-doc
+      // verdicts exactly as admissionAgainstIndex aggregates them
+      val split = graft.operators.DedupOps.IncrementalSplit
+      val maxB = graft.operators.DedupOps.MaxBucket
+      val seeds = (0 until graft.functions.MinHash32.K).map { k =>
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, 42L)
+        s"CAST('${(BigInt(v) + (BigInt(1) << 64)) % (BigInt(1) << 64)}' AS HUGEINT)"
+      }.mkString("[", ",", "]")
+      val slotChain = xxHashLongCtes("sl", "kx", Seq("doc_id", "k"), "xh", "sseed")
+        .map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")
+      def bandChain(p: String, src: String, rest: Seq[String], slot: String,
+          seed: String) =
+        xxHashLongCtes(p, src, Seq("doc_id", "band") ++ rest, xxUnsign(slot), seed)
+          .map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS wds FROM documents),
+         |g AS (SELECT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS gram
+         |  FROM t, UNNEST(generate_series(1, len(wds)-2)) AS u(i) WHERE len(wds) >= 3),
+         |src AS (SELECT doc_id, ${xxUtf8Bytes("gram")} AS bs FROM g),
+         |${xxStringCtes("src", Seq("doc_id"))},
+         |kx AS (SELECT doc_id, xh, kk AS k, ($seeds)[kk+1] AS sseed
+         |  FROM xh, UNNEST(generate_series(0, 31)) AS ks(kk)),
+         |$slotChain,
+         |sm AS (SELECT doc_id, k, MIN(${xxSign("slout")}) AS smin FROM sls7 GROUP BY doc_id, k),
+         |bands AS (SELECT doc_id, k // 4 AS band,
+         |  MAX(CASE WHEN k % 4 = 0 THEN smin END) AS s1,
+         |  MAX(CASE WHEN k % 4 = 1 THEN smin END) AS s2,
+         |  MAX(CASE WHEN k % 4 = 2 THEN smin END) AS s3,
+         |  MAX(CASE WHEN k % 4 = 3 THEN smin END) AS s4
+         |  FROM sm GROUP BY doc_id, k // 4),
+         |${bandChain("c1", "bands", Seq("s2", "s3", "s4"), "s1", "CAST(42 AS HUGEINT)")},
+         |${bandChain("c2", "c1s7", Seq("s3", "s4"), "s2", "c1out")},
+         |${bandChain("c3", "c2s7", Seq("s4"), "s3", "c2out")},
+         |${bandChain("c4", "c3s7", Seq(), "s4", "c3out")},
+         |bb AS (SELECT doc_id, band, ${xxSign("c4out")} AS bucket FROM c4s7),
+         |corpb AS (SELECT * FROM bb WHERE doc_id < $split),
+         |batb AS (SELECT * FROM bb WHERE doc_id >= $split),
+         |bigc AS (SELECT band, bucket FROM corpb GROUP BY band, bucket HAVING COUNT(*) > $maxB),
+         |cand_c AS (SELECT DISTINCT b.doc_id AS b, o.doc_id AS o
+         |  FROM batb b JOIN corpb o ON b.band = o.band AND b.bucket = o.bucket
+         |    AND b.doc_id <> o.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM bigc WHERE bigc.band = o.band AND bigc.bucket = o.bucket)),
+         |szb AS (SELECT band, bucket FROM batb GROUP BY band, bucket
+         |  HAVING COUNT(*) BETWEEN 2 AND $maxB),
+         |cand_b AS (SELECT DISTINCT l.doc_id AS b, e.doc_id AS o
+         |  FROM batb l JOIN batb e ON l.band = e.band AND l.bucket = e.bucket
+         |    AND e.doc_id < l.doc_id
+         |  JOIN szb ON l.band = szb.band AND l.bucket = szb.bucket),
+         |cands AS (SELECT b, o, TRUE AS from_corpus FROM cand_c
+         |  UNION ALL SELECT b, o, FALSE FROM cand_b),
+         |shd AS (SELECT DISTINCT doc_id, xh FROM xh),
+         |szs AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+         |cm AS (SELECT c.b, c.o, c.from_corpus, COUNT(*) AS common
+         |  FROM cands c JOIN shd sa ON sa.doc_id = c.b
+         |  JOIN shd sb ON sb.doc_id = c.o AND sb.xh = sa.xh
+         |  GROUP BY c.b, c.o, c.from_corpus),
+         |ver AS (SELECT b, o, from_corpus FROM cm
+         |  JOIN szs za ON cm.b = za.doc_id JOIN szs zb ON cm.o = zb.doc_id
+         |  WHERE CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) >= 0.5),
+         |pd AS (SELECT b AS doc_id, MAX(from_corpus) AS dup_of_corpus,
+         |  MAX(NOT from_corpus) AS dup_in_batch FROM ver GROUP BY b)
+         |SELECT d.doc_id,
+         |  COALESCE(pd.dup_of_corpus, FALSE) AS dup_of_corpus,
+         |  COALESCE(pd.dup_in_batch, FALSE) AS dup_in_batch,
+         |  (NOT COALESCE(pd.dup_of_corpus, FALSE))
+         |    AND (NOT COALESCE(pd.dup_in_batch, FALSE)) AS keep
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |WHERE d.doc_id >= $split
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_minhash_verified" -> {
       // the LSH candidate block above + exact Jaccard on candidates only
       // (sizes/intersections over DISTINCT per-doc shingle hashes — the

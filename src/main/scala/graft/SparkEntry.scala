@@ -185,8 +185,6 @@ object SparkEntry {
       "SketchSpec: 'hll_distinct: merging daily partials loses nothing vs the direct sketch'"),
     "quantile_sketch" -> ("DDSketch bucket estimates are sketch-specific (no DuckDB twin); the α-error and merge contracts are the spec",
       "SketchSpec: 'quantile_sketch: merged == direct, every estimate within α of the exact percentile'"),
-    "dedup_minhash_incremental" -> ("candidates come from the seeded MinHash-LSH band buckets (non-ANSI hashes); admission verdicts are spec-checked against a brute-force exact-Jaccard recompute",
-      "Round7OpsSpec: 'dedup_minhash_incremental: verdicts match a brute-force Jaccard recompute; corpus never self-pairs'"),
     "ann_ivf" -> ("kmeans|| coarse quantizer is iterative and seed-dependent; recall vs brute force is recorded by spec",
       "RecallSpec: 'ann_ivf: plan size independent of cell count; recall at cells=64 recorded (sf0.1)' + DedupSpec recall check"),
     "mm_metadata" -> ("GRMM container decode (checksummed binary header + body stats) over synthesized payloads — DuckDB has no twin of the byte-level decoder",
