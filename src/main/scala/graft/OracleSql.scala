@@ -274,6 +274,36 @@ object OracleSql {
        |xh AS (SELECT $k, ${xxUxor("f4", "(f4 // 4294967296)")} AS xh FROM x8)""".stripMargin
   }
 
+  // ---------- GRMM multimodal synthesis twin ----------
+  // The media payloads are a deterministic function of (doc_id, text)
+  // (MediaCodec.encodeFor), so the decode outputs are reproducible in
+  // SQL: the oracle re-derives dims from the doc_id golden-ratio mix
+  // (64-bit wrap multiply + low 32 bits) and body bytes from the UTF-8
+  // content cycle — proving decode ∘ encode = identity independently of
+  // the JVM byte path.
+  private def mmDimsCtes: String =
+    s"""dm AS (SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS kind,
+       |  ${xxMulMod(xxUnsign("doc_id"), "CAST('11400714819323198485' AS HUGEINT)")} % $XxB32 AS sv
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, text, kind,
+       |  CAST(CASE kind WHEN 0 THEN 16 + sv % 16 WHEN 1 THEN 64 + sv % 64
+       |    ELSE 8 + sv % 12 END AS INT) AS w,
+       |  CAST(CASE kind WHEN 0 THEN 16 + (sv // 256) % 16 WHEN 1 THEN 1
+       |    ELSE 8 + (sv // 256) % 12 END AS INT) AS h,
+       |  CAST(CASE kind WHEN 0 THEN 3 WHEN 1 THEN 1 + (sv // 256) % 2
+       |    ELSE 3 END AS INT) AS ch,
+       |  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 4 + (sv // 65536) % 4
+       |    ELSE 4 + (sv // 65536) % 8 END AS INT) AS nf
+       |  FROM dm),
+       |d3 AS (SELECT doc_id, kind, w, h, ch, nf,
+       |  CAST(nf AS BIGINT) * w * h * ch AS bl,
+       |  CASE kind WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  ${xxUtf8Bytes("text")} AS cb FROM d2)""".stripMargin
+
+  /** Body byte at offset `i` (0-based): (content[i mod clen] + 31·i) mod 256. */
+  private def mmByte(i: String): String =
+    s"((CASE WHEN len(cb) = 0 THEN 0 ELSE cb[(($i) % len(cb)) + 1] END) + 31 * ($i)) % 256"
+
   /** CTE block `hx` exposing `keep` + `pm` = Spark
     * `pmod(xxhash64(doc_id, <seed>L), m)` for every documents row. */
   private def xxDocCoinCtes(keep: Seq[String], seed: Long, m: Long): String = {
@@ -1427,6 +1457,65 @@ object OracleSql {
          |  JOIN sz ON a.band = sz.band AND a.bucket = sz.bucket)
          |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 16
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "mm_metadata" ->
+      s"""WITH $mmDimsCtes,
+         |st AS (SELECT doc_id, media_type, kind, w, h, ch, nf, bl,
+         |  CAST(list_sum(list_transform(range(0, bl), i -> ${mmByte("i")})) AS BIGINT) AS body_sum
+         |  FROM d3)
+         |SELECT doc_id, media_type, 14 + bl AS byte_len, TRUE AS valid, kind,
+         |  w AS width, h AS height, ch AS channels, nf AS n_frames, bl AS body_len,
+         |  CAST(body_sum AS DOUBLE) / bl AS feat_mean,
+         |  CAST(GREATEST(1, FLOOR(w * (224.0 / GREATEST(w, h)) + 0.5)) AS INT) AS out_width,
+         |  CAST(GREATEST(1, FLOOR(h * (224.0 / GREATEST(w, h)) + 0.5)) AS INT) AS out_height
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH $mmDimsCtes
+         |SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+         |  CAST(w AS BIGINT) * h * ch AS frame_len,
+         |  CAST(list_sum(list_transform(
+         |    range(idx * (CAST(w AS BIGINT) * h * ch), (idx + 1) * (CAST(w AS BIGINT) * h * ch)),
+         |    i -> ${mmByte("i")})) AS BIGINT) AS frame_sum
+         |FROM d3, UNNEST(generate_series(0, nf - 1)) AS fr(idx)
+         |WHERE kind = 2 AND idx % ${graft.functions.MediaCodec.SampleEvery} = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_features" -> {
+      // float32 bucket accumulation folded in byte order (DuckDB REAL
+      // arithmetic is IEEE float32 — probed bit-equal to the JVM), then
+      // the double-precision norm, REAL re-normalization, and the FNV-1a
+      // checksum over the e6-scaled components in HUGEINT mod 2^64
+      val dim = graft.functions.MediaCodec.FeatureDim
+      val rawF = (0 until dim).map(j =>
+        s"list_reduce(list_prepend(CAST(0 AS REAL), list_transform(range($j, bl, $dim), " +
+          s"i -> CAST(CAST(${mmByte("i")} AS REAL) / CAST(255 AS REAL) AS REAL))), " +
+          s"(a, x) -> CAST(a + x AS REAL)) AS r$j").mkString(",\n|  ")
+      val n2 = (0 until dim).map(j =>
+        s"CAST(r$j AS DOUBLE) * CAST(r$j AS DOUBLE)").mkString(" + ")
+      val normF = (0 until dim).map(j =>
+        s"CASE WHEN nrm = 0 THEN r$j ELSE CAST(CAST(r$j AS DOUBLE) / nrm AS REAL) END AS f$j")
+        .mkString(",\n|  ")
+      val scaled = (0 until dim).map(j =>
+        s"CAST(FLOOR(CAST(f$j AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT) % 4294967296")
+        .mkString("[", ", ", "]")
+      s"""WITH $mmDimsCtes,
+         |rf AS MATERIALIZED (SELECT doc_id, media_type, bl,
+         |  $rawF
+         |  FROM d3),
+         |nr AS MATERIALIZED (SELECT *, sqrt($n2) AS nrm FROM rf),
+         |fv AS MATERIALIZED (SELECT doc_id, media_type,
+         |  $normF
+         |  FROM nr),
+         |ck AS (SELECT *, list_reduce(
+         |  list_prepend(CAST('14695981039346656037' AS HUGEINT), $scaled),
+         |  (hh, x) -> ((hh - (hh % 4294967296) +
+         |    CAST(xor(CAST(hh % 4294967296 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+         |    * 1099511628211) % $XxM) AS uck FROM fv)
+         |SELECT doc_id, media_type, $dim AS dim, ${xxSign("uck")} AS feat_checksum,
+         |  ${(0 until dim).map(j => s"f$j").mkString(", ")}
+         |FROM ck ORDER BY doc_id""".stripMargin
     },
 
     "dedup_minhash_lsh" -> {

@@ -187,12 +187,6 @@ object SparkEntry {
       "SketchSpec: 'quantile_sketch: merged == direct, every estimate within α of the exact percentile'"),
     "ann_ivf" -> ("kmeans|| coarse quantizer is iterative and seed-dependent; recall vs brute force is recorded by spec",
       "RecallSpec: 'ann_ivf: plan size independent of cell count; recall at cells=64 recorded (sf0.1)' + DedupSpec recall check"),
-    "mm_metadata" -> ("GRMM container decode (checksummed binary header + body stats) over synthesized payloads — DuckDB has no twin of the byte-level decoder",
-      "TextAndMmSpec: 'mm_metadata: fields equal an independent byte-level reparse; corruption flips valid'"),
-    "mm_features" -> ("feature vectors are decoded from payload body bytes (native expression); no SQL twin",
-      "TextAndMmSpec: 'mm_features: decoded from bytes — checksum changes when one payload byte changes'"),
-    "mm_frames" -> ("frame sampling walks the decoded frame geometry of the binary body; no SQL twin",
-      "TextAndMmSpec: 'mm_frames: frame sums equal an independent byte-level recompute'"),
     "bpe_merges" -> ("BPE training is an iterative argmax loop (merge r depends on rounds 1..r-1) with no ANSI fixed point",
       "Round8OpsSpec: 'bpe_merges: matches an independent in-memory BPE on the Sennrich corpus'"),
     "bpe_tokens" -> ("token counts derive from the iteratively learned merge list; encode itself is the same non-ANSI fold",
