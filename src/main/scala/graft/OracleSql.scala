@@ -304,6 +304,37 @@ object OracleSql {
   private def mmByte(i: String): String =
     s"((CASE WHEN len(cb) = 0 THEN 0 ELSE cb[(($i) % len(cb)) + 1] END) + 31 * ($i)) % 256"
 
+  // ---------- BPE training, unrolled ----------
+  // The trainer's argmax-per-round loop has no ANSI fixed point, but —
+  // like the unrolled PageRank twin — a FIXED merge count unrolls to one
+  // CTE block per round: overlapping pair counts over the current
+  // segmentation, the (freq DESC, l, r) argmax (binary string collation
+  // in both engines), and the left-to-right non-overlapping merge as a
+  // list fold. The fold's last-element check is equivalent to the
+  // kernel's index-skip: a merged symbol l||r can never re-equal l (r is
+  // nonempty), so greedy re-merge cannot cascade within a round.
+  private def bpeCtes(numMerges: Int): String = {
+    val wf =
+      s"""wf AS (SELECT w, COUNT(*) AS cnt FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) > 0
+         |  GROUP BY w),
+         |seg0 AS (SELECT w, cnt,
+         |  list_transform(range(1, length(w)+1), ci -> w[ci]) AS syms FROM wf)""".stripMargin
+    val rounds = (0 until numMerges).map { r =>
+      s"""p$r AS (SELECT s.syms[i] AS l, s.syms[i+1] AS r2, SUM(s.cnt) AS freq
+         |  FROM seg$r s, UNNEST(generate_series(1, len(s.syms)-1)) AS u(i)
+         |  WHERE len(s.syms) >= 2 GROUP BY 1, 2),
+         |m$r AS (SELECT l, r2, freq FROM p$r ORDER BY freq DESC, l, r2 LIMIT 1),
+         |seg${r + 1} AS MATERIALIZED (SELECT s.w, s.cnt,
+         |  list_reduce(list_transform(s.syms, c -> [c]),
+         |    (a, x) -> CASE WHEN a[-1] = m.l AND x[1] = m.r2
+         |      THEN a[1:len(a)-1] || [a[-1] || x[1]]
+         |      ELSE a || x END) AS syms
+         |  FROM seg$r s, m$r m)""".stripMargin
+    }
+    (wf +: rounds).mkString(",\n")
+  }
+
   /** CTE block `hx` exposing `keep` + `pm` = Spark
     * `pmod(xxhash64(doc_id, <seed>L), m)` for every documents row. */
   private def xxDocCoinCtes(keep: Seq[String], seed: Long, m: Long): String = {
@@ -1457,6 +1488,33 @@ object OracleSql {
          |  JOIN sz ON a.band = sz.band AND a.bucket = sz.bucket)
          |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 16
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "bpe_merges" -> {
+      val n = graft.operators.TokenizerOps.NumMerges
+      val union = (0 until n).map(r =>
+        s"SELECT $r AS rank, l, r2, freq FROM m$r").mkString("\n|  UNION ALL ")
+      s"""WITH ${bpeCtes(n)},
+         |mg AS ($union)
+         |SELECT CAST(rank AS INT) AS rank, l AS "left", r2 AS "right",
+         |  CAST(freq AS BIGINT) AS freq, l || r2 AS token
+         |FROM mg ORDER BY rank""".stripMargin
+    },
+
+    "bpe_tokens" -> {
+      val n = graft.operators.TokenizerOps.NumMerges
+      s"""WITH ${bpeCtes(n)},
+         |wtok AS (SELECT w, CAST(len(syms) AS BIGINT) AS w_toks FROM seg$n),
+         |wd AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(w_toks) AS BIGINT) AS n_tokens
+         |  FROM wd JOIN wtok USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_tokens,
+         |  CAST(d.n_chars AS DOUBLE) / n_tokens AS chars_per_token
+         |FROM agg JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "mm_metadata" ->

@@ -187,10 +187,6 @@ object SparkEntry {
       "SketchSpec: 'quantile_sketch: merged == direct, every estimate within α of the exact percentile'"),
     "ann_ivf" -> ("kmeans|| coarse quantizer is iterative and seed-dependent; recall vs brute force is recorded by spec",
       "RecallSpec: 'ann_ivf: plan size independent of cell count; recall at cells=64 recorded (sf0.1)' + DedupSpec recall check"),
-    "bpe_merges" -> ("BPE training is an iterative argmax loop (merge r depends on rounds 1..r-1) with no ANSI fixed point",
-      "Round8OpsSpec: 'bpe_merges: matches an independent in-memory BPE on the Sennrich corpus'"),
-    "bpe_tokens" -> ("token counts derive from the iteratively learned merge list; encode itself is the same non-ANSI fold",
-      "Round8OpsSpec: 'bpe_tokens: bounds, fold-consistency with the learned merges, determinism'"),
     "world_map_features" -> ("boundary geometry comes from the in-code WorldBoundaries dim (the naturalearth analog) — no DuckDB twin table to query",
       "WorldBoundariesSpec (ring/area/bbox/alias invariants) + JobsSpec: 'geojson export: ...' known-shape asserts"),
     "zorder_layout" -> ("write-path layout job: the result is landed file pruning geometry, not a SQL-expressible query",
