@@ -45,7 +45,7 @@ object Bench {
     // single rep inflates the recorded number by tenths of a second, not
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
-      "bpe_tokens", "bpe_merges",
+      "bpe_tokens", "bpe_merges", "embedding_kmeans", "semantic_dedup",
       "repeated_spans", "steam_pipeline", "zorder_layout", "dedup_minhash_verified",
       "dedup_minhash_incremental", "quantile_sketch", "text_tfidf", "bm25_topk",
       "dedup_ngram_jaccard")

@@ -369,6 +369,39 @@ object OracleSql {
   private def cosSim(dt: String, na: String, nb: String) =
     s"CAST($dt AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
 
+  /** Exact integer squared L2 between two e6 long lists (ClusterOps.dist2). */
+  private def kmDist(v: String, c: String) =
+    s"CAST(list_sum(list_transform(generate_series(1,64), i -> " +
+      s"($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+
+  /** ClusterOps.kmeansAssign unrolled (the graph_pagerank / bpe_merges
+    * trick applied to Lloyd's algorithm): cR/aR CTE pairs reproduce each
+    * round's argmin assignment (row_number over (d, cluster) == Spark's
+    * min(struct)) and the round-half-up e6 integer centroid update, with
+    * empty clusters retaining their previous centroid via LEFT JOIN +
+    * coalesce. Ends with `af` = the final assignment (vec_id, cluster,
+    * exact d). */
+  private def kmeansCtes(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT)) AS v
+      |FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < $k)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      |s$r AS (SELECT e.vec_id, p.cluster, ${kmDist("e.v", "p.c")} AS d FROM e CROSS JOIN c${r - 1} p),
+      |a$r AS (SELECT vec_id, cluster FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM s$r) WHERE rn = 1),
+      |u$r AS (SELECT cluster, i, CAST(FLOOR(CAST(SUM(e.v[i]) AS DOUBLE)/COUNT(*)+0.5) AS BIGINT) AS m
+      |  FROM a$r JOIN e USING (vec_id) CROSS JOIN generate_series(1,64) gs(i) GROUP BY cluster, i),
+      |n$r AS (SELECT cluster, list(m ORDER BY i) AS c FROM u$r GROUP BY cluster),
+      |c$r AS (SELECT p.cluster, coalesce(n$r.c, p.c) AS c FROM c${r - 1} p LEFT JOIN n$r USING (cluster))""".stripMargin
+    }
+    sb ++= s""",
+      |sf AS (SELECT e.vec_id, p.cluster, ${kmDist("e.v", "p.c")} AS d FROM e CROSS JOIN c$rounds p),
+      |af AS (SELECT vec_id, cluster, d FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM sf) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
   private def stopList(lang: String): String =
     graft.operators.TextOps.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -1135,6 +1168,45 @@ object OracleSql {
          |SELECT w.q_id, w.label AS pred_label, w.votes, q.label AS true_label,
          |  w.label = q.label AS correct
          |FROM w JOIN q ON w.q_id = q.vec_id WHERE w.r = 1 ORDER BY q_id""".stripMargin,
+
+    "embedding_kmeans" ->
+      s"""WITH ${kmeansCtes(graft.operators.ClusterOps.KmeansK, graft.operators.ClusterOps.KmeansRounds)}
+         |SELECT vec_id, cluster, d AS dist2 FROM af ORDER BY vec_id""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH ${kmeansCtes(graft.operators.ClusterOps.KmeansK, graft.operators.ClusterOps.KmeansRounds)},
+         |en AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         |  ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |pr AS (SELECT x.vec_id AS xid, y.vec_id AS yid
+         |  FROM af x JOIN af y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+         |  JOIN en ex ON ex.vec_id = x.vec_id JOIN en ey ON ey.vec_id = y.vec_id
+         |  WHERE ${cosSim(dotE12("ex.embedding", "ey.embedding"), "ex.nrm", "ey.nrm")}
+         |    >= ${graft.operators.ClusterOps.SemThreshold}),
+         |d AS (SELECT xid AS vec_id, MIN(yid) AS dup_of FROM pr GROUP BY 1)
+         |SELECT af.vec_id, af.cluster, d.dup_of, d.dup_of IS NULL AS keep
+         |FROM af LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    "quality_model_score" -> {
+      import graft.operators.TextOps.{QmBiasE12, QmLenCap, QmWAlpha, QmWLen, QmWPunct, QmWStop}
+      s"""WITH b AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS words_n,
+         |  GREATEST(CAST(length(text) AS BIGINT), 1) AS chars_n,
+         |  CAST(length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS BIGINT) AS punct_n,
+         |  ${stopHits("en")} AS stop_n,
+         |  CAST(len(list_filter(string_split(text,' '), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_n
+         |FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(FLOOR(CAST(stop_n*1000000 AS DOUBLE)/words_n) AS BIGINT) AS stop_e6,
+         |  CAST(FLOOR(CAST(punct_n*1000000 AS DOUBLE)/chars_n) AS BIGINT) AS punct_e6,
+         |  CAST(FLOOR(CAST(alpha_n*1000000 AS DOUBLE)/words_n) AS BIGINT) AS alpha_e6,
+         |  LEAST(words_n, $QmLenCap)*2000 AS len_e6
+         |FROM b),
+         |l AS (SELECT doc_id, stop_e6, punct_e6, alpha_e6, len_e6,
+         |  CAST($QmBiasE12 + stop_e6*$QmWStop + punct_e6*$QmWPunct
+         |    + alpha_e6*$QmWAlpha + len_e6*$QmWLen AS BIGINT) AS logit_e12
+         |FROM f)
+         |SELECT *, logit_e12 > 0 AS keep FROM l ORDER BY doc_id""".stripMargin
+    },
 
     "dq_checks" ->
       """WITH cu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,

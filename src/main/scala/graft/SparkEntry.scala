@@ -140,6 +140,9 @@ object SparkEntry {
     "mixture_sample" -> ((s, d) => CurationOps.mixtureSample(s, d)),
     "embedding_centroids" -> (SimilarityOps.embeddingCentroids(_, _)),
     "embedding_project" -> (SimilarityOps.embeddingProject(_, _)),
+    "embedding_kmeans" -> (ClusterOps.embeddingKmeans(_, _)),
+    "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
+    "quality_model_score" -> (TextOps.qualityModelScore(_, _)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
     "decontaminate" -> (CurationOps.decontaminate(_, _)),
     "dataset_split" -> ((s, d) => CurationOps.datasetSplit(s, d)),

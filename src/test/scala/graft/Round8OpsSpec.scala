@@ -140,4 +140,123 @@ class Round8OpsSpec extends AnyFunSuite {
     }
     s.catalog.clearCache()
   }
+
+  // ---------- exact k-means + SemDeDup + quality model ----------
+
+  /** Collected (vec_id → e6-quantized components), the integer domain
+    * ClusterOps computes in. */
+  private def e6Vectors(): Map[Long, Array[Long]] =
+    Tables.embeddings(s, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+      .toMap
+
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("embedding_kmeans: matches an independent in-memory Lloyd run") {
+    import graft.operators.ClusterOps
+    val v = e6Vectors()
+    // independent reference: same init / argmin / round-half-up update
+    // conventions, plain Scala collections
+    var cent: Map[Long, Array[Long]] =
+      (0L until ClusterOps.KmeansK.toLong).map(k => k -> v(k)).toMap
+    def assignAll(): Map[Long, (Long, Long)] = v.map { case (id, x) =>
+      val (d, c) = cent.toSeq.map { case (cc, cv) => (d2(x, cv), cc) }.min
+      id -> (c, d)
+    }
+    for (_ <- 1 to ClusterOps.KmeansRounds) {
+      val a = assignAll()
+      val byC = v.toSeq.groupBy { case (id, _) => a(id)._1 }
+      cent = cent.map { case (c, old) =>
+        c -> byC.get(c).map { mem =>
+          val n = mem.size
+          (0 until 64).map { i =>
+            math.floor(mem.map(_._2(i)).sum.toDouble / n + 0.5).toLong
+          }.toArray
+        }.getOrElse(old)
+      }
+    }
+    val expect = assignAll()
+    val out = ClusterOps.embeddingKmeans(s, sf).collect()
+    assert(out.length == v.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert((r.getAs[Long]("cluster"), r.getAs[Long]("dist2")) == expect(id),
+        s"vec $id")
+    }
+    // non-degenerate: every cluster captured someone
+    assert(out.map(_.getAs[Long]("cluster")).distinct.length == ClusterOps.KmeansK)
+    s.catalog.clearCache()
+  }
+
+  test("semantic_dedup: verdicts recompute from clusters + exact cosine; kept set is pairwise-clean") {
+    import graft.operators.ClusterOps
+    val out = ClusterOps.semanticDedup(s, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+        r.getAs[Boolean]("keep")))
+    s.catalog.clearCache()
+    val emb = Tables.embeddings(s, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").toArray).toMap
+    def dotE12(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12 + 0.5).toLong }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dotE12(a, b).toDouble /
+        (math.sqrt(dotE12(a, a).toDouble) * math.sqrt(dotE12(b, b).toDouble))
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    // per-doc verdict: dup_of == the LOWEST same-cluster lower id above τ
+    out.foreach { case (id, c, dupOf, keep) =>
+      val expected = out.collect {
+        case (o, oc, _, _) if oc == c && o < id &&
+          cos(emb(o), emb(id)) >= ClusterOps.SemThreshold => o
+      }.sorted.headOption
+      assert(dupOf == expected, s"vec $id")
+      assert(keep == expected.isEmpty, s"vec $id keep")
+    }
+    // the curation guarantee: the KEPT set contains no same-cluster
+    // near-dup pair (first-wins greedy closes over the whole cluster)
+    val kept = out.filter(_._4).map(_._1)
+    for (a <- kept; b <- kept if a < b && cluster(a) == cluster(b))
+      assert(cos(emb(a), emb(b)) < ClusterOps.SemThreshold, s"pair ($a,$b)")
+    // non-degenerate on this corpus: some dups found, most docs kept
+    assert(kept.length < out.length && kept.length > out.length / 2)
+  }
+
+  test("quality_model_score: logit recomputes from raw text; boundary splits the corpus") {
+    import graft.operators.TextOps
+    val out = graft.SparkEntry.queries("quality_model_score")(s, sf).collect()
+    val docs = Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length == docs.size)
+    out.take(100).foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val words = text.split(" ", -1)
+      val stopN = words.count(TextOps.Stopwords("en").contains)
+      val punctN = text.count(".,;:!?".contains(_))
+      // [A-Za-z] as in the operator — ASCII letters, not Unicode isLetter
+      val alphaN = words.count(_.exists(ch =>
+        (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')))
+      val charsN = math.max(text.length, 1)
+      def e6(n: Long, d: Long) = math.floor(n.toDouble * 1e6 / d).toLong
+      assert(r.getAs[Long]("stop_e6") == e6(stopN, words.length))
+      assert(r.getAs[Long]("punct_e6") == e6(punctN, charsN))
+      assert(r.getAs[Long]("alpha_e6") == e6(alphaN, words.length))
+      assert(r.getAs[Long]("len_e6") ==
+        math.min(words.length, TextOps.QmLenCap) * 2000L)
+      val logit = TextOps.QmBiasE12 +
+        r.getAs[Long]("stop_e6") * TextOps.QmWStop +
+        r.getAs[Long]("punct_e6") * TextOps.QmWPunct +
+        r.getAs[Long]("alpha_e6") * TextOps.QmWAlpha +
+        r.getAs[Long]("len_e6") * TextOps.QmWLen
+      assert(r.getAs[Long]("logit_e12") == logit)
+      assert(r.getAs[Boolean]("keep") == (logit > 0))
+    }
+    // a useful filter separates: both classes present
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length)
+  }
 }
