@@ -263,6 +263,21 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- exact kmeans + SemDeDup under corpus growth ----
+    // Same jittered-replica growth as ann_ivf (k fixed: the operator's
+    // contract fixes k for the unrolled oracle; production raises k with
+    // √corpus, which the per-round costs are independent of anyway:
+    // assignment is map-side, the update shuffle is k×dims groups).
+    val clusterProbes = Set("embedding_kmeans", "semantic_dedup")
+    for (k <- Seq(1, 4, factor) if only.forall(_.exists(clusterProbes))) {
+      val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count() // populate the cache so `time` measures the operator
+      time("embedding_kmeans", k, graft.operators.ClusterOps.kmeansAssign(e))
+      time("semantic_dedup", k, graft.operators.ClusterOps.semanticDedupFrom(e))
+      e.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // ---- connector-fed dedup: generated corpora through MinHash-LSH ----
     // The DSv2 source generates rows in-task (no I/O), so this measures
     // the OPERATOR pipeline itself — native signature expression + banded
