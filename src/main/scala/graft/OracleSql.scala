@@ -379,20 +379,24 @@ object OracleSql {
     * round's argmin assignment (row_number over (d, cluster) == Spark's
     * min(struct)) and the round-half-up e6 integer centroid update, with
     * empty clusters retaining their previous centroid via LEFT JOIN +
-    * coalesce. Ends with `af` = the final assignment (vec_id, cluster,
-    * exact d). */
-  private def kmeansCtes(k: Int, rounds: Int): String = {
+    * coalesce. Training runs over `tr` (the rows matching `trainWhere` —
+    * the full table for the batch operators, the corpus slice for the
+    * frozen-quantizer incremental path); the final assignment `af`
+    * covers EVERY vector: (vec_id, cluster, exact d). */
+  private def kmeansCtes(k: Int, rounds: Int,
+      trainWhere: String = "TRUE"): String = {
     val sb = new StringBuilder
     sb ++= s"""e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
       |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT)) AS v
       |FROM embeddings),
-      |c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < $k)""".stripMargin
+      |tr AS (SELECT * FROM e WHERE $trainWhere),
+      |c0 AS (SELECT vec_id AS cluster, v AS c FROM tr WHERE vec_id < $k)""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
-      |s$r AS (SELECT e.vec_id, p.cluster, ${kmDist("e.v", "p.c")} AS d FROM e CROSS JOIN c${r - 1} p),
+      |s$r AS (SELECT tr.vec_id, p.cluster, ${kmDist("tr.v", "p.c")} AS d FROM tr CROSS JOIN c${r - 1} p),
       |a$r AS (SELECT vec_id, cluster FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM s$r) WHERE rn = 1),
-      |u$r AS (SELECT cluster, i, CAST(FLOOR(CAST(SUM(e.v[i]) AS DOUBLE)/COUNT(*)+0.5) AS BIGINT) AS m
-      |  FROM a$r JOIN e USING (vec_id) CROSS JOIN generate_series(1,64) gs(i) GROUP BY cluster, i),
+      |u$r AS (SELECT cluster, i, CAST(FLOOR(CAST(SUM(tr.v[i]) AS DOUBLE)/COUNT(*)+0.5) AS BIGINT) AS m
+      |  FROM a$r JOIN tr USING (vec_id) CROSS JOIN generate_series(1,64) gs(i) GROUP BY cluster, i),
       |n$r AS (SELECT cluster, list(m ORDER BY i) AS c FROM u$r GROUP BY cluster),
       |c$r AS (SELECT p.cluster, coalesce(n$r.c, p.c) AS c FROM c${r - 1} p LEFT JOIN n$r USING (cluster))""".stripMargin
     }
@@ -1185,6 +1189,33 @@ object OracleSql {
          |d AS (SELECT xid AS vec_id, MIN(yid) AS dup_of FROM pr GROUP BY 1)
          |SELECT af.vec_id, af.cluster, d.dup_of, d.dup_of IS NULL AS keep
          |FROM af LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    "semantic_dedup_incremental" -> {
+      import graft.operators.ClusterOps.{KmeansK, KmeansRounds, SemSplit, SemThreshold}
+      s"""WITH ${kmeansCtes(KmeansK, KmeansRounds, s"vec_id < $SemSplit")},
+         |en AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         |  ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |x AS (SELECT af.vec_id, af.cluster, en.embedding, en.nrm
+         |  FROM af JOIN en USING (vec_id)),
+         |bt AS (SELECT * FROM x WHERE vec_id >= $SemSplit),
+         |cp AS (SELECT * FROM x WHERE vec_id < $SemSplit),
+         |p AS (
+         |  SELECT b.vec_id, TRUE AS from_corpus FROM bt b JOIN cp c
+         |    ON b.cluster = c.cluster
+         |    AND ${cosSim(dotE12("b.embedding", "c.embedding"), "b.nrm", "c.nrm")} >= $SemThreshold
+         |  UNION ALL
+         |  SELECT b.vec_id, FALSE FROM bt b JOIN bt y
+         |    ON b.cluster = y.cluster AND y.vec_id < b.vec_id
+         |    AND ${cosSim(dotE12("b.embedding", "y.embedding"), "b.nrm", "y.nrm")} >= $SemThreshold),
+         |d AS (SELECT vec_id, bool_or(from_corpus) AS dup_of_corpus,
+         |  bool_or(NOT from_corpus) AS dup_in_batch FROM p GROUP BY 1)
+         |SELECT bt.vec_id, bt.cluster,
+         |  coalesce(d.dup_of_corpus, FALSE) AS dup_of_corpus,
+         |  coalesce(d.dup_in_batch, FALSE) AS dup_in_batch,
+         |  NOT coalesce(d.dup_of_corpus, FALSE)
+         |    AND NOT coalesce(d.dup_in_batch, FALSE) AS keep
+         |FROM bt LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
+    },
 
     "quality_model_score" -> {
       import graft.operators.TextOps.{QmBiasE12, QmLenCap, QmWAlpha, QmWLen, QmWPunct, QmWStop}

@@ -71,25 +71,22 @@ object ClusterOps {
   def embeddingKmeans(s: SparkSession, dir: String): DataFrame =
     kmeansAssign(Tables.embeddings(s, dir), KmeansK, KmeansRounds)
 
-  /** Core on any (vec_id, embedding) frame — lets ScaleProbe grow the
-    * corpus; also the cluster source for [[semanticDedup]]. */
-  def kmeansAssign(emb: DataFrame, k: Int = KmeansK,
-      rounds: Int = KmeansRounds): DataFrame = {
-    // Persisted: consumed k+1 times per round (assignment probe + update
-    // join) across `rounds` rounds; without the persist every pass
-    // re-reads parquet and re-quantizes. Cache contract as elsewhere:
-    // callers clear after consuming (Verify/Bench clearCache per query).
-    val e = quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    var cent = e.filter(col("vec_id") < k)
+  /** Lloyd training loop on an already-quantized frame: returns the final
+    * (cluster, c) centroid frame. Separated from [[kmeansAssign]] so the
+    * incremental path can FREEZE centroids trained on the corpus and
+    * assign a new batch against them without retraining. */
+  private[graft] def kmeansCentroids(train: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var cent = train.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
       .localCheckpoint() // k tiny rows; keeps every round's lineage flat
     var r = 0
     while (r < rounds) {
-      val a = assign(e, cent).select("vec_id", "cluster")
+      val a = assign(train, cent).select("vec_id", "cluster")
       // ONE (cluster, dim) partial-agg shuffle: k×dims groups whatever
       // the corpus size. Rebuild the centroid array deterministically
       // with an in-group sort by dim (bounded: dims elements).
-      val upd = a.join(e, "vec_id")
+      val upd = a.join(train, "vec_id")
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5))
@@ -107,7 +104,19 @@ object ClusterOps {
       cent = if (r % 2 == 1 && r != rounds - 1) next.localCheckpoint() else next
       r += 1
     }
-    assign(e, cent).orderBy("vec_id")
+    cent
+  }
+
+  /** Core on any (vec_id, embedding) frame — lets ScaleProbe grow the
+    * corpus; also the cluster source for [[semanticDedup]]. */
+  def kmeansAssign(emb: DataFrame, k: Int = KmeansK,
+      rounds: Int = KmeansRounds): DataFrame = {
+    // Persisted: consumed k+1 times per round (assignment probe + update
+    // join) across `rounds` rounds; without the persist every pass
+    // re-reads parquet and re-quantizes. Cache contract as elsewhere:
+    // callers clear after consuming (Verify/Bench clearCache per query).
+    val e = quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    assign(e, kmeansCentroids(e, k, rounds)).orderBy("vec_id")
   }
 
   /** Pairwise-cosine threshold shared with dedup_embedding (SURVEY §7:
@@ -153,6 +162,70 @@ object ClusterOps {
     e.select("vec_id", "cluster").join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Corpus/batch split for [[semanticDedupIncremental]] — shared with
+    * the exact and minhash incremental paths (one ingest convention,
+    * mirrored verbatim in the oracle). */
+  val SemSplit: Long = DedupOps.IncrementalSplit
+
+  /** semantic_dedup_incremental — the INGEST shape of SemDeDup,
+    * completing the admission-control family (dedup_incremental = exact
+    * hash, dedup_minhash_incremental = fuzzy text, this = embedding
+    * space): a new batch (vec_id ≥ split) is screened against the
+    * already-ingested corpus and earlier docs of the same batch, with
+    * the k-means quantizer FROZEN on the corpus — exactly how
+    * production runs it (the quantizer is an artifact of the last full
+    * build; daily ingestion assigns against it, it never retrains).
+    *
+    * Scale shape: the corpus NEVER re-pairs with itself — batch docs
+    * equi-join only the same-cluster corpus slice (at production
+    * k ≈ √corpus that is O(batch·√corpus) candidate work), and the
+    * in-batch pass is batch-sized. Per-doc verdicts mirror the other
+    * incrementals: dup_of_corpus / dup_in_batch / keep. Fully
+    * oracle-checked: the unrolled kmeans twin trains on the corpus
+    * subset and assigns everyone. */
+  def semanticDedupIncremental(s: SparkSession, dir: String,
+      threshold: Double = SemThreshold): DataFrame =
+    semanticDedupIncrementalFrom(Tables.embeddings(s, dir), SemSplit, threshold)
+
+  def semanticDedupIncrementalFrom(emb: DataFrame, split: Long,
+      threshold: Double = SemThreshold, k: Int = KmeansK,
+      rounds: Int = KmeansRounds): DataFrame = {
+    val q = quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    val cent = kmeansCentroids(q.filter(col("vec_id") < split), k, rounds)
+    val assigned = assign(q, cent).select("vec_id", "cluster")
+    val e = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        normE12(col("embedding")).as("nrm"))
+      .join(assigned, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK) // corpus + both batch sides
+    val corpusE = e.filter(col("vec_id") < split)
+    val batchE = e.filter(col("vec_id") >= split)
+    def near(x: String, y: String): Column =
+      DedupOps.cosine(dotE12(col(s"$x.embedding"), col(s"$y.embedding")),
+        col(s"$x.nrm"), col(s"$y.nrm")) >= threshold
+    val candCorpus = batchE.as("x").join(corpusE.as("y"),
+        col("x.cluster") === col("y.cluster"))
+      .where(near("x", "y"))
+      .select(col("x.vec_id").as("vec_id"), lit(true).as("from_corpus"))
+    // the EARLIER batch doc is the blocker (first-in-batch-wins, the
+    // dedupIncremental convention)
+    val candBatch = batchE.as("x").join(batchE.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .where(near("x", "y"))
+      .select(col("x.vec_id").as("vec_id"), lit(false).as("from_corpus"))
+    val perDoc = candCorpus.unionByName(candBatch)
+      .groupBy("vec_id")
+      .agg(max(col("from_corpus")).as("dup_of_corpus"),
+        max(!col("from_corpus")).as("dup_in_batch"))
+    batchE.select("vec_id", "cluster").join(perDoc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup_of_corpus"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("dup_in_batch"), lit(false)).as("dup_in_batch"),
+        (!coalesce(col("dup_of_corpus"), lit(false)) &&
+          !coalesce(col("dup_in_batch"), lit(false))).as("keep"))
       .orderBy("vec_id")
   }
 }

@@ -155,20 +155,22 @@ class Round8OpsSpec extends AnyFunSuite {
   private def d2(a: Array[Long], b: Array[Long]): Long =
     a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
 
-  test("embedding_kmeans: matches an independent in-memory Lloyd run") {
-    import graft.operators.ClusterOps
-    val v = e6Vectors()
-    // independent reference: same init / argmin / round-half-up update
-    // conventions, plain Scala collections
+  /** Independent in-memory Lloyd reference (same init / argmin /
+    * round-half-up update conventions, plain Scala collections): trains
+    * on `train` ⊆ v, returns the final-centroid assignment of ALL of
+    * `v` as id → (cluster, dist2). */
+  private def refLloyd(v: Map[Long, Array[Long]], train: Map[Long, Array[Long]],
+      k: Int, rounds: Int): Map[Long, (Long, Long)] = {
     var cent: Map[Long, Array[Long]] =
-      (0L until ClusterOps.KmeansK.toLong).map(k => k -> v(k)).toMap
-    def assignAll(): Map[Long, (Long, Long)] = v.map { case (id, x) =>
-      val (d, c) = cent.toSeq.map { case (cc, cv) => (d2(x, cv), cc) }.min
-      id -> (c, d)
-    }
-    for (_ <- 1 to ClusterOps.KmeansRounds) {
-      val a = assignAll()
-      val byC = v.toSeq.groupBy { case (id, _) => a(id)._1 }
+      (0L until k.toLong).map(c => c -> train(c)).toMap
+    def assignOver(m: Map[Long, Array[Long]]): Map[Long, (Long, Long)] =
+      m.map { case (id, x) =>
+        val (d, c) = cent.toSeq.map { case (cc, cv) => (d2(x, cv), cc) }.min
+        id -> (c, d)
+      }
+    for (_ <- 1 to rounds) {
+      val a = assignOver(train)
+      val byC = train.toSeq.groupBy { case (id, _) => a(id)._1 }
       cent = cent.map { case (c, old) =>
         c -> byC.get(c).map { mem =>
           val n = mem.size
@@ -178,7 +180,13 @@ class Round8OpsSpec extends AnyFunSuite {
         }.getOrElse(old)
       }
     }
-    val expect = assignAll()
+    assignOver(v)
+  }
+
+  test("embedding_kmeans: matches an independent in-memory Lloyd run") {
+    import graft.operators.ClusterOps
+    val v = e6Vectors()
+    val expect = refLloyd(v, v, ClusterOps.KmeansK, ClusterOps.KmeansRounds)
     val out = ClusterOps.embeddingKmeans(s, sf).collect()
     assert(out.length == v.size)
     out.foreach { r =>
@@ -224,6 +232,43 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(cos(emb(a), emb(b)) < ClusterOps.SemThreshold, s"pair ($a,$b)")
     // non-degenerate on this corpus: some dups found, most docs kept
     assert(kept.length < out.length && kept.length > out.length / 2)
+  }
+
+  test("semantic_dedup_incremental: frozen-quantizer verdicts recompute; corpus never blocks on itself") {
+    import graft.operators.ClusterOps
+    val out = ClusterOps.semanticDedupIncremental(s, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Boolean]("dup_of_corpus"), r.getAs[Boolean]("dup_in_batch"),
+        r.getAs[Boolean]("keep")))
+    s.catalog.clearCache()
+    val v = e6Vectors()
+    val train = v.filter { case (id, _) => id < ClusterOps.SemSplit }
+    val assign = refLloyd(v, train, ClusterOps.KmeansK, ClusterOps.KmeansRounds)
+    val emb = Tables.embeddings(s, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").toArray).toMap
+    def dotE12(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e12 + 0.5).toLong }.sum
+    def cos(a: Long, b: Long): Double =
+      dotE12(emb(a), emb(b)).toDouble /
+        (math.sqrt(dotE12(emb(a), emb(a)).toDouble) *
+          math.sqrt(dotE12(emb(b), emb(b)).toDouble))
+    // one row per batch doc, none for corpus docs
+    val batchIds = v.keys.filter(_ >= ClusterOps.SemSplit).toSet
+    assert(out.map(_._1).toSet == batchIds)
+    out.foreach { case (id, c, dc, db, keep) =>
+      assert(c == assign(id)._1, s"vec $id cluster")
+      val near = (o: Long) => assign(o)._1 == c &&
+        cos(o, id) >= ClusterOps.SemThreshold
+      val expDc = v.keys.exists(o => o < ClusterOps.SemSplit && near(o))
+      val expDb = batchIds.exists(o => o < id && near(o))
+      assert(dc == expDc, s"vec $id dup_of_corpus")
+      assert(db == expDb, s"vec $id dup_in_batch")
+      assert(keep == (!expDc && !expDb), s"vec $id keep")
+    }
+    // non-degenerate: both verdict sources fire on this corpus
+    assert(out.exists(_._3) && out.exists(_._5))
   }
 
   test("quality_model_score: logit recomputes from raw text; boundary splits the corpus") {
