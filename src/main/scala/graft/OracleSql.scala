@@ -1110,6 +1110,27 @@ object OracleSql {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_containment" ->
+      // same posting-list CTEs as dedup_ngram_jaccard; the score is the
+      // overlap coefficient and contained_doc names the smaller-set side
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+         |kept AS (SELECT shingle FROM sh0 GROUP BY shingle
+         |         HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |      CASE WHEN za.n_sh <= zb.n_sh THEN doc_a ELSE doc_b END AS contained_doc,
+         |      CAST(common AS DOUBLE)/least(za.n_sh, zb.n_sh) AS containment
+         |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id)
+         |SELECT doc_a, doc_b, contained_doc, containment FROM j
+         |WHERE containment >= ${graft.operators.DedupOps.ContainmentThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_clusters" ->
       // same exact-Jaccard pair pipeline as dedup_ngram_jaccard, then a
       // recursive reachability closure: a node's label set is every node
@@ -1557,6 +1578,25 @@ object OracleSql {
          |  MAX(i) OVER (PARTITION BY doc_id) AS mx FROM xh)
          |SELECT DISTINCT doc_id, fp FROM win WHERE i <= mx - ${w - 1}
          |ORDER BY doc_id, fp""".stripMargin
+    },
+
+    "doc_embed" -> {
+      val dims = graft.operators.TextOps.EmbedDims
+      val sums = (0 until dims).map(i =>
+        s"CAST(SUM(CASE WHEN dim = $i THEN sg ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n|  ")
+      // per-token XXH64 through the full string emulation; dim = low 4
+      // bits, sign = bit 4 (unsigned floor-div, matching Spark's >>>)
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT doc_id, i, w[i] AS tok
+         |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+         |${xxStringCtes("src", Seq("doc_id", "i"))},
+         |v AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
+         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh)
+         |SELECT doc_id,
+         |  $sums
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "dedup_simhash" -> {

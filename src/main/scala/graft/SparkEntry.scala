@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashVerified(s, d)),
     "dedup_clusters" -> (DedupOps.dedupClusters(_, _)),
     "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
+    "dedup_containment" -> ((s, d) => DedupOps.dedupContainment(s, d)),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard(_, _)),
     "dedup_embedding" -> (DedupOps.dedupEmbedding(_, _)),
     "dedup_embedding_lsh" -> ((s, d) => DedupOps.dedupEmbeddingLsh(s, d)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "quality_model_score" -> (TextOps.qualityModelScore(_, _)),
+    "doc_embed" -> (TextOps.docEmbed(_, _)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
     "decontaminate" -> (CurationOps.decontaminate(_, _)),
     "dataset_split" -> ((s, d) => CurationOps.datasetSplit(s, d)),

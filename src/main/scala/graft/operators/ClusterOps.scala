@@ -200,13 +200,25 @@ object ClusterOps {
         normE12(col("embedding")).as("nrm"))
       .join(assigned, "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK) // corpus + both batch sides
-    val corpusE = e.filter(col("vec_id") < split)
-    val batchE = e.filter(col("vec_id") >= split)
+    semanticVerdicts(e.filter(col("vec_id") >= split),
+      e.filter(col("vec_id") < split), threshold)
+  }
+
+  /** The admission verdict kernel on pre-assigned frames — shared by
+    * [[semanticDedupIncremental]] and the streaming landing path
+    * ([[graft.streaming.EventStreams.landSemanticAdmissionStream]]).
+    * Both sides carry (vec_id, embedding, nrm, cluster). Self-pairs are
+    * dropped as defense in depth against an at-least-once replay where
+    * a batch vector already reached the index (the admissionAgainstIndex
+    * convention). */
+  private[graft] def semanticVerdicts(batchE: DataFrame, corpusE: DataFrame,
+      threshold: Double): DataFrame = {
     def near(x: String, y: String): Column =
       DedupOps.cosine(dotE12(col(s"$x.embedding"), col(s"$y.embedding")),
         col(s"$x.nrm"), col(s"$y.nrm")) >= threshold
     val candCorpus = batchE.as("x").join(corpusE.as("y"),
-        col("x.cluster") === col("y.cluster"))
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") =!= col("y.vec_id"))
       .where(near("x", "y"))
       .select(col("x.vec_id").as("vec_id"), lit(true).as("from_corpus"))
     // the EARLIER batch doc is the blocker (first-in-batch-wins, the
@@ -227,5 +239,26 @@ object ClusterOps {
         (!coalesce(col("dup_of_corpus"), lit(false)) &&
           !coalesce(col("dup_in_batch"), lit(false))).as("keep"))
       .orderBy("vec_id")
+  }
+
+  /** Attach (nrm, cluster) to a raw (vec_id, embedding) frame against a
+    * FROZEN centroid frame — the assignment step of the streaming path. */
+  private[graft] def assignAgainst(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        normE12(col("embedding")).as("nrm"))
+      .join(assign(quantized(emb), cent).select("vec_id", "cluster"), "vec_id")
+
+  /** Land the frozen semantic-admission artifacts: the corpus-trained
+    * quantizer (`centroids`) and the assigned corpus index (`index`) —
+    * what a production build job writes once so the ingest stream only
+    * assigns and probes. */
+  def initSemanticIndex(corpus: DataFrame, baseDir: String,
+      k: Int = KmeansK, rounds: Int = KmeansRounds): Unit = {
+    val q = quantized(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val cent = kmeansCentroids(q, k, rounds).localCheckpoint()
+    cent.write.mode("overwrite").parquet(s"$baseDir/centroids")
+    assignAgainst(corpus, cent)
+      .write.mode("overwrite").parquet(s"$baseDir/index")
+    corpus.sparkSession.catalog.clearCache()
   }
 }

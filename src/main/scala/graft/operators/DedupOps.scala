@@ -273,7 +273,18 @@ object DedupOps {
     * `spark.catalog.clearCache()`) once the result is consumed, as
     * Verify/Bench do per query. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
+    shinglePairStats(docs, maxShingleDf)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared posting-list pair core: (doc_a < doc_b, common, na, nb) over
+    * the df-capped shingle representation — the candidate frame both
+    * [[ngramJaccardPairs]] and [[containmentPairs]] score. */
+  private def shinglePairStats(docs: DataFrame, maxShingleDf: Int): DataFrame = {
     val postings = hashedShingles(docs)
       .groupBy("hb")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -290,12 +301,39 @@ object DedupOps {
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Overlap-coefficient threshold for [[dedupContainment]]. */
+  val ContainmentThreshold = 0.8
+
+  /** dedup_containment — ASYMMETRIC near-dup detection by overlap
+    * coefficient |A∩B| / min(|A|,|B|): catches subset duplication (a
+    * short doc quoted whole inside a long one; a page re-published with
+    * a long footer) that symmetric Jaccard structurally misses — a doc
+    * fully contained in one 10× its size has containment 1.0 but
+    * Jaccard ≤ 0.1, far below any dedup threshold. This is why
+    * production pipelines run a containment pass alongside Jaccard
+    * (MinHash cannot estimate containment — its collision probability
+    * IS Jaccard — so this rides the exact posting-list pipeline, same
+    * one shuffle + df-capped fan-out as dedup_ngram_jaccard).
+    * `contained_doc` names the smaller-set side (the one a curation
+    * policy would drop). */
+  def dedupContainment(s: SparkSession, dir: String,
+      threshold: Double = ContainmentThreshold,
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
+    containmentPairs(Tables.documents(s, dir), threshold, maxShingleDf)
+
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
+    shinglePairStats(docs, maxShingleDf)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("na") <= col("nb"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_doc"),
+        col("containment"))
+      .orderBy("doc_a", "doc_b")
 
   /** dedup_minhash_verified (rows-only) — the full production dedup shape:
     * MinHash-LSH candidate generation followed by EXACT n-gram Jaccard

@@ -156,6 +156,41 @@ object TextOps {
           .as("chars_per_token"))
       .orderBy("doc_id")
 
+  /** Output dimensionality of [[docEmbed]] — low so the unrolled
+    * conditional-sum aggregation and the oracle stay readable; real
+    * deployments raise it (256–4096) with zero plan-shape change. */
+  val EmbedDims = 16
+
+  /** doc_embed — deterministic document embeddings by SIGNED FEATURE
+    * HASHING (Weinberger et al. 2009, the "hashing trick"): every token
+    * hashes to a dimension (low 4 bits of XXH64) and a ±1 sign (bit 4 —
+    * disjoint from the dim bits), and the document's vector is the
+    * per-dimension signed count. The engine-side stand-in for the
+    * neural-encoder embedding step: unlike model inference it is a pure
+    * function of the text, so the corpus→vector bridge (documents →
+    * doc_embed → ann/semantic-dedup) is testable end to end and the
+    * DuckDB twin reproduces every component bit-exactly through the
+    * XXH64 string emulation. Sign balancing makes collisions cancel in
+    * expectation (the property that keeps hashed inner products
+    * unbiased). Plan: explode → ONE doc_id-keyed partial-agg shuffle
+    * (map-side combine collapses each doc's tokens before the exchange,
+    * so shuffle bytes ≈ docs × dims longs, not tokens); output unrolled
+    * f0..f15 (the mm_features all-scalar convention). */
+  def docEmbed(s: SparkSession, dir: String): DataFrame = {
+    val h = xxhash64(col("tok"))
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), pmod(h, lit(EmbedDims.toLong)).as("dim"),
+        // bit 4 of the UNSIGNED hash: >>> matches the oracle's
+        // HUGEINT floor-div where a signed `div` would not
+        when(shiftrightunsigned(h, 4) % 2 === 0, 1L).otherwise(-1L).as("sg"))
+    val agg = (0 until EmbedDims).map(i =>
+      coalesce(sum(when(col("dim") === i.toLong, col("sg"))), lit(0L)).as(s"f$i"))
+    tok.groupBy("doc_id")
+      .agg(agg.head, agg.tail: _*)
+      .orderBy("doc_id")
+  }
+
   /** #34 text_fingerprint (rows-only) — 64-bit FNV-1a rolling-hash document
     * fingerprint via the native codegen expression [[graft.functions.RollingHash64]].
     * Wrap-around multiplication is intentional → not ANSI-SQL-expressible,

@@ -317,6 +317,78 @@ object EventStreams {
     s.catalog.clearCache()
   }
 
+  /** Streaming SEMANTIC admission — the ingest-time twin of
+    * [[graft.operators.ClusterOps.semanticDedupIncremental]], completing
+    * the streaming-admission pair (exact/minhash text via
+    * [[landAdmissionStream]], embedding space here): each micro-batch of
+    * vectors is ASSIGNED against the frozen corpus-trained quantizer
+    * (`baseDir/centroids`, landed once by
+    * [[graft.operators.ClusterOps.initSemanticIndex]] — production
+    * never retrains in the ingest path), screened against the LANDED
+    * assigned index (`baseDir/index`) plus earlier docs of its own
+    * batch, verdicts land to `baseDir/verdicts`, and ADMITTED vectors
+    * append to the index — so batch N+1 semantic-dedups against corpus
+    * + everything admitted before it. Stream state: zero; store state:
+    * the index (O(admitted corpus)).
+    *
+    * Replay safety mirrors [[admitBatch]]: already-verdicted vec_ids
+    * anti-join out before screening (and the kernel drops self-pairs),
+    * the index append anti-joins against vec_ids already present, so
+    * at-least-once redelivery completes exactly the missing piece. */
+  def landSemanticAdmissionStream(emb: DataFrame, baseDir: String,
+      threshold: Double = graft.operators.ClusterOps.SemThreshold)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitSemanticBatch(batch, batchId, baseDir, threshold)
+      }
+      .start()
+
+  /** One micro-batch of [[landSemanticAdmissionStream]], exposed so the
+    * replay contract is directly testable. */
+  def admitSemanticBatch(batch: DataFrame, batchId: Long, baseDir: String,
+      threshold: Double): Unit = {
+    import graft.operators.ClusterOps
+    val s = batch.sparkSession
+    def readOr(path: String, ddl: String): DataFrame =
+      if (new java.io.File(path).exists()) s.read.parquet(path)
+      else s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val cent = s.read.parquet(s"$baseDir/centroids") // required artifact
+    val index = readOr(s"$baseDir/index",
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm BIGINT, cluster BIGINT")
+    val landed = readOr(s"$baseDir/verdicts",
+      "vec_id BIGINT, cluster BIGINT, dup_of_corpus BOOLEAN, " +
+        "dup_in_batch BOOLEAN, keep BOOLEAN, batch_id BIGINT")
+    val bAll = batch.persist()
+    // REPLAY GUARD (the admitBatch contract): a vector verdicted by an
+    // earlier delivery is settled; localCheckpoint cuts the lineage so
+    // the appends below can't recompute this frame mid-update.
+    val bNew = ClusterOps.assignAgainst(
+        bAll.join(landed.select("vec_id"), Seq("vec_id"), "left_anti"), cent)
+      .localCheckpoint()
+    val verdicts = ClusterOps.semanticVerdicts(bNew, index, threshold)
+      .withColumn("batch_id", lit(batchId))
+      .persist()
+    verdicts.write.mode("append").parquet(s"$baseDir/verdicts")
+    // admitted rows of THIS batch the index doesn't already hold —
+    // newly kept, or kept by a delivery that died before its append
+    val keptNow = bNew.join(verdicts.filter(col("keep")).select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    val keptBefore = ClusterOps.assignAgainst(
+      bAll.join(landed.filter(col("keep")).select("vec_id"),
+        Seq("vec_id"), "left_semi"), cent)
+    val newIndex = keptNow.unionByName(keptBefore)
+      .join(index.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    newIndex.write.mode("append").parquet(s"$baseDir/index")
+    verdicts.unpersist()
+    bAll.unpersist()
+    s.catalog.clearCache()
+  }
+
   /** Streaming heavy hitters, landing side: each micro-batch lands its
     * own Misra–Gries candidate summary as (tok, w) rows plus the batch
     * token count. Soundness of the union: a token with global frequency

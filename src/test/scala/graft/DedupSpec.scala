@@ -79,6 +79,51 @@ class DedupSpec extends AnyFunSuite {
     assert(deflt == nocap, "cap must be a no-op on the test corpus")
   }
 
+  test("containment: catches subset duplication symmetric Jaccard misses") {
+    import s.implicits._
+    // doc 1 (12 words) is quoted WHOLE inside doc 2 (112 words): its 10
+    // shingles are all among doc 2's 110 → containment 1.0, but Jaccard
+    // 10/110 ≈ 0.09 — far below any dedup threshold
+    val short = (1 to 12).map(i => s"s$i").mkString(" ")
+    val long = short + " " + (1 to 100).map(i => s"t$i").mkString(" ")
+    val third = (1 to 12).map(i => s"x$i").mkString(" ") // unrelated
+    val docs = Seq((1L, short), (2L, long), (3L, third)).toDF("doc_id", "text")
+    val jac = DedupOps.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    assert(jac.isEmpty, "symmetric Jaccard must miss the contained pair")
+    val con = DedupOps.containmentPairs(docs, threshold = 0.8).collect()
+    assert(con.length == 1)
+    val r = con.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("contained_doc") == 1L) // the smaller-set side
+    assert(math.abs(r.getAs[Double]("containment") - 1.0) < 1e-12)
+    s.catalog.clearCache()
+  }
+
+  test("containment on sf data: scores recompute from raw shingle sets") {
+    val out = DedupOps.dedupContainment(s, sf).collect()
+    s.catalog.clearCache()
+    val docs = Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    // df cap: count each shingle's doc frequency, drop hot ones — mirror
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    docs.values.foreach(t => shingleSet(t).foreach(sh => df(sh) = df.getOrElse(sh, 0) + 1))
+    val kept = docs.map { case (id, t) =>
+      id -> shingleSet(t).filter(sh => df(sh) <= DedupOps.MaxShingleDf) }
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (kept(a), kept(b))
+      val expected = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      assert(math.abs(r.getAs[Double]("containment") - expected) < 1e-12, s"pair ($a,$b)")
+      assert(r.getAs[Long]("contained_doc") ==
+        (if (sa.size <= sb.size) a else b), s"pair ($a,$b) contained side")
+      assert(expected >= DedupOps.ContainmentThreshold)
+    }
+  }
+
   test("embedding near-dup pairs have valid cosine") {
     val out = DedupOps.dedupEmbedding(s, sf).collect()
     assert(out.nonEmpty, "no pairs at the default threshold — miscalibrated")

@@ -271,6 +271,97 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.exists(_._3) && out.exists(_._5))
   }
 
+  // ---------- streaming semantic admission ----------
+
+  private def basis(p: Int): Seq[Float] =
+    Seq.tabulate(64)(i => if (i == p) 1.0f else 0.0f)
+
+  test("landSemanticAdmissionStream: cross-batch dup caught via the index; replay idempotent") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.ClusterOps
+    import graft.streaming.EventStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_admission").toString
+    // frozen artifacts: 4 well-separated corpus vectors, one per cluster
+    val corpus = Seq.tabulate(4)(i => (i.toLong, basis(i)))
+      .toDF("vec_id", "embedding")
+    ClusterOps.initSemanticIndex(corpus, dir)
+    val in = MemoryStream[(Long, Seq[Float])](s)
+    val q = EventStreams.landSemanticAdmissionStream(
+      in.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      // 100 dups corpus vec 1; 101 novel; 102 dups 101 in-batch
+      in.addData((100L, basis(1)), (101L, basis(10)), (102L, basis(10)))
+      q.processAllAvailable()
+      // 200 dups the ADMITTED 101 (via the forward-grown index); 201 novel
+      in.addData((200L, basis(10)), (201L, basis(20)))
+      q.processAllAvailable()
+      val v = s.read.parquet(s"$dir/verdicts").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Boolean]("dup_of_corpus"), r.getAs[Boolean]("dup_in_batch"),
+            r.getAs[Boolean]("keep")))).toMap
+      assert(v.size == 5, "one verdict per vector")
+      assert(v(100L) == ((true, false, false)), "copy of corpus vec 1")
+      assert(v(101L) == ((false, false, true)), "novel vector admitted")
+      assert(v(102L) == ((false, true, false)), "in-batch dup of 101")
+      assert(v(200L) == ((true, false, false)),
+        "batch-2 copy of 101 must hit the index entry landed in batch 1")
+      assert(v(201L) == ((false, false, true)))
+      val indexed = s.read.parquet(s"$dir/index")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(0L, 1L, 2L, 3L, 101L, 201L),
+        "index = corpus + admitted only")
+      // replay batch 0 directly: store must be unchanged
+      val verdCount = s.read.parquet(s"$dir/verdicts").count()
+      EventStreams.admitSemanticBatch(
+        Seq((100L, basis(1)), (101L, basis(10)), (102L, basis(10)))
+          .toDF("vec_id", "embedding"), 0L, dir, ClusterOps.SemThreshold)
+      assert(s.read.parquet(s"$dir/verdicts").count() == verdCount,
+        "replayed batch must not re-land verdicts")
+      assert(s.read.parquet(s"$dir/index")
+        .select("vec_id").collect().map(_.getLong(0)).toSet == indexed,
+        "replayed batch must not re-append index rows")
+    } finally q.stop()
+    s.catalog.clearCache()
+  }
+
+  test("doc_embed: components recompute per token; sign parity and mass invariants hold") {
+    import graft.operators.TextOps
+    val out = TextOps.docEmbed(s, sf).collect()
+    val docs = Tables.documents(s, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length == docs.size)
+    // JVM-side recompute through the same XXH64 kernel Spark's xxhash64
+    // uses (seed 42) — the INDEPENDENT check is the DuckDB oracle's
+    // from-scratch HUGEINT emulation; this spec pins the dim/sign wiring
+    def hashTok(t: String): Long = {
+      val b = t.getBytes("UTF-8")
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          b.length, 42L)
+    }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id).split(" ", -1)
+      val expect = Array.fill(TextOps.EmbedDims)(0L)
+      toks.foreach { t =>
+        val h = hashTok(t)
+        val dim = java.lang.Long.remainderUnsigned(h, TextOps.EmbedDims.toLong).toInt
+        val sg = if (((h >>> 4) & 1L) == 0L) 1L else -1L
+        expect(dim) += sg
+      }
+      var sumAbs = 0L; var sum = 0L
+      for (i <- 0 until TextOps.EmbedDims) {
+        val f = r.getAs[Long](s"f$i")
+        assert(f == expect(i), s"doc $id f$i")
+        sumAbs += math.abs(f); sum += f
+      }
+      // each token contributes exactly ±1 somewhere
+      assert(sumAbs <= toks.length)
+      assert(((sum % 2) + 2) % 2 == toks.length % 2, s"doc $id parity")
+    }
+  }
+
   test("quality_model_score: logit recomputes from raw text; boundary splits the corpus") {
     import graft.operators.TextOps
     val out = graft.SparkEntry.queries("quality_model_score")(s, sf).collect()
