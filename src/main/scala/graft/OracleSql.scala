@@ -370,8 +370,8 @@ object OracleSql {
     s"CAST($dt AS DOUBLE)/(sqrt(CAST($na AS DOUBLE))*sqrt(CAST($nb AS DOUBLE)))"
 
   /** Exact integer squared L2 between two e6 long lists (ClusterOps.dist2). */
-  private def kmDist(v: String, c: String) =
-    s"CAST(list_sum(list_transform(generate_series(1,64), i -> " +
+  private def kmDist(v: String, c: String, dims: Int = 64) =
+    s"CAST(list_sum(list_transform(generate_series(1,$dims), i -> " +
       s"($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
 
   /** ClusterOps.kmeansAssign unrolled (the graph_pagerank / bpe_merges
@@ -383,26 +383,32 @@ object OracleSql {
     * the full table for the batch operators, the corpus slice for the
     * frozen-quantizer incremental path); the final assignment `af`
     * covers EVERY vector: (vec_id, cluster, exact d). */
-  private def kmeansCtes(k: Int, rounds: Int,
-      trainWhere: String = "TRUE"): String = {
+  private def kmeansCtes(k: Int, rounds: Int, trainWhere: String = "TRUE",
+      sliceLo: Int = 1, sliceLen: Int = 64, p: String = ""): String = {
+    // `p` prefixes every CTE name so embedding_pq can compose one
+    // instance per subspace in a single WITH; sliceLo/sliceLen carve the
+    // subspace out of the embedding (1-based, mirroring Spark's slice)
+    val vecExpr =
+      if (sliceLo == 1 && sliceLen == 64) "embedding"
+      else s"embedding[$sliceLo:${sliceLo + sliceLen - 1}]"
     val sb = new StringBuilder
-    sb ++= s"""e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
-      |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT)) AS v
+    sb ++= s"""${p}e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |  list_transform($vecExpr, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT)) AS v
       |FROM embeddings),
-      |tr AS (SELECT * FROM e WHERE $trainWhere),
-      |c0 AS (SELECT vec_id AS cluster, v AS c FROM tr WHERE vec_id < $k)""".stripMargin
+      |${p}tr AS (SELECT * FROM ${p}e WHERE $trainWhere),
+      |${p}c0 AS (SELECT vec_id AS cluster, v AS c FROM ${p}tr WHERE vec_id < $k)""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
-      |s$r AS (SELECT tr.vec_id, p.cluster, ${kmDist("tr.v", "p.c")} AS d FROM tr CROSS JOIN c${r - 1} p),
-      |a$r AS (SELECT vec_id, cluster FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM s$r) WHERE rn = 1),
-      |u$r AS (SELECT cluster, i, CAST(FLOOR(CAST(SUM(tr.v[i]) AS DOUBLE)/COUNT(*)+0.5) AS BIGINT) AS m
-      |  FROM a$r JOIN tr USING (vec_id) CROSS JOIN generate_series(1,64) gs(i) GROUP BY cluster, i),
-      |n$r AS (SELECT cluster, list(m ORDER BY i) AS c FROM u$r GROUP BY cluster),
-      |c$r AS (SELECT p.cluster, coalesce(n$r.c, p.c) AS c FROM c${r - 1} p LEFT JOIN n$r USING (cluster))""".stripMargin
+      |${p}s$r AS (SELECT tr.vec_id, pc.cluster, ${kmDist("tr.v", "pc.c", sliceLen)} AS d FROM ${p}tr tr CROSS JOIN ${p}c${r - 1} pc),
+      |${p}a$r AS (SELECT vec_id, cluster FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM ${p}s$r) WHERE rn = 1),
+      |${p}u$r AS (SELECT cluster, i, CAST(FLOOR(CAST(SUM(tr.v[i]) AS DOUBLE)/COUNT(*)+0.5) AS BIGINT) AS m
+      |  FROM ${p}a$r a JOIN ${p}tr tr USING (vec_id) CROSS JOIN generate_series(1,$sliceLen) gs(i) GROUP BY cluster, i),
+      |${p}n$r AS (SELECT cluster, list(m ORDER BY i) AS c FROM ${p}u$r GROUP BY cluster),
+      |${p}c$r AS (SELECT pc.cluster, coalesce(n.c, pc.c) AS c FROM ${p}c${r - 1} pc LEFT JOIN ${p}n$r n USING (cluster))""".stripMargin
     }
     sb ++= s""",
-      |sf AS (SELECT e.vec_id, p.cluster, ${kmDist("e.v", "p.c")} AS d FROM e CROSS JOIN c$rounds p),
-      |af AS (SELECT vec_id, cluster, d FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM sf) WHERE rn = 1)""".stripMargin
+      |${p}sf AS (SELECT e.vec_id, pc.cluster, ${kmDist("e.v", "pc.c", sliceLen)} AS d FROM ${p}e e CROSS JOIN ${p}c$rounds pc),
+      |${p}af AS (SELECT vec_id, cluster, d FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM ${p}sf) WHERE rn = 1)""".stripMargin
     sb.toString
   }
 
@@ -1210,6 +1216,21 @@ object OracleSql {
          |d AS (SELECT xid AS vec_id, MIN(yid) AS dup_of FROM pr GROUP BY 1)
          |SELECT af.vec_id, af.cluster, d.dup_of, d.dup_of IS NULL AS keep
          |FROM af LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    "embedding_pq" -> {
+      import graft.operators.ClusterOps.{PqK, PqM, PqRounds}
+      val dimsPer = 64 / PqM
+      val ctes = (0 until PqM).map(i =>
+        kmeansCtes(PqK, PqRounds, "TRUE", i * dimsPer + 1, dimsPer, s"q$i"))
+        .mkString(",\n")
+      val joins = (1 until PqM)
+        .map(i => s"JOIN q${i}af q$i ON q0.vec_id = q$i.vec_id").mkString(" ")
+      val cols = (0 until PqM).map(i => s"q$i.cluster AS c$i").mkString(", ")
+      val err = (0 until PqM).map(i => s"q$i.d").mkString(" + ")
+      s"""WITH $ctes
+         |SELECT q0.vec_id, $cols, CAST($err AS BIGINT) AS err
+         |FROM q0af q0 $joins ORDER BY q0.vec_id""".stripMargin
+    },
 
     "semantic_dedup_incremental" -> {
       import graft.operators.ClusterOps.{KmeansK, KmeansRounds, SemSplit, SemThreshold}

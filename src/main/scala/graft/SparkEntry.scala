@@ -142,6 +142,7 @@ object SparkEntry {
     "embedding_centroids" -> (SimilarityOps.embeddingCentroids(_, _)),
     "embedding_project" -> (SimilarityOps.embeddingProject(_, _)),
     "embedding_kmeans" -> (ClusterOps.embeddingKmeans(_, _)),
+    "embedding_pq" -> (ClusterOps.embeddingPq(_, _)),
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "quality_model_score" -> (TextOps.qualityModelScore(_, _)),

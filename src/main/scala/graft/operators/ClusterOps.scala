@@ -36,10 +36,12 @@ object ClusterOps {
     floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
 
   /** e6-quantized embedding frame (vec_id, v: array<long>) — the shared
-    * integer domain both engines compute distances in. */
-  private def quantized(emb: DataFrame): DataFrame =
+    * integer domain both engines compute distances in. `lo` (1-based) +
+    * `len` carve out a subspace slice for product quantization; the
+    * default covers the full vector. */
+  private def quantized(emb: DataFrame, lo: Int = 1, len: Int = 64): DataFrame =
     emb.select(col("vec_id").cast("long").as("vec_id"),
-      transform(col("embedding"), v6 _).as("v"))
+      transform(slice(col("embedding"), lo, len), v6 _).as("v"))
 
   /** Exact integer squared L2 distance between two e6 long arrays. */
   private def dist2(a: Column, b: Column): Column =
@@ -162,6 +164,47 @@ object ClusterOps {
     e.select("vec_id", "cluster").join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Product-quantization geometry: M subspaces × `PqK`-entry codebooks,
+    * `PqRounds` Lloyd rounds each — fixed so the oracle can unroll all
+    * M×rounds stages. 64 dims / 4 subspaces = 16 dims per code. */
+  val PqM = 4
+  val PqK = 4
+  val PqRounds = 2
+
+  /** embedding_pq — PRODUCT QUANTIZATION (Jégou et al. 2011, the
+    * IVF-PQ compression FAISS ships): the vector splits into M
+    * contiguous subspaces, each learns its own tiny k-means codebook,
+    * and a vector compresses to M small codes — here 64 floats → 4
+    * codes (2 bits each at k=4; production uses 8-bit codes × 8–64
+    * subspaces for 32–512× compression). `err` is the EXACT integer
+    * reconstruction error Σ_m d²(slice_m, codebook_m[code_m]) — the
+    * quantization-quality metric you monitor before trusting
+    * asymmetric-distance search, where a query scans M lookup tables
+    * of k entries instead of raw vectors. Same per-round plan shape as
+    * [[embeddingKmeans]] ×M (broadcast assignment + k×dims-group
+    * update shuffle), and the M loops share ONE persisted scan of the
+    * table. Fully oracle-checked: the DuckDB twin unrolls all M
+    * per-subspace kmeans instances and joins their final assignments. */
+  def embeddingPq(s: SparkSession, dir: String): DataFrame =
+    embeddingPqFrom(Tables.embeddings(s, dir))
+
+  def embeddingPqFrom(emb: DataFrame, m: Int = PqM, k: Int = PqK,
+      rounds: Int = PqRounds): DataFrame = {
+    val dimsPer = 64 / m
+    val subs = (0 until m).map { i =>
+      val q = quantized(emb, i * dimsPer + 1, dimsPer)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      assign(q, kmeansCentroids(q, k, rounds))
+        .select(col("vec_id"), col("cluster").as(s"c$i"),
+          col("dist2").as(s"d$i"))
+    }
+    val joined = subs.reduce((a, b) => a.join(b, "vec_id"))
+    joined.select(
+        col("vec_id") +: (0 until m).map(i => col(s"c$i")) :+
+          (0 until m).map(i => col(s"d$i")).reduce(_ + _).as("err"): _*)
       .orderBy("vec_id")
   }
 

@@ -174,7 +174,7 @@ class Round8OpsSpec extends AnyFunSuite {
       cent = cent.map { case (c, old) =>
         c -> byC.get(c).map { mem =>
           val n = mem.size
-          (0 until 64).map { i =>
+          old.indices.map { i =>
             math.floor(mem.map(_._2(i)).sum.toDouble / n + 0.5).toLong
           }.toArray
         }.getOrElse(old)
@@ -197,6 +197,36 @@ class Round8OpsSpec extends AnyFunSuite {
     // non-degenerate: every cluster captured someone
     assert(out.map(_.getAs[Long]("cluster")).distinct.length == ClusterOps.KmeansK)
     s.catalog.clearCache()
+  }
+
+  test("embedding_pq: per-subspace codes + exact reconstruction error match an in-memory PQ") {
+    import graft.operators.ClusterOps
+    val v = e6Vectors()
+    val dimsPer = 64 / ClusterOps.PqM
+    // per-subspace reference Lloyd on the sliced vectors
+    val subAssign = (0 until ClusterOps.PqM).map { m =>
+      val sl = v.map { case (id, x) =>
+        id -> x.slice(m * dimsPer, (m + 1) * dimsPer) }
+      refLloyd(sl, sl, ClusterOps.PqK, ClusterOps.PqRounds)
+    }
+    val out = ClusterOps.embeddingPq(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.length == v.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      var err = 0L
+      for (m <- 0 until ClusterOps.PqM) {
+        val (c, d) = subAssign(m)(id)
+        assert(r.getAs[Long](s"c$m") == c, s"vec $id code $m")
+        assert(c >= 0 && c < ClusterOps.PqK)
+        err += d
+      }
+      assert(r.getAs[Long]("err") == err, s"vec $id err")
+    }
+    // compression is non-degenerate: multiple distinct code words in use
+    val words = out.map(r => (0 until ClusterOps.PqM)
+      .map(m => r.getAs[Long](s"c$m")).toList).distinct
+    assert(words.length > ClusterOps.PqK, s"code diversity: ${words.length}")
   }
 
   test("semantic_dedup: verdicts recompute from clusters + exact cosine; kept set is pairwise-clean") {
