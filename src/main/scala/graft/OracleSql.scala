@@ -384,17 +384,27 @@ object OracleSql {
     * frozen-quantizer incremental path); the final assignment `af`
     * covers EVERY vector: (vec_id, cluster, exact d). */
   private def kmeansCtes(k: Int, rounds: Int, trainWhere: String = "TRUE",
-      sliceLo: Int = 1, sliceLen: Int = 64, p: String = ""): String = {
+      sliceLo: Int = 1, sliceLen: Int = 64, p: String = "",
+      normalized: Boolean = false): String = {
     // `p` prefixes every CTE name so embedding_pq can compose one
     // instance per subspace in a single WITH; sliceLo/sliceLen carve the
-    // subspace out of the embedding (1-based, mirroring Spark's slice)
+    // subspace out of the embedding (1-based, mirroring Spark's slice);
+    // `normalized` mirrors ClusterOps.quantized(normalize = true) — e6
+    // integers of the unit vector, x·10¹²/√nrmE12 (the cosine-metric PQ
+    // convention)
     val vecExpr =
       if (sliceLo == 1 && sliceLen == 64) "embedding"
       else s"embedding[$sliceLo:${sliceLo + sliceLen - 1}]"
+    val comp =
+      if (!normalized) "CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT)"
+      else "CAST(FLOOR(CAST(x AS DOUBLE)*1000000000000.0/sqrt(CAST(nrm AS DOUBLE))+0.5) AS BIGINT)"
+    val src =
+      if (!normalized) "embeddings"
+      else s"(SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings)"
     val sb = new StringBuilder
     sb ++= s"""${p}e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
-      |  list_transform($vecExpr, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT)) AS v
-      |FROM embeddings),
+      |  list_transform($vecExpr, x -> $comp) AS v
+      |FROM $src),
       |${p}tr AS (SELECT * FROM ${p}e WHERE $trainWhere),
       |${p}c0 AS (SELECT vec_id AS cluster, v AS c FROM ${p}tr WHERE vec_id < $k)""".stripMargin
     for (r <- 1 to rounds) {
@@ -1221,7 +1231,7 @@ object OracleSql {
       import graft.operators.ClusterOps.{PqK, PqM, PqRounds}
       val dimsPer = 64 / PqM
       val ctes = (0 until PqM).map(i =>
-        kmeansCtes(PqK, PqRounds, "TRUE", i * dimsPer + 1, dimsPer, s"q$i"))
+        kmeansCtes(PqK, PqRounds, "TRUE", i * dimsPer + 1, dimsPer, s"q$i", normalized = true))
         .mkString(",\n")
       val joins = (1 until PqM)
         .map(i => s"JOIN q${i}af q$i ON q0.vec_id = q$i.vec_id").mkString(" ")
@@ -1230,6 +1240,31 @@ object OracleSql {
       s"""WITH $ctes
          |SELECT q0.vec_id, $cols, CAST($err AS BIGINT) AS err
          |FROM q0af q0 $joins ORDER BY q0.vec_id""".stripMargin
+    },
+
+    "ann_pq" -> {
+      import graft.operators.ClusterOps.{PqK, PqM, PqRounds}
+      val dimsPer = 64 / PqM
+      val ctes = (0 until PqM).map(i =>
+        kmeansCtes(PqK, PqRounds, "TRUE", i * dimsPer + 1, dimsPer, s"q$i", normalized = true))
+        .mkString(",\n")
+      // per-subspace: query LUT (exact dist to every codebook entry) ⋈
+      // corpus codes; ADC = sum of the M lookups
+      val luts = (0 until PqM).map(i =>
+        s"""lut$i AS (SELECT e.vec_id AS q_id, pc.cluster AS code, ${kmDist("e.v", "pc.c", dimsPer)} AS d
+           |  FROM q${i}e e CROSS JOIN q${i}c$PqRounds pc
+           |  WHERE e.vec_id % ${graft.operators.SimilarityOps.QueryModulus} = 0)""".stripMargin)
+        .mkString(",\n")
+      val scores = (0 until PqM).map(i =>
+        s"SELECT l.q_id, a.vec_id AS n_id, l.d FROM lut$i l JOIN q${i}af a ON l.code = a.cluster AND l.q_id <> a.vec_id")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $ctes,
+         |$luts,
+         |p AS ($scores),
+         |sc AS (SELECT q_id, n_id, CAST(SUM(d) AS BIGINT) AS adist FROM p GROUP BY 1, 2),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, n_id, adist, rnk FROM rk WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
     },
 
     "semantic_dedup_incremental" -> {

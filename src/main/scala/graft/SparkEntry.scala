@@ -143,6 +143,7 @@ object SparkEntry {
     "embedding_project" -> (SimilarityOps.embeddingProject(_, _)),
     "embedding_kmeans" -> (ClusterOps.embeddingKmeans(_, _)),
     "embedding_pq" -> (ClusterOps.embeddingPq(_, _)),
+    "ann_pq" -> ((s, d) => ClusterOps.annPq(s, d)),
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "quality_model_score" -> (TextOps.qualityModelScore(_, _)),

@@ -38,10 +38,29 @@ object ClusterOps {
   /** e6-quantized embedding frame (vec_id, v: array<long>) — the shared
     * integer domain both engines compute distances in. `lo` (1-based) +
     * `len` carve out a subspace slice for product quantization; the
-    * default covers the full vector. */
-  private def quantized(emb: DataFrame, lo: Int = 1, len: Int = 64): DataFrame =
-    emb.select(col("vec_id").cast("long").as("vec_id"),
-      transform(slice(col("embedding"), lo, len), v6 _).as("v"))
+    * default covers the full vector. With `normalize`, components are
+    * e6 integers of the UNIT vector (x·10¹²/√nrmE12, one exact-int
+    * norm + two correctly-rounded double ops, mirrored in the oracle):
+    * the cosine-metric convention for PQ — on unit vectors L2² is
+    * monotone in cosine (2−2cos), so ADC ranks by similarity instead
+    * of being distorted by raw norms. */
+  private def quantized(emb: DataFrame, lo: Int = 1, len: Int = 64,
+      normalize: Boolean = false): DataFrame =
+    if (!normalize)
+      emb.select(col("vec_id").cast("long").as("vec_id"),
+        transform(slice(col("embedding"), lo, len), v6 _).as("v"))
+    else {
+      // nrm is MATERIALIZED as its own projection before the lambda (the
+      // winnowing lesson: a non-trivial expression referenced inside a
+      // higher-order function re-evaluates per element; an attribute
+      // read does not)
+      emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+          normE12(col("embedding")).as("nrm"))
+        .select(col("vec_id"),
+          transform(slice(col("embedding"), lo, len),
+            x => floor(x.cast("double") * lit(1000000000000.0) /
+              sqrt(col("nrm").cast("double")) + lit(0.5)).cast("long")).as("v"))
+    }
 
   /** Exact integer squared L2 distance between two e6 long arrays. */
   private def dist2(a: Column, b: Column): Column =
@@ -81,7 +100,11 @@ object ClusterOps {
       rounds: Int): DataFrame = {
     var cent = train.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
-      .localCheckpoint() // k tiny rows; keeps every round's lineage flat
+      // k tiny rows; keeps every round's lineage flat. LAZY (eager=false):
+      // an eager checkpoint is one full job per call site, which the
+      // M-subspace PQ loop pays M times before any real work — lazy
+      // materializes inside the first consuming job instead
+      .localCheckpoint(false)
     var r = 0
     while (r < rounds) {
       val a = assign(train, cent).select("vec_id", "cluster")
@@ -171,7 +194,7 @@ object ClusterOps {
     * `PqRounds` Lloyd rounds each — fixed so the oracle can unroll all
     * M×rounds stages. 64 dims / 4 subspaces = 16 dims per code. */
   val PqM = 4
-  val PqK = 4
+  val PqK = 16
   val PqRounds = 2
 
   /** embedding_pq — PRODUCT QUANTIZATION (Jégou et al. 2011, the
@@ -194,9 +217,13 @@ object ClusterOps {
   def embeddingPqFrom(emb: DataFrame, m: Int = PqM, k: Int = PqK,
       rounds: Int = PqRounds): DataFrame = {
     val dimsPer = 64 / m
+    // ONE normalized scan persisted; every subspace slices from it
+    // (M separate quantized() calls would re-read parquet M times)
+    val qAll = quantized(emb, normalize = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val subs = (0 until m).map { i =>
-      val q = quantized(emb, i * dimsPer + 1, dimsPer)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val q = qAll.select(col("vec_id"),
+        slice(col("v"), i * dimsPer + 1, dimsPer).as("v"))
       assign(q, kmeansCentroids(q, k, rounds))
         .select(col("vec_id"), col("cluster").as(s"c$i"),
           col("dist2").as(s"d$i"))
@@ -206,6 +233,54 @@ object ClusterOps {
         col("vec_id") +: (0 until m).map(i => col(s"c$i")) :+
           (0 until m).map(i => col(s"d$i")).reduce(_ + _).as("err"): _*)
       .orderBy("vec_id")
+  }
+
+  /** ann_pq — ASYMMETRIC-DISTANCE search over PQ codes (the ADC scan of
+    * Jégou 2011): each query precomputes one lookup table per subspace —
+    * its exact integer distance to every codebook entry (M×k values, a
+    * broadcast-sized frame) — and a corpus vector scores as the SUM of M
+    * table lookups keyed by its codes, never touching raw floats. This
+    * is where PQ pays: the corpus side streams 4 BIGINT codes per row
+    * (vs 64 floats), the per-row work is M map-side lookups via a
+    * broadcast equi-join on (subspace, code), and the only shuffle is
+    * the (q_id, n_id) partial agg + per-query top-k. ADC scans every
+    * code by design (IVF-PQ composes [[SimilarityOps.annIvf]]'s cell
+    * pruning in front); ranking quality vs exact cosine is recall-spec
+    * business, determinism is exact — adist is an integer and ties
+    * break on n_id, so output hash-matches the oracle built on the same
+    * unrolled codebooks. */
+  def annPq(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    annPqFrom(Tables.embeddings(s, dir), k)
+
+  def annPqFrom(emb: DataFrame, topK: Int = 5, m: Int = PqM,
+      k: Int = PqK, rounds: Int = PqRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dimsPer = 64 / m
+    // same shared-scan layout as embeddingPqFrom
+    val qAll = quantized(emb, normalize = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val parts = (0 until m).map { i =>
+      val q = qAll.select(col("vec_id"),
+        slice(col("v"), i * dimsPer + 1, dimsPer).as("v"))
+      // TWO consumers (corpus codes + query LUT) — checkpoint the k-row
+      // codebook so the training lineage isn't duplicated into both
+      val cent = kmeansCentroids(q, k, rounds).localCheckpoint()
+      val codes = assign(q, cent)
+        .select(col("vec_id").as("n_id"), col("cluster").as("code"))
+      val lut = q.filter(SimilarityOps.isQuery(col("vec_id")))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id").as("q_id"), col("cluster").as("code"),
+          dist2(col("v"), col("c")).as("d"))
+      codes.join(broadcast(lut), Seq("code"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select("q_id", "n_id", "d")
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+    parts.reduce(_ unionByName _)
+      .groupBy("q_id", "n_id").agg(sum(col("d")).cast("long").as("adist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .orderBy("q_id", "rnk")
   }
 
   /** Corpus/batch split for [[semanticDedupIncremental]] — shared with

@@ -201,7 +201,15 @@ class Round8OpsSpec extends AnyFunSuite {
 
   test("embedding_pq: per-subspace codes + exact reconstruction error match an in-memory PQ") {
     import graft.operators.ClusterOps
-    val v = e6Vectors()
+    // the PQ domain is the NORMALIZED quantization: e6 ints of the unit
+    // vector, x·10¹²/√nrmE12 (mirroring ClusterOps.quantized normalize)
+    val v = Tables.embeddings(s, sf).select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getAs[collection.Seq[Float]]("embedding").toArray
+        val nrm = e.map(x => math.floor(x.toDouble * x.toDouble * 1e12 + 0.5).toLong).sum
+        r.getAs[Long]("vec_id") -> e.map(x =>
+          math.floor(x.toDouble * 1e12 / math.sqrt(nrm.toDouble) + 0.5).toLong)
+      }.toMap
     val dimsPer = 64 / ClusterOps.PqM
     // per-subspace reference Lloyd on the sliced vectors
     val subAssign = (0 until ClusterOps.PqM).map { m =>
