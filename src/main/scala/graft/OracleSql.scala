@@ -1655,6 +1655,35 @@ object OracleSql {
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "doc_neighbors" -> {
+      val dims = graft.operators.TextOps.EmbedDims
+      val qm = graft.operators.SimilarityOps.QueryModulus
+      // long-form hashed-feature vectors (absent dims are implicit 0, so
+      // the dim-join dot product is exact); pairs with NO shared dim get
+      // dot 0 via the LEFT JOIN + coalesce — they still rank
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT doc_id, i, w[i] AS tok
+         |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+         |${xxStringCtes("src", Seq("doc_id", "i"))},
+         |v AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
+         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
+         |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM v GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, CAST(SUM(fv*fv) AS BIGINT) AS n2 FROM f GROUP BY 1),
+         |pr AS (SELECT na.doc_id AS q_id, nb.doc_id AS n_id, na.n2 AS qn, nb.n2 AS nn
+         |  FROM nrm na JOIN nrm nb ON na.doc_id <> nb.doc_id
+         |  WHERE na.doc_id % $qm = 0 AND na.n2 > 0 AND nb.n2 > 0),
+         |dt AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, CAST(SUM(a.fv*b.fv) AS BIGINT) AS dt
+         |  FROM f a JOIN f b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % $qm = 0 GROUP BY 1, 2),
+         |sc AS (SELECT pr.q_id, pr.n_id,
+         |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
+         |  FROM pr LEFT JOIN dt ON dt.q_id = pr.q_id AND dt.n_id = pr.n_id),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, n_id, cos_sim, rnk FROM rk WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
     "dedup_simhash" -> {
       val pow2 = (0 until 64).map(b => s"CAST('${BigInt(1) << b}' AS HUGEINT)")
         .mkString("[", ",", "]")

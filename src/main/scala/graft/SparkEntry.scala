@@ -148,6 +148,7 @@ object SparkEntry {
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "quality_model_score" -> (TextOps.qualityModelScore(_, _)),
     "doc_embed" -> (TextOps.docEmbed(_, _)),
+    "doc_neighbors" -> ((s, d) => TextOps.docNeighbors(s, d)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
     "decontaminate" -> (CurationOps.decontaminate(_, _)),
     "dataset_split" -> ((s, d) => CurationOps.datasetSplit(s, d)),

@@ -176,7 +176,12 @@ object TextOps {
     * (map-side combine collapses each doc's tokens before the exchange,
     * so shuffle bytes ≈ docs × dims longs, not tokens); output unrolled
     * f0..f15 (the mm_features all-scalar convention). */
-  def docEmbed(s: SparkSession, dir: String): DataFrame = {
+  def docEmbed(s: SparkSession, dir: String): DataFrame =
+    docEmbedCore(s, dir).orderBy("doc_id")
+
+  /** The unsorted embedding frame — shared by [[docEmbed]] and
+    * [[docNeighbors]]. */
+  private def docEmbedCore(s: SparkSession, dir: String): DataFrame = {
     val h = xxhash64(col("tok"))
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -186,9 +191,42 @@ object TextOps {
         when(shiftrightunsigned(h, 4) % 2 === 0, 1L).otherwise(-1L).as("sg"))
     val agg = (0 until EmbedDims).map(i =>
       coalesce(sum(when(col("dim") === i.toLong, col("sg"))), lit(0L)).as(s"f$i"))
-    tok.groupBy("doc_id")
-      .agg(agg.head, agg.tail: _*)
-      .orderBy("doc_id")
+    tok.groupBy("doc_id").agg(agg.head, agg.tail: _*)
+  }
+
+  /** doc_neighbors — top-k most similar DOCUMENTS by cosine over the
+    * [[docEmbed]] hashed vectors: the documents→vectors→search loop
+    * closed entirely in exact integer arithmetic (integer dot products
+    * and squared norms; the only doubles are the final cos ratio, one
+    * mirrored op sequence). The float-free twin of ann_cosine_topk on
+    * the documents table — retrieval-by-content with no external
+    * embedding table, and a brute-force baseline whose scale path is
+    * the same LSH/IVF/PQ bucketing the embedding family ships (hashed
+    * vectors are just integer embeddings). Query subset: doc_id %
+    * QueryModulus == 0 (the SimilarityOps convention). Zero-norm
+    * vectors (all signs cancelled) are excluded on both sides — a
+    * cosine against them is undefined. */
+  def docNeighbors(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = array((0 until EmbedDims).map(i => col(s"f$i")): _*)
+    val withN = docEmbedCore(s, dir)
+      .select(col("doc_id"), v.as("v"))
+      .withColumn("nrm", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+      .filter(col("nrm") > 0L)
+    val q = withN
+      .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("q_id") % SimilarityOps.QueryModulus === 0)
+    val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    withN.join(broadcast(q), col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        (dot.cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
   }
 
   /** #34 text_fingerprint (rows-only) — 64-bit FNV-1a rolling-hash document

@@ -400,6 +400,34 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_neighbors: top-k recomputes from the doc_embed vectors") {
+    import graft.operators.{SimilarityOps, TextOps}
+    val emb = TextOps.docEmbed(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until TextOps.EmbedDims).map(i => r.getAs[Long](s"f$i")).toArray)
+      .toMap
+    val out = TextOps.docNeighbors(s, sf).collect()
+    val nonzero = emb.filter { case (_, v) => v.map(x => x * x).sum > 0 }
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(a.map(x => x * x).sum.toDouble) *
+          math.sqrt(b.map(x => x * x).sum.toDouble))
+    val qs = nonzero.keys.filter(_ % SimilarityOps.QueryModulus == 0)
+    assert(qs.nonEmpty)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == qs.toSet)
+    qs.foreach { q =>
+      val expect = nonzero.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(emb(q), emb(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5)
+      val got = byQ(q).sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("n_id"), r.getAs[Double]("cos_sim")))
+      assert(got.map(_._1).toSeq == expect.map(_._1), s"query $q neighbor order")
+      got.zip(expect).foreach { case ((_, gc), (_, ec)) =>
+        assert(math.abs(gc - ec) < 1e-12, s"query $q cos") }
+    }
+  }
+
   test("quality_model_score: logit recomputes from raw text; boundary splits the corpus") {
     import graft.operators.TextOps
     val out = graft.SparkEntry.queries("quality_model_score")(s, sf).collect()
