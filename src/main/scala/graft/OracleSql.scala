@@ -551,6 +551,16 @@ object OracleSql {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q17_small_qty" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(FLOOR(l_extendedprice*100.0+0.5) AS BIGINT) AS price_c FROM lineitem),
+        |pp AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_q,
+        |  COUNT(*) AS n_q FROM li GROUP BY 1)
+        |SELECT p_brand, CAST(SUM(price_c) AS DOUBLE)/100.0/7.0 AS avg_yearly
+        |FROM li JOIN pp USING (l_partkey) JOIN part ON p_partkey = l_partkey
+        |WHERE qty * n_q * 5 < sum_q
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q3_join_agg" ->
       s"""SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate,
          |  ${sumE2("l_extendedprice*(1.0-l_discount)")} AS revenue

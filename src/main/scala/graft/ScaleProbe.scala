@@ -277,6 +277,15 @@ object ScaleProbe {
       e.unpersist()
       spark.catalog.clearCache()
     }
+    val pqProbes = Set("embedding_pq", "ann_pq")
+    for (k <- Seq(1, 4, factor) if only.forall(_.exists(pqProbes))) {
+      val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      time("embedding_pq", k, graft.operators.ClusterOps.embeddingPqFrom(e))
+      time("ann_pq", k, graft.operators.ClusterOps.annPqFrom(e))
+      e.unpersist()
+      spark.catalog.clearCache()
+    }
 
     // ---- connector-fed dedup: generated corpora through MinHash-LSH ----
     // The DSv2 source generates rows in-task (no I/O), so this measures

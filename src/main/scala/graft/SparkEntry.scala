@@ -35,6 +35,7 @@ object SparkEntry {
     "q1_agg" -> (CoreOps.q1Agg(_, _)),
     "q3_join_agg" -> (CoreOps.q3JoinAgg(_, _)),
     "q5_multijoin" -> (CoreOps.q5Multijoin(_, _)),
+    "q17_small_qty" -> (CoreOps.q17SmallQty(_, _)),
     "window_rank" -> (CoreOps.windowRank(_, _)),
     "window_running" -> (CoreOps.windowRunning(_, _)),
     "topk" -> (CoreOps.topK(_, _)),

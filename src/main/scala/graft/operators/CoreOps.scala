@@ -74,6 +74,35 @@ object CoreOps {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** #15b q17_small_qty — the CORRELATED SCALAR SUBQUERY pattern (TPC-H
+    * Q17: lineitems below 20% of their own part's average quantity),
+    * DECORRELATED into a pre-aggregated self-join — the rewrite every
+    * engine must do because per-row subquery execution is O(fact²).
+    * The per-part (Σqty, n) aggregate joins back on l_partkey (both
+    * sides key-partitioned on the same column — one exchange each, AQE
+    * picks broadcast when the part dimension allows), and the
+    * `qty < 0.2·avg` predicate becomes the EXACT integer cross-multiply
+    * `5·qty·n < Σqty` — no division, no doubles, so the filtered set is
+    * bit-identical in both engines (quantities are integral; the
+    * oracle mirrors the same cast). Per-brand avg-yearly revenue from
+    * exact cents, two mirrored divisions at the edge. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      Det.e2(col("l_extendedprice")).cast("long").as("price_c"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sum_q"), count(lit(1)).as("n_q"))
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    li.join(perPart, "l_partkey")
+      .filter(col("qty") * col("n_q") * lit(5L) < col("sum_q"))
+      .join(broadcast(parts), "l_partkey")
+      .groupBy("p_brand")
+      .agg((sum(col("price_c")).cast("double") / lit(100.0) / lit(7.0))
+        .as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
   /** #16 window_rank — top-3 orders per customer by price; row_number over
     * a bounded partition key with a unique tiebreak. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {

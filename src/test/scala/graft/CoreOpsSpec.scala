@@ -28,6 +28,30 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(p5.contains("BroadcastHashJoin"), p5.take(1500))
   }
 
+  test("q17_small_qty: revenue recomputes from the raw correlated predicate") {
+    import org.apache.spark.sql.functions._
+    val out = CoreOps.q17SmallQty(s, sf).collect()
+      .map(r => r.getAs[String]("p_brand") -> r.getAs[Double]("avg_yearly")).toMap
+    assert(out.nonEmpty)
+    // brute recompute of the CORRELATED formulation: per part avg, then
+    // per-lineitem strict 0.2·avg filter, exact cents
+    val li = Tables.lineitem(s, sf)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brand = Tables.part(s, sf).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byPart = li.groupBy(_._1)
+    val expect = li.filter { case (p, q, _) =>
+      val g = byPart(p); 5L * q * g.length < g.map(_._2).sum
+    }.groupBy(t => brand(t._1))
+      .map { case (b, rows) => b -> rows.map(_._3).sum.toDouble / 100.0 / 7.0 }
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (b, v) =>
+      assert(math.abs(out(b) - v) < 1e-9, s"brand $b") }
+  }
+
   test("topk plans as TakeOrdered (no global sort materialization)") {
     val p = CoreOps.topK(s, sf).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
