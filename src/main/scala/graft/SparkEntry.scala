@@ -145,6 +145,7 @@ object SparkEntry {
     "embedding_kmeans" -> (ClusterOps.embeddingKmeans(_, _)),
     "embedding_pq" -> (ClusterOps.embeddingPq(_, _)),
     "ann_pq" -> ((s, d) => ClusterOps.annPq(s, d)),
+    "ann_ivf_pq" -> ((s, d) => ClusterOps.annIvfPq(s, d)),
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "quality_model_score" -> (TextOps.qualityModelScore(_, _)),

@@ -283,6 +283,71 @@ object ClusterOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Coarse-quantizer geometry for [[annIvfPq]] — fixed for the oracle. */
+  val CoarseCells = 8
+  val CoarseRounds = 2
+  val PqNprobe = 2
+
+  /** ann_ivf_pq — the COMPOSED production ANN (FAISS IVF-PQ): an exact
+    * coarse k-means quantizer partitions the corpus into cells, each
+    * query probes its `nprobe` nearest cells, and the ADC scan runs
+    * ONLY over the probed cells' members. This is the operator that
+    * discharges ann_pq's |Q|·n scan at scale: scanned fraction ≈
+    * nprobe/cells (here 2/8; production √n cells make it vanish as the
+    * corpus grows, the annIvf sizing rule), and the per-candidate cost
+    * is still M integer lookups. Same argmin/centroid arithmetic as
+    * every kmeans here, so the whole composition — coarse cells, probe
+    * choice, codes, LUT sums, top-k — is bit-exact vs the oracle's
+    * unrolled twin (coarse + M subspace instances in one WITH). */
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    annIvfPqFrom(Tables.embeddings(s, dir), k)
+
+  def annIvfPqFrom(emb: DataFrame, topK: Int = 5, cells: Int = CoarseCells,
+      crounds: Int = CoarseRounds, nprobe: Int = PqNprobe, m: Int = PqM,
+      k: Int = PqK, rounds: Int = PqRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dimsPer = 64 / m
+    val qAll = quantized(emb, normalize = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // coarse quantizer: cells over the FULL normalized vector
+    val coarseCent = kmeansCentroids(qAll, cells, crounds).localCheckpoint()
+    val cellOf = assign(qAll, coarseCent)
+      .select(col("vec_id").as("n_id"), col("cluster").as("cell"))
+    val w0 = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
+    val probed = qAll.filter(SimilarityOps.isQuery(col("vec_id")))
+      .crossJoin(broadcast(coarseCent))
+      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
+        dist2(col("v"), col("c")).as("cd"))
+      .withColumn("pr", row_number().over(w0)).filter(col("pr") <= nprobe)
+      .select("q_id", "cell")
+    // candidate pairs: corpus members of the probed cells — consumed by
+    // all M subspace joins, so cut the coarse lineage once
+    val cand = probed.join(cellOf, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+      .localCheckpoint()
+    val parts = (0 until m).map { i =>
+      val q = qAll.select(col("vec_id"),
+        slice(col("v"), i * dimsPer + 1, dimsPer).as("v"))
+      val cent = kmeansCentroids(q, k, rounds).localCheckpoint()
+      val codes = assign(q, cent)
+        .select(col("vec_id").as("n_id"), col("cluster").as("code"))
+      val lut = q.filter(SimilarityOps.isQuery(col("vec_id")))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id").as("q_id"), col("cluster").as("code"),
+          dist2(col("v"), col("c")).as("d"))
+      cand.join(codes, Seq("n_id"))
+        .join(broadcast(lut), Seq("q_id", "code"))
+        .select("q_id", "n_id", "d")
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+    parts.reduce(_ unionByName _)
+      .groupBy("q_id", "n_id").agg(sum(col("d")).cast("long").as("adist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .orderBy("q_id", "rnk")
+  }
+
   /** Corpus/batch split for [[semanticDedupIncremental]] — shared with
     * the exact and minhash incremental paths (one ingest convention,
     * mirrored verbatim in the oracle). */
