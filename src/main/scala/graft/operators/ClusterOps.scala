@@ -7,8 +7,10 @@ import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.functions.VectorFunctions.{dotE12, normE12}
 
-/** Exact distributed k-means (Lloyd's algorithm) and SemDeDup-style
-  * semantic deduplication on its clusters — SURVEY.md §2 #30f/#28c.
+/** Exact distributed k-means (Lloyd's algorithm) and everything built
+  * on it: SemDeDup semantic dedup (batch / incremental / streaming
+  * kernel), product quantization + the ADC scan, and the composed
+  * IVF-PQ — SURVEY.md §2 #30f–i / #28c–d.
   *
   * Where [[SimilarityOps.annIvf]] uses Spark ML's seeded, iterative
   * kmeans|| as an APPROXIMATE coarse quantizer (rows-only by necessity),
