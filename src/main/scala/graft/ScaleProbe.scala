@@ -277,12 +277,17 @@ object ScaleProbe {
       e.unpersist()
       spark.catalog.clearCache()
     }
-    val pqProbes = Set("embedding_pq", "ann_pq")
+    val pqProbes = Set("embedding_pq", "ann_pq", "ann_ivf_pq")
     for (k <- Seq(1, 4, factor) if only.forall(_.exists(pqProbes))) {
       val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count()
       time("embedding_pq", k, graft.operators.ClusterOps.embeddingPqFrom(e))
       time("ann_pq", k, graft.operators.ClusterOps.annPqFrom(e))
+      // cells follow √corpus (the annIvf sizing rule) so the scanned
+      // fraction nprobe/cells SHRINKS as the corpus grows — the claim
+      // this probe pins against ann_pq's |Q|·n flat scan above
+      val cells = math.max(8, math.round(math.sqrt(e.count().toDouble)).toInt)
+      time("ann_ivf_pq", k, graft.operators.ClusterOps.annIvfPqFrom(e, cells = cells))
       e.unpersist()
       spark.catalog.clearCache()
     }
