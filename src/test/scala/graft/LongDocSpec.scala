@@ -202,4 +202,34 @@ class LongDocSpec extends AnyFunSuite {
       assert(g(4L), "the clean-prose control doc passes")
     }
   }
+
+  test("round-8 text ops survive the long docs") {
+    import graft.operators.{DedupOps, TextOps}
+    timed("doc_embed") {
+      // one hash + one shuffle row per token — O(L) per doc; the 1.2M
+      // distinct-word doc is the worst case for the explode volume
+      val rows = TextOps.docEmbed(s, dir).collect()
+      assert(rows.length == 4)
+      // mass invariant: Σ|f_i| bounded by the token count of doc 1
+      val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+      val massSum = (0 until TextOps.EmbedDims)
+        .map(i => math.abs(r1.getAs[Long](s"f$i"))).sum
+      assert(massSum <= 100000L)
+    }
+    timed("quality_model_score") {
+      // pure per-row projection — must be scan-bound on 10⁷ chars
+      val q = TextOps.qualityModelScore(s, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(q.size == 4)
+    }
+    timed("dedup_containment") {
+      // doc 1 is a 50-word cycle: its distinct shingles ≈ 50 whatever
+      // its length, so posting lists stay bounded; no pair should fire
+      // between the all-distinct monsters
+      val c = DedupOps.dedupContainment(s, dir).collect()
+      assert(c.forall(r =>
+        r.getAs[Double]("containment") >= DedupOps.ContainmentThreshold))
+    }
+    s.catalog.clearCache()
+  }
 }
