@@ -268,12 +268,18 @@ object ScaleProbe {
     // contract fixes k for the unrolled oracle; production raises k with
     // √corpus, which the per-round costs are independent of anyway:
     // assignment is map-side, the update shuffle is k×dims groups).
-    val clusterProbes = Set("embedding_kmeans", "semantic_dedup")
+    val clusterProbes = Set("embedding_kmeans", "semantic_dedup",
+      "semantic_dedup_incremental")
     for (k <- Seq(1, 4, factor) if only.forall(_.exists(clusterProbes))) {
       val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count() // populate the cache so `time` measures the operator
       time("embedding_kmeans", k, graft.operators.ClusterOps.kmeansAssign(e))
       time("semantic_dedup", k, graft.operators.ClusterOps.semanticDedupFrom(e))
+      // corpus = the base replica, batch = everything above it — batch
+      // grows with the clone count, the daily-ingest worst case the
+      // minhash admission probe also uses
+      time("semantic_dedup_incremental", k,
+        graft.operators.ClusterOps.semanticDedupIncrementalFrom(e, maxVec))
       e.unpersist()
       spark.catalog.clearCache()
     }
