@@ -16,6 +16,30 @@ package graft
   */
 object OracleSql {
 
+  /** quality_model_score's CTE body (frozen linear head → `qml` with one
+    * logit_e12 row per doc) — shared with curriculum_stages so the score
+    * has ONE SQL definition. */
+  private lazy val qmsCtes: String = {
+    import graft.operators.TextOps.{QmBiasE12, QmLenCap, QmWAlpha, QmWLen, QmWPunct, QmWStop}
+    s"""qmb AS (SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS words_n,
+       |  GREATEST(CAST(length(text) AS BIGINT), 1) AS chars_n,
+       |  CAST(length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS BIGINT) AS punct_n,
+       |  ${stopHits("en")} AS stop_n,
+       |  CAST(len(list_filter(string_split(text,' '), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_n
+       |FROM documents),
+       |qmf AS (SELECT doc_id,
+       |  CAST(FLOOR(CAST(stop_n*1000000 AS DOUBLE)/words_n) AS BIGINT) AS stop_e6,
+       |  CAST(FLOOR(CAST(punct_n*1000000 AS DOUBLE)/chars_n) AS BIGINT) AS punct_e6,
+       |  CAST(FLOOR(CAST(alpha_n*1000000 AS DOUBLE)/words_n) AS BIGINT) AS alpha_e6,
+       |  LEAST(words_n, $QmLenCap)*2000 AS len_e6
+       |FROM qmb),
+       |qml AS (SELECT doc_id, stop_e6, punct_e6, alpha_e6, len_e6,
+       |  CAST($QmBiasE12 + stop_e6*$QmWStop + punct_e6*$QmWPunct
+       |    + alpha_e6*$QmWAlpha + len_e6*$QmWLen AS BIGINT) AS logit_e12
+       |FROM qmf)""".stripMargin
+  }
+
   /** Shared canonicalization expression (dedup_normalized + curation_report). */
   private val normTextSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -1337,27 +1361,24 @@ object OracleSql {
          |FROM bt LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
     },
 
-    "quality_model_score" -> {
-      import graft.operators.TextOps.{QmBiasE12, QmLenCap, QmWAlpha, QmWLen, QmWPunct, QmWStop}
-      s"""WITH b AS (SELECT doc_id,
-         |  CAST(len(string_split(text,' ')) AS BIGINT) AS words_n,
-         |  GREATEST(CAST(length(text) AS BIGINT), 1) AS chars_n,
-         |  CAST(length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS BIGINT) AS punct_n,
-         |  ${stopHits("en")} AS stop_n,
-         |  CAST(len(list_filter(string_split(text,' '), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_n
-         |FROM documents),
-         |f AS (SELECT doc_id,
-         |  CAST(FLOOR(CAST(stop_n*1000000 AS DOUBLE)/words_n) AS BIGINT) AS stop_e6,
-         |  CAST(FLOOR(CAST(punct_n*1000000 AS DOUBLE)/chars_n) AS BIGINT) AS punct_e6,
-         |  CAST(FLOOR(CAST(alpha_n*1000000 AS DOUBLE)/words_n) AS BIGINT) AS alpha_e6,
-         |  LEAST(words_n, $QmLenCap)*2000 AS len_e6
-         |FROM b),
-         |l AS (SELECT doc_id, stop_e6, punct_e6, alpha_e6, len_e6,
-         |  CAST($QmBiasE12 + stop_e6*$QmWStop + punct_e6*$QmWPunct
-         |    + alpha_e6*$QmWAlpha + len_e6*$QmWLen AS BIGINT) AS logit_e12
-         |FROM f)
-         |SELECT *, logit_e12 > 0 AS keep FROM l ORDER BY doc_id""".stripMargin
-    },
+    "quality_model_score" ->
+      s"""WITH $qmsCtes
+         |SELECT *, logit_e12 > 0 AS keep FROM qml ORDER BY doc_id""".stripMargin,
+
+    "curriculum_stages" ->
+      s"""WITH $qmsCtes,
+         |qt AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS toks FROM documents),
+         |qd AS (SELECT qml.doc_id, qml.logit_e12, qt.toks FROM qml JOIN qt USING (doc_id)),
+         |qb AS (SELECT quantile_cont(logit_e12, [0.25,0.5,0.75]) AS bs FROM qd),
+         |qa AS (SELECT qd.*, CAST(1 + len(list_filter(bs, x -> x < CAST(logit_e12 AS DOUBLE))) AS BIGINT) AS stage
+         |  FROM qd CROSS JOIN qb),
+         |qg AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  MIN(logit_e12) AS min_logit_e12, MAX(logit_e12) AS max_logit_e12
+         |FROM qa GROUP BY stage)
+         |SELECT stage, n_docs, n_tokens, min_logit_e12, max_logit_e12,
+         |  CAST(n_tokens AS DOUBLE)/SUM(n_tokens) OVER () AS token_share
+         |FROM qg ORDER BY stage""".stripMargin,
 
     "dq_checks" ->
       """WITH cu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -149,6 +149,7 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "quality_model_score" -> (TextOps.qualityModelScore(_, _)),
+    "curriculum_stages" -> (CurationOps.curriculumStages(_, _)),
     "doc_embed" -> (TextOps.docEmbed(_, _)),
     "doc_neighbors" -> ((s, d) => TextOps.docNeighbors(s, d)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),

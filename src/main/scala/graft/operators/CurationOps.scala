@@ -415,4 +415,40 @@ object CurationOps {
           .as("n_splits"))
       .orderBy("doc_id")
   }
+
+  /** curriculum_stages — quality-curriculum staging, the training-order
+    * step AFTER classifier filtering (data annealing: train on broad
+    * data first, finish on the highest-quality band — the OLMo/MiniCPM
+    * style recipe): the corpus splits into 4 quality quartiles by the
+    * FROZEN quality head's logit ([[graft.operators.TextOps
+    * .qualityModelScore]] is the single source of the score — no second
+    * gate definition), and each stage reports its doc/token budget +
+    * logit band, which is exactly what a training scheduler consumes.
+    * Plan: the quartile boundaries come from ONE percentile aggregate
+    * over the COLLAPSED distinct-logit frame (the quantile_buckets
+    * pattern — no fact-wide sort), broadcast back for assignment; the
+    * token-share ratio divides exact long sums over the 4-row collapsed
+    * frame. Stage 1 = lowest-quality quartile. */
+  def curriculumStages(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.TextOps.qualityModelScore(s, dir)
+      .select(col("doc_id"), col("logit_e12"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+    val d = scored.join(toks, "doc_id")
+    val bounds = d.groupBy("logit_e12").agg(count(lit(1)).as("cnt"))
+      .agg(percentile(col("logit_e12"), typedLit(Seq(0.25, 0.5, 0.75)),
+        col("cnt")).as("bs"))
+    val staged = d.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("logit_e12"), col("toks"),
+        aggregate(col("bs"), lit(1),
+          (acc, b) => acc + when(col("logit_e12").cast("double") > b, 1)
+            .otherwise(0)).cast("long").as("stage"))
+    staged.groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("logit_e12")).as("min_logit_e12"),
+        max(col("logit_e12")).as("max_logit_e12"))
+      .withColumn("token_share", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(Window.partitionBy()))
+      .orderBy("stage")
+  }
 }

@@ -57,6 +57,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum_stages: quartile bands recompute from the quality head; budgets conserve") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CurationOps
+    val stages = CurationOps.curriculumStages(s, TestSpark.sf).collect()
+    assert(stages.map(_.getAs[Long]("stage")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // logit bands are disjoint and rising — the curriculum order
+    stages.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_logit_e12") <= b.getAs[Long]("min_logit_e12"),
+        s"stage bands overlap: ${a.getAs[Long]("stage")} vs ${b.getAs[Long]("stage")}")
+    }
+    // conservation: stages partition the corpus and its tokens exactly
+    val docs = Tables.documents(s, TestSpark.sf)
+      .select(size(split(col("text"), " ")).cast("long").as("t")).collect()
+    assert(stages.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(stages.map(_.getAs[Long]("n_tokens")).sum == docs.map(_.getLong(0)).sum)
+    // quartiles balance within the tie slack of integer logits
+    val n = docs.length
+    stages.foreach { r =>
+      val d = r.getAs[Long]("n_docs")
+      assert(d > n / 8 && d < n / 2, s"degenerate stage size $d of $n")
+    }
+    val shares = stages.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-12)
+    s.catalog.clearCache()
+  }
+
   test("stratified_sample: deterministic, nested across rates, near target rates") {
     val a = CurationOps.stratifiedSample(s, sf).collect().map(_.getAs[Long]("doc_id")).toSet
     val b = CurationOps.stratifiedSample(s, sf).collect().map(_.getAs[Long]("doc_id")).toSet
