@@ -1213,6 +1213,27 @@ object OracleSql {
          |FROM documents d LEFT JOIN lab USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    "semantic_clusters" ->
+      // dedup_embedding's exact cosine pairs, then the same recursive
+      // reachability closure as dedup_clusters (min label = what
+      // pointer-jumping CC converges to)
+      s"""WITH RECURSIVE
+         |n AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         |  ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSim(dotE12("a.embedding", "b.embedding"), "a.nrm", "b.nrm")} >= 0.35),
+         |e AS (SELECT id_a AS a, id_b AS b FROM j
+         |      UNION ALL SELECT id_b, id_a FROM j),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.id),
+         |lab AS (SELECT id AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT n.vec_id, COALESCE(lab.cluster_id, n.vec_id) AS cluster_id
+         |FROM n LEFT JOIN lab USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

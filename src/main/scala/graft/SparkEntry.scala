@@ -148,6 +148,7 @@ object SparkEntry {
     "ann_ivf_pq" -> ((s, d) => ClusterOps.annIvfPq(s, d)),
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
+    "semantic_clusters" -> (DedupOps.semanticClusters(_, _)),
     "quality_model_score" -> (TextOps.qualityModelScore(_, _)),
     "curriculum_stages" -> (CurationOps.curriculumStages(_, _)),
     "doc_embed" -> (TextOps.docEmbed(_, _)),

@@ -556,6 +556,27 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** semantic_clusters — connected components over the EMBEDDING
+    * near-dup graph (cos ≥ 0.35 pairs from [[dedupEmbedding]]'s exact
+    * baseline): one canonical cluster id per vector, the semantic twin
+    * of [[dedupClusters]] and the grouping SemDeDup-style curation
+    * reads when it wants whole duplicate FAMILIES rather than pairwise
+    * keep verdicts (transitive closure: A≈B≈C clusters together even
+    * when cos(A,C) dips below τ). Same pointer-jumping CC core, same
+    * recursive-closure oracle pattern; at scale the pair source swaps
+    * to the bucketed `dedupEmbeddingLsh` with the CC stage unchanged. */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupEmbedding(s, dir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+    pairs.unpersist()
+    Tables.embeddings(s, dir).select(col("vec_id").cast("long").as("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic exact cosine from scaled-int dot/norms (see DotE12). */
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))

@@ -250,6 +250,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic_clusters: labels close over the embedding near-dup graph") {
+    val out = DedupOps.semanticClusters(s, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    s.catalog.clearCache()
+    val pairs = DedupOps.dedupEmbedding(s, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    s.catalog.clearCache()
+    assert(out.nonEmpty && pairs.nonEmpty)
+    // every near-dup pair co-clusters; every label is a component member;
+    // isolated vectors label themselves
+    pairs.foreach { case (a, b) =>
+      assert(out(a) == out(b), s"pair ($a,$b) split across clusters") }
+    val adjacent = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.foreach { case (id, c) =>
+      if (!adjacent(id)) assert(c == id, s"isolated $id mislabeled $c")
+      else assert(out(c) == c, s"label $c of $id is not a cluster root")
+    }
+  }
+
   test("ann LSH: results are a subset-quality approximation of brute force") {
     val brute = SimilarityOps.annCosineTopK(s, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos_sim")))
