@@ -2340,6 +2340,13 @@ object OracleSql {
          |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin
     },
 
+    "key_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows FROM c)
+        |SELECT key, n, CAST(n AS DOUBLE)/n_rows AS share,
+        |  CAST(n AS DOUBLE)*n_keys/n_rows AS skew_x
+        |FROM c CROSS JOIN st ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
     "snapshot_diff" ->
       """WITH a AS (SELECT c_custkey AS k, c_acctbal AS bal_a, c_mktsegment AS seg_a,
         |  TRUE AS in_a FROM customer),

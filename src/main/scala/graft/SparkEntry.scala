@@ -97,6 +97,7 @@ object SparkEntry {
     "spatial_join" -> (GeoOps.spatialJoin(_, _)),
     "ab_test" -> (FeatureOps.abTest(_, _)),
     "snapshot_diff" -> (QualityOps.snapshotDiff(_, _)),
+    "key_skew_report" -> ((s, d) => QualityOps.keySkewReport(s, d)),
     "embedding_norm_stats" -> (SimilarityOps.embeddingNormStats(_, _)),
     // LLM-training-data (#24–35)
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),

@@ -100,4 +100,26 @@ object QualityOps {
           col("bal_a") =!= col("bal_b"), 1L).otherwise(0L)).as("n_bal_changed"))
       .orderBy("status")
   }
+
+  /** key_skew_report — the pre-join skew diagnostic: top-k heaviest
+    * values of a join/partition key with each one's row share and its
+    * skew multiple vs a perfectly uniform key (n·|keys|/rows — the
+    * factor by which that key's reduce task outweighs the average).
+    * This is the measurement you run BEFORE reaching for
+    * `skew_join_salted` or AQE skew hints, and the panel a 100 TB
+    * pipeline lands per ingest so a drifting hot key pages someone
+    * before it wedges a stage. Plan: one partial-agg shuffle on the
+    * key, global totals as a broadcast single-row aggregate, top-k as
+    * TakeOrderedAndProject — output bounded at k rows whatever the
+    * fact size. All-integer inputs → deterministic ratio doubles. */
+  def keySkewReport(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val counts = Tables.eventsUs(s, dir)
+      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key"), col("n"),
+        (col("n").cast("double") / col("n_rows")).as("share"),
+        (col("n").cast("double") * col("n_keys") / col("n_rows")).as("skew_x"))
+      .orderBy(col("n").desc, col("key")).limit(k)
+  }
 }

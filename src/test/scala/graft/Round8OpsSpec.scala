@@ -409,6 +409,26 @@ class Round8OpsSpec extends AnyFunSuite {
     s.catalog.clearCache()
   }
 
+  test("key_skew_report: ratios recompute from raw key counts; top-k is bounded") {
+    import graft.operators.QualityOps
+    val out = QualityOps.keySkewReport(s, sf).collect()
+    assert(out.length <= 10 && out.nonEmpty)
+    val counts = Tables.eventsUs(s, sf).groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    val nKeys = counts.size.toLong
+    val nRows = counts.values.sum
+    // descending by count with key tiebreak; each ratio exact
+    val expectTop = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    out.zip(expectTop).foreach { case (r, (k, n)) =>
+      assert(r.getAs[Long]("key") == k && r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("share") - n.toDouble / nRows) < 1e-15)
+      assert(math.abs(r.getAs[Double]("skew_x") - n.toDouble * nKeys / nRows) < 1e-12)
+    }
+    // the HEAVIEST key is necessarily at or above the uniform average
+    assert(out.head.getAs[Double]("skew_x") >= 1.0 - 1e-9)
+    s.catalog.clearCache()
+  }
+
   test("doc_embed: components recompute per token; sign parity and mass invariants hold") {
     import graft.operators.TextOps
     val out = TextOps.docEmbed(s, sf).collect()
