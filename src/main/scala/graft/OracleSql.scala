@@ -1213,16 +1213,23 @@ object OracleSql {
          |FROM documents d LEFT JOIN lab USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    "semantic_clusters" ->
-      // dedup_embedding's exact cosine pairs, then the same recursive
-      // reachability closure as dedup_clusters (min label = what
-      // pointer-jumping CC converges to)
+    "semantic_clusters" -> {
+      // dedup_embedding_lsh's bucketed candidate pairs (seeded planes
+      // inlined as literals — same twin as that key's oracle), then the
+      // same recursive reachability closure as dedup_clusters (min
+      // label = what pointer-jumping CC converges to)
+      val masks = graft.operators.SimilarityOps.probeMasks(2)
+        .mkString("[", ",", "]")
       s"""WITH RECURSIVE
          |n AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
          |  ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
-         |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |  WHERE ${cosSim(dotE12("a.embedding", "b.embedding"), "a.nrm", "b.nrm")} >= 0.35),
+         |bkt AS (SELECT vec_id, ${lshBucketSql("embedding")} AS bucket FROM n),
+         |pr AS (SELECT vec_id, unnest(list_transform($masks, m -> xor(bucket, m))) AS bucket FROM bkt),
+         |cnd AS (SELECT DISTINCT a.vec_id AS id_a, pr.vec_id AS id_b
+         |  FROM bkt a JOIN pr ON a.bucket = pr.bucket AND a.vec_id < pr.vec_id),
+         |j AS (SELECT id_a, id_b FROM cnd
+         |  JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id
+         |  WHERE ${cosSim(dotE12("na.embedding", "nb.embedding"), "na.nrm", "nb.nrm")} >= 0.35),
          |e AS (SELECT id_a AS a, id_b AS b FROM j
          |      UNION ALL SELECT id_b, id_a FROM j),
          |reach(id, label) AS (
@@ -1232,7 +1239,8 @@ object OracleSql {
          |lab AS (SELECT id AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
          |SELECT n.vec_id, COALESCE(lab.cluster_id, n.vec_id) AS cluster_id
          |FROM n LEFT JOIN lab USING (vec_id)
-         |ORDER BY vec_id""".stripMargin,
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "dedup_embedding" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),

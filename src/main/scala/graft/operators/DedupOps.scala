@@ -557,21 +557,48 @@ object DedupOps {
   }
 
   /** semantic_clusters — connected components over the EMBEDDING
-    * near-dup graph (cos ≥ 0.35 pairs from [[dedupEmbedding]]'s exact
-    * baseline): one canonical cluster id per vector, the semantic twin
-    * of [[dedupClusters]] and the grouping SemDeDup-style curation
+    * near-dup graph: one canonical cluster id per vector, the semantic
+    * twin of [[dedupClusters]] and the grouping SemDeDup-style curation
     * reads when it wants whole duplicate FAMILIES rather than pairwise
     * keep verdicts (transitive closure: A≈B≈C clusters together even
-    * when cos(A,C) dips below τ). Same pointer-jumping CC core, same
-    * recursive-closure oracle pattern; at scale the pair source swaps
-    * to the bucketed `dedupEmbeddingLsh` with the CC stage unchanged. */
-  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupEmbedding(s, dir)
+    * when cos(A,C) dips below τ).
+    *
+    * Pair source: the BUCKETED [[embeddingLshPairs]] (multi-probe
+    * hyperplane LSH prefilter, exact cosine only on bucket-collision
+    * candidates) — pair volume is bucket-density-bounded, never the
+    * all-pairs cross join, so the keyed query survives 100× data. The
+    * oracle mirrors the same LSH twin (seeded planes as DuckDB literals)
+    * feeding the recursive min-label closure, so the key stays
+    * hash-exact. [[semanticClustersBrute]] is the spec-only cartesian
+    * baseline: in the dedup operating regime (planted cos≈0.999 twins,
+    * τ=0.9) RecallSpec/DedupSpec prove the two compositions produce
+    * IDENTICAL clusters; at the organic τ=0.35 similarity-search regime
+    * LSH recall is sub-1 by design and the spec instead pins that every
+    * LSH edge co-clusters. */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame =
+    semanticClustersFrom(Tables.embeddings(s, dir))
+
+  /** Frame-parameterized semantic clustering on the bucketed pair source
+    * (the production composition: LSH pairs → pointer-jumping CC). */
+  def semanticClustersFrom(embs: DataFrame, threshold: Double = 0.35,
+      probeBits: Int = 2): DataFrame =
+    clustersFromPairs(embs,
+      embeddingLshPairs(embs, threshold, probeBits))
+
+  /** Spec-only brute baseline: same CC stage over the exact all-pairs
+    * cosine graph. Quadratic — never keyed; exists so specs can assert
+    * cluster-equality with [[semanticClustersFrom]] in the planted
+    * near-dup regime. */
+  def semanticClustersBrute(embs: DataFrame, threshold: Double = 0.35): DataFrame =
+    clustersFromPairs(embs, embeddingBrutePairs(embs, threshold))
+
+  private def clustersFromPairs(embs: DataFrame, pairSrc: DataFrame): DataFrame = {
+    val pairs = pairSrc
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val labels = connectedComponents(pairs).withColumnRenamed("id", "vec_id")
     pairs.unpersist()
-    Tables.embeddings(s, dir).select(col("vec_id").cast("long").as("vec_id"))
+    embs.select(col("vec_id").cast("long").as("vec_id"))
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
       .orderBy("vec_id")
@@ -585,8 +612,14 @@ object DedupOps {
     * threshold. Brute all-pairs here (correctness baseline, native codegen
     * dot product); [[dedupEmbeddingLsh]] is the bucketed 100 TB path, and
     * a spec asserts it reproduces this output at the operating threshold. */
-  def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame =
+    embeddingBrutePairs(Tables.embeddings(s, dir), threshold)
+
+  /** Exact all-pairs cosine pairs on any embeddings-shaped frame —
+    * the quadratic correctness baseline behind #28 and the spec-only
+    * [[semanticClustersBrute]]. */
+  def embeddingBrutePairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val e = embs
       .select(col("vec_id"), col("embedding"), normE12(col("embedding")).as("nrm"))
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

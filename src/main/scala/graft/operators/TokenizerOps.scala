@@ -73,10 +73,11 @@ object TokenizerOps {
     merges.toSeq
   }
 
-  /** bpe_merges (rows-only — the training loop's argmax-per-round has no
-    * ANSI fixed point): the learned merge table over the documents
-    * corpus. Spec-pinned to an independent in-memory BPE on the Sennrich
-    * corpus and to hand-checked invariants on sf data. */
+  /** bpe_merges — the learned merge table over the documents corpus.
+    * Fully oracle-checked: the DuckDB twin unrolls the training loop as
+    * NumMerges chained argmax CTEs (OracleSql `bpeCtes`). Also
+    * spec-pinned to an independent in-memory BPE on the Sennrich corpus
+    * and to hand-checked invariants on sf data. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     bpeTrain(Tables.documents(s, dir), NumMerges)
@@ -85,7 +86,8 @@ object TokenizerOps {
       .orderBy("rank")
   }
 
-  /** bpe_tokens (rows-only) — tokenize every document under the learned
+  /** bpe_tokens (oracle-checked via the same unrolled-training twin) —
+    * tokenize every document under the learned
     * merges: per doc, whitespace word count, BPE token count, and the
     * chars-per-token compression ratio the packing/budgeting operators
     * consume. Encode cost is one native fold per DISTINCT word (the

@@ -250,16 +250,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("semantic_clusters: labels close over the embedding near-dup graph") {
+  test("semantic_clusters: labels close over the bucketed embedding near-dup graph") {
     val out = DedupOps.semanticClusters(s, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
     s.catalog.clearCache()
-    val pairs = DedupOps.dedupEmbedding(s, sf).collect()
+    // the key's OWN edge source (bucketed LSH pairs) must co-cluster —
+    // at the organic τ=0.35 search regime LSH recall vs brute is sub-1
+    // by design, so brute pairs are NOT the contract here (the planted
+    // regime test below pins brute equality where dedup actually runs)
+    val pairs = DedupOps.dedupEmbeddingLsh(s, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     s.catalog.clearCache()
     assert(out.nonEmpty && pairs.nonEmpty)
-    // every near-dup pair co-clusters; every label is a component member;
-    // isolated vectors label themselves
     pairs.foreach { case (a, b) =>
       assert(out(a) == out(b), s"pair ($a,$b) split across clusters") }
     val adjacent = pairs.flatMap(p => Seq(p._1, p._2)).toSet
@@ -267,6 +269,35 @@ class DedupSpec extends AnyFunSuite {
       if (!adjacent(id)) assert(c == id, s"isolated $id mislabeled $c")
       else assert(out(c) == c, s"label $c of $id is not a cluster root")
     }
+  }
+
+  test("semantic_clusters: bucketed == brute clusters in the planted near-dup regime") {
+    // the dedup operating regime: jittered cos≈0.999 twins planted on an
+    // organic corpus (RecallSpec's construction), τ=0.9 — here the LSH
+    // prefilter reproduces the exact pair set, so the keyed composition
+    // and the quadratic baseline must agree cluster-for-cluster
+    val base = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    val dups = base.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * (lit(1.0f) + lit(0.02f) * sin(i.cast("double")).cast("float")))
+            .cast("float")).as("embedding"))
+    val corpus = base.unionByName(dups)
+    val lsh = DedupOps.semanticClustersFrom(corpus, threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    s.catalog.clearCache()
+    val brute = DedupOps.semanticClustersBrute(corpus, threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    s.catalog.clearCache()
+    assert(lsh.nonEmpty && lsh.size == brute.size)
+    // non-trivial: the planted twins must actually cluster with their source
+    // sf0.001 embeddings = 500 vectors → ~13 planted twins at %40
+    assert(lsh.count { case (id, c) => id != c } >= 10,
+      "expected ≥10 planted twins clustered to their originals")
+    assert(lsh == brute, {
+      val diff = lsh.collect { case (id, c) if brute(id) != c => (id, c, brute(id)) }.take(5)
+      s"bucketed vs brute cluster mismatch (id, lsh, brute): $diff"
+    })
   }
 
   test("ann LSH: results are a subset-quality approximation of brute force") {
