@@ -446,6 +446,44 @@ object OracleSql {
     sb.toString
   }
 
+  /** The unrolled IVF-PQ twin (coarse + M subspace kmeans instances in
+    * one WITH) — shared verbatim by `ann_ivf_pq` (in-query training) and
+    * `ann_index_probe` (the landed-index read path): the two Spark
+    * compositions are bit-identical by construction, so one oracle
+    * covers both. */
+  private def annIvfPqSql: String = {
+      import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM, PqNprobe, PqRounds}
+      val qm = graft.operators.SimilarityOps.QueryModulus
+      val dimsPer = 64 / PqM
+      val coarse = kmeansCtes(CoarseCells, CoarseRounds, "TRUE", 1, 64, "cv",
+        normalized = true)
+      val subCtes = (0 until PqM).map(i =>
+        kmeansCtes(PqK, PqRounds, "TRUE", i * dimsPer + 1, dimsPer, s"q$i",
+          normalized = true)).mkString(",\n")
+      val luts = (0 until PqM).map(i =>
+        s"""lut$i AS (SELECT e.vec_id AS q_id, pc.cluster AS code, ${kmDist("e.v", "pc.c", dimsPer)} AS d
+           |  FROM q${i}e e CROSS JOIN q${i}c$PqRounds pc
+           |  WHERE e.vec_id % $qm = 0)""".stripMargin).mkString(",\n")
+      val scores = (0 until PqM).map(i =>
+        s"SELECT c.q_id, c.n_id, l.d FROM cand c JOIN q${i}af a ON a.vec_id = c.n_id " +
+          s"JOIN lut$i l ON l.q_id = c.q_id AND l.code = a.cluster")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $coarse,
+         |$subCtes,
+         |pc AS (SELECT e.vec_id AS q_id, p.cluster AS cell, ${kmDist("e.v", "p.c")} AS cd
+         |  FROM cve e CROSS JOIN cvc$CoarseRounds p WHERE e.vec_id % $qm = 0),
+         |probed AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY cd, cell) AS rn FROM pc) WHERE rn <= $PqNprobe),
+         |cand AS (SELECT p.q_id, a.vec_id AS n_id FROM probed p
+         |  JOIN cvaf a ON a.cluster = p.cell AND a.vec_id <> p.q_id),
+         |$luts,
+         |pp AS ($scores),
+         |sc AS (SELECT q_id, n_id, CAST(SUM(d) AS BIGINT) AS adist FROM pp GROUP BY 1, 2),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, n_id, adist, rnk FROM rk WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+  }
+
   private def stopList(lang: String): String =
     graft.operators.TextOps.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -1330,37 +1368,31 @@ object OracleSql {
          |ORDER BY q_id, rnk""".stripMargin
     },
 
-    "ann_ivf_pq" -> {
-      import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM, PqNprobe, PqRounds}
-      val qm = graft.operators.SimilarityOps.QueryModulus
+    "ann_ivf_pq" -> annIvfPqSql,
+
+    "ann_index_probe" -> annIvfPqSql,
+
+    "ann_index_admit" -> {
+      // the frozen-quantizer ingest twin: every kmeans instance trains
+      // on the corpus slice (vec_id < SemSplit) — exactly what
+      // buildAnnIndex landed — and `af` assigns EVERYONE, so the batch
+      // rows' cells/codes are assignment-against-frozen-artifacts
+      import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM, PqRounds, SemSplit}
       val dimsPer = 64 / PqM
-      val coarse = kmeansCtes(CoarseCells, CoarseRounds, "TRUE", 1, 64, "cv",
-        normalized = true)
+      val coarse = kmeansCtes(CoarseCells, CoarseRounds, s"vec_id < $SemSplit",
+        1, 64, "cv", normalized = true)
       val subCtes = (0 until PqM).map(i =>
-        kmeansCtes(PqK, PqRounds, "TRUE", i * dimsPer + 1, dimsPer, s"q$i",
-          normalized = true)).mkString(",\n")
-      val luts = (0 until PqM).map(i =>
-        s"""lut$i AS (SELECT e.vec_id AS q_id, pc.cluster AS code, ${kmDist("e.v", "pc.c", dimsPer)} AS d
-           |  FROM q${i}e e CROSS JOIN q${i}c$PqRounds pc
-           |  WHERE e.vec_id % $qm = 0)""".stripMargin).mkString(",\n")
-      val scores = (0 until PqM).map(i =>
-        s"SELECT c.q_id, c.n_id, l.d FROM cand c JOIN q${i}af a ON a.vec_id = c.n_id " +
-          s"JOIN lut$i l ON l.q_id = c.q_id AND l.code = a.cluster")
-        .mkString("\nUNION ALL\n")
+        kmeansCtes(PqK, PqRounds, s"vec_id < $SemSplit", i * dimsPer + 1,
+          dimsPer, s"q$i", normalized = true)).mkString(",\n")
+      val joins = (0 until PqM)
+        .map(i => s"JOIN q${i}af q$i ON cv.vec_id = q$i.vec_id").mkString(" ")
+      val cols = (0 until PqM).map(i => s"q$i.cluster AS c$i").mkString(", ")
+      val err = (0 until PqM).map(i => s"q$i.d").mkString(" + ")
       s"""WITH $coarse,
-         |$subCtes,
-         |pc AS (SELECT e.vec_id AS q_id, p.cluster AS cell, ${kmDist("e.v", "p.c")} AS cd
-         |  FROM cve e CROSS JOIN cvc$CoarseRounds p WHERE e.vec_id % $qm = 0),
-         |probed AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER
-         |  (PARTITION BY q_id ORDER BY cd, cell) AS rn FROM pc) WHERE rn <= $PqNprobe),
-         |cand AS (SELECT p.q_id, a.vec_id AS n_id FROM probed p
-         |  JOIN cvaf a ON a.cluster = p.cell AND a.vec_id <> p.q_id),
-         |$luts,
-         |pp AS ($scores),
-         |sc AS (SELECT q_id, n_id, CAST(SUM(d) AS BIGINT) AS adist FROM pp GROUP BY 1, 2),
-         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rnk FROM sc)
-         |SELECT q_id, n_id, adist, rnk FROM rk WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin
+         |$subCtes
+         |SELECT cv.vec_id, cv.cluster AS cell, $cols, CAST($err AS BIGINT) AS err
+         |FROM cvaf cv $joins WHERE cv.vec_id >= $SemSplit
+         |ORDER BY cv.vec_id""".stripMargin
     },
 
     "semantic_dedup_incremental" -> {

@@ -147,6 +147,8 @@ object SparkEntry {
     "embedding_pq" -> (ClusterOps.embeddingPq(_, _)),
     "ann_pq" -> ((s, d) => ClusterOps.annPq(s, d)),
     "ann_ivf_pq" -> ((s, d) => ClusterOps.annIvfPq(s, d)),
+    "ann_index_probe" -> (AnnIndexOps.annIndexProbe(_, _)),
+    "ann_index_admit" -> (AnnIndexOps.annIndexAdmit(_, _)),
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "semantic_clusters" -> (DedupOps.semanticClusters(_, _)),

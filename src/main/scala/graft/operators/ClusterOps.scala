@@ -46,7 +46,7 @@ object ClusterOps {
     * the cosine-metric convention for PQ — on unit vectors L2² is
     * monotone in cosine (2−2cos), so ADC ranks by similarity instead
     * of being distorted by raw norms. */
-  private def quantized(emb: DataFrame, lo: Int = 1, len: Int = 64,
+  private[operators] def quantized(emb: DataFrame, lo: Int = 1, len: Int = 64,
       normalize: Boolean = false): DataFrame =
     if (!normalize)
       emb.select(col("vec_id").cast("long").as("vec_id"),
@@ -65,7 +65,7 @@ object ClusterOps {
     }
 
   /** Exact integer squared L2 distance between two e6 long arrays. */
-  private def dist2(a: Column, b: Column): Column =
+  private[operators] def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
 
@@ -74,7 +74,7 @@ object ClusterOps {
     * map-side, keep min(struct(dist, cluster)) — the struct min IS the
     * total-order argmin (distance, then lowest cluster id), so ties are
     * deterministic in both engines. */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
+  private[operators] def assign(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"),
         struct(dist2(col("v"), col("c")).as("d"), col("cluster")).as("dc"))

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndexOps, ClusterOps}
+
+/** The landed IVF-PQ index: build artifacts, probe parity with the
+  * in-query-training composition, and replay-idempotent admission. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_annidx_spec_$tag").toString
+
+  test("buildAnnIndex lands coarse/codebooks/codes with the expected shapes") {
+    val dir = freshDir("shape")
+    val corpus = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    AnnIndexOps.buildAnnIndex(corpus, dir)
+    s.catalog.clearCache()
+    val coarse = s.read.parquet(s"$dir/coarse")
+    val books = s.read.parquet(s"$dir/codebooks")
+    val codes = s.read.parquet(s"$dir/codes")
+    assert(coarse.count() == ClusterOps.CoarseCells)
+    assert(books.count() == ClusterOps.PqM * ClusterOps.PqK)
+    assert(books.select("subspace").distinct().count() == ClusterOps.PqM)
+    assert(codes.count() == corpus.count())
+    assert(codes.select("vec_id").distinct().count() == corpus.count())
+    // partitioned by cell: every cell value is one of the coarse ids
+    val cells = codes.select(col("cell").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val coarseIds = coarse.select("cluster").collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(coarseIds) && cells.size <= ClusterOps.CoarseCells)
+    s.catalog.clearCache()
+  }
+
+  test("ann_index_probe is bit-identical to ann_ivf_pq (landed == in-query training)") {
+    val probe = AnnIndexOps.annIndexProbe(s, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("adist"), r.getAs[Long]("rnk"))).toSeq
+    s.catalog.clearCache()
+    val composed = ClusterOps.annIvfPq(s, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("adist"), r.getAs[Long]("rnk"))).toSeq
+    s.catalog.clearCache()
+    assert(probe.nonEmpty)
+    assert(probe == composed,
+      s"landed-index probe diverged from the composed key: " +
+        s"${probe.diff(composed).take(3)} vs ${composed.diff(probe).take(3)}")
+  }
+
+  test("admitToIndex appends new vectors once; replay appends nothing") {
+    val dir = freshDir("admit")
+    val split = ClusterOps.SemSplit
+    val emb = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") < split)
+    val batch = emb.filter(col("vec_id") >= split)
+    AnnIndexOps.buildAnnIndex(corpus, dir)
+    s.catalog.clearCache()
+    val nCorpus = corpus.count()
+    val nBatch = batch.count()
+    assert(nBatch > 0, "no batch rows above the split — testdata drift")
+    val admitted = AnnIndexOps.admitToIndex(s, dir, batch)
+    s.catalog.clearCache()
+    assert(admitted == nBatch, s"expected $nBatch admitted, got $admitted")
+    assert(s.read.parquet(s"$dir/codes").count() == nCorpus + nBatch)
+    // at-least-once replay: same batch again → zero new rows, index unchanged
+    val replayed = AnnIndexOps.admitToIndex(s, dir, batch)
+    s.catalog.clearCache()
+    assert(replayed == 0, s"replay admitted $replayed rows — not idempotent")
+    assert(s.read.parquet(s"$dir/codes").count() == nCorpus + nBatch)
+    // partial-failure replay: a half batch after the full one adds nothing
+    val half = AnnIndexOps.admitToIndex(s, dir,
+      batch.filter(col("vec_id") % 2 === 0))
+    s.catalog.clearCache()
+    assert(half == 0)
+  }
+
+  test("admitted codes match the keyed frozen-assignment query row-for-row") {
+    val dir = freshDir("assign")
+    val split = ClusterOps.SemSplit
+    val emb = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    AnnIndexOps.buildAnnIndex(emb.filter(col("vec_id") < split), dir)
+    s.catalog.clearCache()
+    val assigned = AnnIndexOps
+      .assignToIndex(s, dir, emb.filter(col("vec_id") >= split))
+    // admission never mutates cells/codes between calls: assignment is a
+    // pure function of the frozen artifacts
+    val again = AnnIndexOps
+      .assignToIndex(s, dir, emb.filter(col("vec_id") >= split))
+    assert(assigned.collect().toSeq == again.collect().toSeq)
+    s.catalog.clearCache()
+    // every admitted vector got a real cell and M codes in range
+    val bad = assigned.filter(col("cell").isNull ||
+      (0 until ClusterOps.PqM).map(i =>
+        col(s"c$i") < 0 || col(s"c$i") >= 1000000L).reduce(_ || _))
+    assert(bad.count() == 0)
+    s.catalog.clearCache()
+  }
+}
