@@ -1372,6 +1372,29 @@ object OracleSql {
 
     "ann_index_probe" -> annIvfPqSql,
 
+    "ann_ivf" -> {
+      // exact-kmeans IVF (16 cells, 2 rounds): unrolled quantizer on the
+      // raw e6 integers, probe choice by exact integer L2 with the
+      // (distance, cell) tie-break, exact cosine inside probed cells
+      val qm = graft.operators.SimilarityOps.QueryModulus
+      val km = kmeansCtes(16, 2, "TRUE", 1, 64, "iv")
+      s"""WITH $km,
+         |n AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         |  ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |pc AS (SELECT e.vec_id AS q_id, p.cluster AS cell, ${kmDist("e.v", "p.c")} AS cd
+         |  FROM ive e CROSS JOIN ivc2 p WHERE e.vec_id % $qm = 0),
+         |probed AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY cd, cell) AS rn FROM pc) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id AS n_id FROM probed p
+         |  JOIN ivaf a ON a.cluster = p.cell AND a.vec_id <> p.q_id),
+         |sc AS (SELECT c.q_id, c.n_id,
+         |  ${cosSim(dotE12("qn.embedding", "nn.embedding"), "qn.nrm", "nn.nrm")} AS cos_sim
+         |  FROM cand c JOIN n qn ON qn.vec_id = c.q_id JOIN n nn ON nn.vec_id = c.n_id),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, n_id, cos_sim, rnk FROM rk WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
     "ann_index_admit" -> {
       // the frozen-quantizer ingest twin: every kmeans instance trains
       // on the corpus slice (vec_id < SemSplit) — exactly what

@@ -277,9 +277,13 @@ object ScaleProbe {
       time("semantic_dedup", k, graft.operators.ClusterOps.semanticDedupFrom(e))
       // corpus = the base replica, batch = everything above it — batch
       // grows with the clone count, the daily-ingest worst case the
-      // minhash admission probe also uses
+      // minhash admission probe also uses. At k=1 there are no clones,
+      // so split INSIDE the single replica (the minhash convention):
+      // split=maxVec would make the scale-1 batch empty and the timing
+      // a degenerate quantizer-training-only baseline.
       time("semantic_dedup_incremental", k,
-        graft.operators.ClusterOps.semanticDedupIncrementalFrom(e, maxVec))
+        graft.operators.ClusterOps.semanticDedupIncrementalFrom(e,
+          if (k == 1) maxVec / 2 else maxVec))
       e.unpersist()
       spark.catalog.clearCache()
     }

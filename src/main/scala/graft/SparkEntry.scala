@@ -201,8 +201,6 @@ object SparkEntry {
       "SketchSpec: 'hll_distinct: merging daily partials loses nothing vs the direct sketch'"),
     "quantile_sketch" -> ("DDSketch bucket estimates are sketch-specific (no DuckDB twin); the α-error and merge contracts are the spec",
       "SketchSpec: 'quantile_sketch: merged == direct, every estimate within α of the exact percentile'"),
-    "ann_ivf" -> ("kmeans|| coarse quantizer is iterative and seed-dependent; recall vs brute force is recorded by spec",
-      "RecallSpec: 'ann_ivf: plan size independent of cell count; recall at cells=64 recorded (sf0.1)' + DedupSpec recall check"),
     "world_map_features" -> ("boundary geometry comes from the in-code WorldBoundaries dim (the naturalearth analog) — no DuckDB twin table to query",
       "WorldBoundariesSpec (ring/area/bbox/alias invariants) + JobsSpec: 'geojson export: ...' known-shape asserts"),
     "zorder_layout" -> ("write-path layout job: the result is landed file pruning geometry, not a SQL-expressible query",

@@ -12,9 +12,10 @@ import graft.functions.VectorFunctions.{dotE12, normE12}
   * kernel), product quantization + the ADC scan, and the composed
   * IVF-PQ — SURVEY.md §2 #30f–i / #28c–d.
   *
-  * Where [[SimilarityOps.annIvf]] uses Spark ML's seeded, iterative
-  * kmeans|| as an APPROXIMATE coarse quantizer (rows-only by necessity),
-  * this operator is the exact-arithmetic twin: e6-quantized integer
+  * This is the ONE quantizer story: every kmeans consumer — including
+  * [[SimilarityOps.annIvf]]'s coarse cells since round 9 — trains
+  * through [[kmeansCentroids]], the exact-arithmetic Lloyd's:
+  * e6-quantized integer
   * components, integer squared distances, argmin with a total-order
   * tie-break, and round-half-up integer centroid updates — every round a
   * pure function of the input, so the DuckDB oracle UNROLLS the same

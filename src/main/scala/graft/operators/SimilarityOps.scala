@@ -84,58 +84,59 @@ object SimilarityOps {
     }.reduce(_ + _)
   }
 
-  /** ann_ivf (rows-only) — IVF: a k-means coarse quantizer (kmeans||,
-    * distributed) splits the corpus into cells; each query probes its
-    * `nprobe` nearest cells and runs exact cosine only there. The cell id
-    * is the equi-join key, so compute is |Q| × (nprobe/cells) × |corpus|.
-    * Centroids travel as a TINY broadcast-joined frame (`cells` rows), so
-    * plan and codegen size are independent of the cell count — at the √n
-    * cells a real corpus needs (10³–10⁴), literal centroid arrays would
-    * blow up the plan (round-2 verdict). Probe selection stays codegen'd:
-    * DotE12 against the joined centroid column, window top-nprobe. */
+  /** ann_ivf — IVF: a k-means coarse quantizer splits the corpus into
+    * cells; each query probes its `nprobe` nearest cells and runs exact
+    * cosine only there. The cell id is the equi-join key, so compute is
+    * |Q| × (nprobe/cells) × |corpus|. Centroids travel as a TINY
+    * broadcast-joined frame (`cells` rows), so plan and codegen size are
+    * independent of the cell count — at the √n cells a real corpus needs
+    * (10³–10⁴), literal centroid arrays would blow up the plan (round-2
+    * verdict).
+    *
+    * The quantizer is [[ClusterOps.kmeansCentroids]] — the exact
+    * integer-arithmetic Lloyd's every other kmeans consumer here uses
+    * (deterministic init = vec_id < cells, argmin with total-order
+    * tie-break) — so the whole query is oracle-checked through the
+    * unrolled-kmeans twin (it replaced the seeded Spark-ML kmeans||
+    * fit, which had no cross-engine fixed point and kept this key
+    * rows-only through round 8). */
   def annIvf(s: SparkSession, dir: String, k: Int = 5, cells: Int = 16,
-      nprobe: Int = 2, maxIter: Int = 2): DataFrame =
-    annIvfFrom(Tables.embeddings(s, dir), k, cells, nprobe, maxIter)
+      nprobe: Int = 2, rounds: Int = 2): DataFrame =
+    annIvfFrom(Tables.embeddings(s, dir), k, cells, nprobe, rounds)
 
   /** IVF core on any (vec_id, embedding) frame — lets ScaleProbe grow the
     * corpus and follow cells ≈ √corpus, the sizing rule the scaladoc
-    * claims; recall + probe cost at 1×/4×/16× are recorded in SURVEY §5. */
+    * claims; recall + probe cost at 1×/4×/16× are recorded in SURVEY §5.
+    * rounds=2: a coarse quantizer only needs approximate cells; raise it
+    * when cells must be tight (many cells, low nprobe). */
   def annIvfFrom(emb: DataFrame, k: Int = 5, cells: Int = 16,
-      nprobe: Int = 2, maxIter: Int = 2): DataFrame = {
-    // maxIter=2: a coarse quantizer only needs approximate cells — measured
-    // recall at sf0.1 is 0.45 @ 2 iters vs 0.48 @ 5, for ~30% less fit
-    // time; raise it when cells must be tight (many cells, low nprobe)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import emb.sparkSession.implicits._
-    // Persisted: kmeans|| fit makes one pass per iteration over this frame,
-    // and it feeds the corpus/probe sides afterwards — without the persist
-    // every pass re-reads parquet and rebuilds vectors (ML itself warns
-    // when its input is uncached). Cache contract: consumed by the
-    // returned lazy plan — callers clear it once the result is consumed
+      nprobe: Int = 2, rounds: Int = 2): DataFrame = {
+    // Persisted: the training rounds, the cell assignment, and the
+    // corpus/probe sides all read this frame — without the persist every
+    // pass re-reads parquet. Cache contract: consumed by the returned
+    // lazy plan — callers clear it once the result is consumed
     // (spark.catalog.clearCache(), as Verify/Bench do per query).
-    val e = normed(emb)
-      .withColumn("features", array_to_vector(col("embedding")))
+    val q = ClusterOps.quantized(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(maxIter).fit(e)
-    val corpus = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("prediction").as("cell"))
-    // ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; rank cells per query by the
-    // only query-dependent part (-2 x·c + ||c||^2), scaled-int exact
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      val arr = c.toArray.map(_.toFloat)
-      val cNorm = arr.map(v => math.floor(v.toDouble * v.toDouble * 1e12 + 0.5).toLong).sum
-      (i, arr, cNorm)
-    }.toSeq.toDF("cell", "c_emb", "c_norm")
-    val wProbe = Window.partitionBy("q_id").orderBy(col("score"), col("cell"))
-    val q = corpus.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("score", col("c_norm") - lit(2L) * dotE12(col("q_emb"), col("c_emb")))
+    val cent = ClusterOps.kmeansCentroids(q, cells, rounds).localCheckpoint()
+    val cellOf = ClusterOps.assign(q, cent)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val corpus = normed(emb).join(cellOf, "vec_id")
+    // probe choice: exact integer L2 to each centroid, top-nprobe with
+    // the (distance, cell) total-order tie-break the oracle mirrors
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
+    val probes = q.filter(isQuery(col("vec_id")))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
+        ClusterOps.dist2(col("v"), col("c")).as("cd"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select("q_id", "q_emb", "q_nrm", "cell")
-    val scored = corpus.join(broadcast(q), Seq("cell"))
+      .select("q_id", "cell")
+    val qe = normed(emb).filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(probes, "q_id")
+    val scored = corpus.join(broadcast(qe), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         DedupOps.cosine(dotE12(col("q_emb"), col("embedding")),

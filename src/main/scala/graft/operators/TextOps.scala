@@ -158,8 +158,19 @@ object TextOps {
 
   /** Output dimensionality of [[docEmbed]] — low so the unrolled
     * conditional-sum aggregation and the oracle stay readable; real
-    * deployments raise it (256–4096) with zero plan-shape change. */
+    * deployments raise it (256–4096) with zero plan-shape change.
+    *
+    * ORACLE CONSTRAINT: with the current twin, this must stay a power
+    * of two ≤ 16. The oracle buckets dims via unsigned HUGEINT
+    * `xh % EmbedDims` while Spark uses signed pmod — equal only when
+    * EmbedDims is a power of two (a bitmask either way); and the ±1
+    * sign is hard-coded as XXH64 bit 4 on BOTH sides, disjoint from
+    * the dim bits only while dims ≤ 16. Raising dims past 16 requires
+    * moving the sign bit (and the mod convention) in docEmbed AND the
+    * doc_embed/doc_neighbors oracle twins together. */
   val EmbedDims = 16
+  require(EmbedDims <= 16 && (EmbedDims & (EmbedDims - 1)) == 0,
+    "doc_embed oracle: dims must be a power of two ≤ 16 (sign=bit4, unsigned-vs-pmod mod)")
 
   /** doc_embed — deterministic document embeddings by SIGNED FEATURE
     * HASHING (Weinberger et al. 2009, the "hashing trick"): every token
