@@ -409,7 +409,11 @@ object OracleSql {
     * covers EVERY vector: (vec_id, cluster, exact d). */
   private def kmeansCtes(k: Int, rounds: Int, trainWhere: String = "TRUE",
       sliceLo: Int = 1, sliceLen: Int = 64, p: String = "",
-      normalized: Boolean = false): String = {
+      normalized: Boolean = false, eOverride: String = null): String = {
+    // eOverride: full SELECT yielding (vec_id, v) — lets a caller point
+    // the unrolled trainer at a DERIVED vector source (e.g. the hashed
+    // doc vectors of semantic_dedup_text) instead of the embeddings
+    // table; sliceLen then only sizes kmDist's generate_series.
     // `p` prefixes every CTE name so embedding_pq can compose one
     // instance per subspace in a single WITH; sliceLo/sliceLen carve the
     // subspace out of the embedding (1-based, mirroring Spark's slice);
@@ -426,9 +430,12 @@ object OracleSql {
       if (!normalized) "embeddings"
       else s"(SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings)"
     val sb = new StringBuilder
-    sb ++= s"""${p}e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    val eBody =
+      if (eOverride != null) eOverride
+      else s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
       |  list_transform($vecExpr, x -> $comp) AS v
-      |FROM $src),
+      |FROM $src""".stripMargin
+    sb ++= s"""${p}e AS ($eBody),
       |${p}tr AS (SELECT * FROM ${p}e WHERE $trainWhere),
       |${p}c0 AS (SELECT vec_id AS cluster, v AS c FROM ${p}tr WHERE vec_id < $k)""".stripMargin
     for (r <- 1 to rounds) {
@@ -1443,6 +1450,42 @@ object OracleSql {
          |  NOT coalesce(d.dup_of_corpus, FALSE)
          |    AND NOT coalesce(d.dup_in_batch, FALSE) AS keep
          |FROM bt LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
+    },
+
+    "semantic_dedup_text" -> {
+      // documents → hashed vectors (the doc_embed XXH64 twin, densified
+      // to 16-long lists) → unrolled kmeans over the RAW integer vectors
+      // (eOverride: no e6 scaling — counts are already integers) →
+      // within-cluster integer-cosine verdicts
+      import graft.operators.ClusterOps.{KmeansK, KmeansRounds, SemThreshold}
+      val dims = graft.operators.TextOps.EmbedDims
+      val km = kmeansCtes(KmeansK, KmeansRounds, "TRUE", 1, dims, "",
+        eOverride = "SELECT vec_id, v FROM docv")
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT doc_id, i, w[i] AS tok
+         |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+         |${xxStringCtes("src", Seq("doc_id", "i"))},
+         |hv AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
+         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
+         |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM hv GROUP BY 1, 2),
+         |dense AS (SELECT d.doc_id, gs.i AS dim, COALESCE(f.fv, 0) AS fv
+         |  FROM (SELECT DISTINCT doc_id FROM f) d
+         |  CROSS JOIN generate_series(0, ${dims - 1}) gs(i)
+         |  LEFT JOIN f ON f.doc_id = d.doc_id AND f.dim = gs.i),
+         |docv AS (SELECT CAST(doc_id AS BIGINT) AS vec_id,
+         |  list(fv ORDER BY dim) AS v, CAST(SUM(fv*fv) AS BIGINT) AS nrm
+         |  FROM dense GROUP BY doc_id HAVING SUM(fv*fv) > 0),
+         |$km,
+         |x AS (SELECT af.vec_id, af.cluster, d.v, d.nrm FROM af JOIN docv d USING (vec_id)),
+         |dup AS (SELECT b.vec_id, MIN(y.vec_id) AS dup_of FROM x b JOIN x y
+         |  ON b.cluster = y.cluster AND y.vec_id < b.vec_id
+         |  AND CAST(list_sum(list_transform(generate_series(1,$dims), i -> b.v[i]*y.v[i])) AS DOUBLE)
+         |    /(sqrt(CAST(b.nrm AS DOUBLE))*sqrt(CAST(y.nrm AS DOUBLE))) >= $SemThreshold
+         |  GROUP BY 1)
+         |SELECT x.vec_id AS doc_id, x.cluster, dup.dup_of,
+         |  dup.dup_of IS NULL AS keep
+         |FROM x LEFT JOIN dup USING (vec_id) ORDER BY doc_id""".stripMargin
     },
 
     "quality_model_score" ->

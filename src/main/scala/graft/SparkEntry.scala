@@ -152,6 +152,7 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "semantic_clusters" -> (DedupOps.semanticClusters(_, _)),
+    "semantic_dedup_text" -> ((s, d) => ClusterOps.semanticDedupText(s, d)),
     "quality_model_score" -> (TextOps.qualityModelScore(_, _)),
     "curriculum_stages" -> (CurationOps.curriculumStages(_, _)),
     "doc_embed" -> (TextOps.docEmbed(_, _)),

@@ -351,6 +351,46 @@ object ClusterOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** semantic_dedup_text — the FULL corpus loop a 100 TB pipeline runs:
+    * documents → hashed embeddings ([[TextOps.docEmbed]]'s signed
+    * feature hashing) → SemDeDup keep verdicts, with NO external
+    * embeddings table. The kmeans partition and the within-cluster
+    * cosine both run in pure integer arithmetic on the hashed count
+    * vectors (integer dot products and squared norms; the only doubles
+    * are the final cos ratio, one mirrored op sequence — the
+    * doc_neighbors convention), so the whole composition — XXH64
+    * hashing, vector build, unrolled kmeans rounds, verdicts — is
+    * oracle-checked end to end. Zero-norm docs are excluded by the
+    * bridge frame. Output: one verdict row per doc (cluster, dup_of =
+    * lowest same-cluster doc at cos ≥ τ, keep). */
+  def semanticDedupText(s: SparkSession, dir: String,
+      threshold: Double = SemThreshold, k: Int = KmeansK,
+      rounds: Int = KmeansRounds): DataFrame = {
+    // persisted: feeds kmeans training (k+1 consumers/round) AND both
+    // sides of the pair join; the vector build re-runs XXH64 over every
+    // token otherwise
+    val fv = TextOps.docEmbedVectors(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ints = fv.select("vec_id", "v")
+    val cent = kmeansCentroids(ints, k, rounds)
+    val assigned = assign(ints, cent).select("vec_id", "cluster")
+    val e = fv.join(assigned, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dot = aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b),
+      lit(0L), (acc, d) => acc + d)
+    val dup = e.as("x").join(e.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .where(dot.cast("double") / (sqrt(col("x.nrm").cast("double")) *
+        sqrt(col("y.nrm").cast("double"))) >= threshold)
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(min(col("y.vec_id")).as("dup_of"))
+    e.select("vec_id", "cluster").join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id").as("doc_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus/batch split for [[semanticDedupIncremental]] — shared with
     * the exact and minhash incremental paths (one ingest convention,
     * mirrored verbatim in the oracle). */

@@ -205,6 +205,20 @@ object TextOps {
     tok.groupBy("doc_id").agg(agg.head, agg.tail: _*)
   }
 
+  /** The hashed doc vectors as dense integer arrays with their squared
+    * norm — the documents→vectors bridge frame consumed by
+    * [[ClusterOps.semanticDedupText]]. Zero-norm docs (all signs
+    * cancelled) are excluded: cosine against them is undefined (the
+    * docNeighbors convention). */
+  private[operators] def docEmbedVectors(s: SparkSession, dir: String): DataFrame = {
+    val nrm = (0 until EmbedDims).map(i => col(s"f$i") * col(s"f$i")).reduce(_ + _)
+    docEmbedCore(s, dir)
+      .select(col("doc_id").cast("long").as("vec_id"),
+        array((0 until EmbedDims).map(i => col(s"f$i")): _*).as("v"),
+        nrm.as("nrm"))
+      .filter(col("nrm") > 0L)
+  }
+
   /** doc_neighbors — top-k most similar DOCUMENTS by cosine over the
     * [[docEmbed]] hashed vectors: the documents→vectors→search loop
     * closed entirely in exact integer arithmetic (integer dot products

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ClusterOps
+
+/** Round-9 keyed operators beyond the AnnIndex family (which has its own
+  * spec): the text→vector→semantic-dedup loop. */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("semantic_dedup_text: verdicts cover every non-zero-norm doc with first-wins semantics") {
+    val out = ClusterOps.semanticDedupText(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "duplicate verdict rows")
+    // first-wins: a blocker is always an EARLIER doc; keep == no blocker
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val dup = Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue)
+      assert(r.getAs[Boolean]("keep") == dup.isEmpty)
+      dup.foreach(d => assert(d < id, s"blocker $d not earlier than $id"))
+    }
+    // blockers must sit in the blocked doc's own cluster (the SemDeDup
+    // within-cluster contract)
+    val cl = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    out.foreach { r =>
+      Option(r.getAs[java.lang.Long]("dup_of")).foreach { d =>
+        assert(cl(d.longValue) == r.getAs[Long]("cluster"),
+          s"dup_of ${d} in another cluster than ${r.getAs[Long]("doc_id")}")
+      }
+    }
+    // the doc corpus contains near-identical template docs — the loop
+    // must actually catch some (non-degenerate at the 0.35 threshold)
+    assert(out.count(!_.getAs[Boolean]("keep")) > 0, "no dups flagged — degenerate")
+  }
+
+  test("semantic_dedup_text: flagged pairs really clear the cosine threshold on recomputation") {
+    val out = ClusterOps.semanticDedupText(s, sf)
+      .filter(col("dup_of").isNotNull).limit(20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    // recompute hashed vectors independently (same construction as the
+    // operator's bridge, but via the keyed doc_embed output)
+    val f = graft.operators.TextOps.docEmbed(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until graft.operators.TextOps.EmbedDims).map(i => r.getAs[Long](s"f$i")).toArray)
+      .toMap
+    s.catalog.clearCache()
+    out.foreach { case (a, b) =>
+      val (va, vb) = (f(a), f(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum.toDouble
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum.toDouble) *
+        math.sqrt(vb.map(x => x * x).sum.toDouble))
+      assert(cos >= ClusterOps.SemThreshold - 1e-12,
+        f"flagged pair ($a,$b) has cos=$cos%.4f < threshold")
+    }
+  }
+}
