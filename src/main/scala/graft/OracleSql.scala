@@ -982,6 +982,29 @@ object OracleSql {
          |    - cum_before // ${graft.operators.CurationOps.PackBudget} + 1 AS BIGINT) AS n_splits
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    "pack_sequences_bpe" -> {
+      // the unrolled BPE-training twin supplies per-doc n_tokens; the
+      // packing window SQL is pack_sequences' verbatim
+      val n = graft.operators.TokenizerOps.NumMerges
+      s"""WITH ${bpeCtes(n)},
+         |wtok AS (SELECT w, CAST(len(syms) AS BIGINT) AS w_toks FROM seg$n),
+         |wd AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |agg AS (SELECT doc_id, CAST(SUM(w_toks) AS BIGINT) AS n_tokens
+         |  FROM wd JOIN wtok USING (w) GROUP BY doc_id),
+         |d AS (SELECT doc_id, doc_id % ${graft.operators.CurationOps.PackShards} AS shard,
+         |        n_tokens FROM agg),
+         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(cum_before // ${graft.operators.CurationOps.PackBudget} AS BIGINT) AS seq_id,
+         |  CAST(cum_before % ${graft.operators.CurationOps.PackBudget} AS BIGINT) AS seq_offset,
+         |  CAST((cum_before + n_tokens - 1) // ${graft.operators.CurationOps.PackBudget}
+         |    - cum_before // ${graft.operators.CurationOps.PackBudget} + 1 AS BIGINT) AS n_splits
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     "profile_table" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
       val legs = cs.map { c =>

@@ -158,6 +158,7 @@ object SparkEntry {
     "doc_embed" -> (TextOps.docEmbed(_, _)),
     "doc_neighbors" -> ((s, d) => TextOps.docNeighbors(s, d)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
+    "pack_sequences_bpe" -> (CurationOps.packSequencesBpe(_, _)),
     "decontaminate" -> (CurationOps.decontaminate(_, _)),
     "dataset_split" -> ((s, d) => CurationOps.datasetSplit(s, d)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),

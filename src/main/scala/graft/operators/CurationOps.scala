@@ -401,12 +401,31 @@ object CurationOps {
     packSequencesDocs(Tables.documents(s, dir))
 
   /** Core on any documents-shaped frame (testable / probe-able). */
-  def packSequencesDocs(docs: DataFrame): DataFrame = {
+  def packSequencesDocs(docs: DataFrame): DataFrame =
+    packSequencesCounts(docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  /** pack_sequences_bpe — packing over the LEARNED tokenizer's counts:
+    * what a training loader actually packs is TOKENIZED sequences, and
+    * whitespace counts under-budget them (BPE emits >1 token/word), so
+    * this key closes the tokenize→pack seam — [[TokenizerOps.bpeTokens]]
+    * (trained merges, per-distinct-word encode) supplies n_tokens and
+    * the same per-shard window lays out the windows. Oracle composes the
+    * unrolled BPE-training twin with the packing window SQL. Covers the
+    * tokenized corpus (docs with ≥1 non-empty word — bpe_tokens's own
+    * domain). */
+  def packSequencesBpe(s: SparkSession, dir: String): DataFrame =
+    packSequencesCounts(TokenizerOps.bpeTokens(s, dir)
+      .select(col("doc_id"), col("n_tokens")))
+
+  /** The shared per-shard packing window on any (doc_id, n_tokens)
+    * frame: one keyed shuffle, no global sort (see [[packSequences]]). */
+  def packSequencesCounts(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    counts
       .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        col("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"cum_before div $PackBudget").as("seq_id"),

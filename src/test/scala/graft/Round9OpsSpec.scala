@@ -38,6 +38,32 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out.count(!_.getAs[Boolean]("keep")) > 0, "no dups flagged — degenerate")
   }
 
+  test("pack_sequences_bpe: gapless in-shard layout over LEARNED token counts") {
+    import graft.operators.CurationOps
+    val p = CurationOps.packSequencesBpe(s, sf).cache()
+    assert(p.count() > 0)
+    assert(p.filter(col("seq_offset") >= CurationOps.PackBudget).count() == 0)
+    assert(p.filter(col("n_splits") < 1).count() == 0)
+    // gapless concat-and-split on the BPE-counted frame: each doc starts
+    // exactly where the previous doc in its shard ended
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id")
+    val cum = p.withColumn("start", col("seq_id") * CurationOps.PackBudget + col("seq_offset"))
+      .withColumn("prev_end", lag(col("start") + col("n_tokens"), 1).over(w))
+    assert(cum.filter(col("prev_end").isNotNull && col("start") =!= col("prev_end"))
+      .count() == 0, "BPE-counted packing must be gapless")
+    // the seam this key closes: BPE counts exceed whitespace counts
+    // (multi-token words), so the whitespace-budgeted layout under-packs
+    val ws = CurationOps.packSequences(s, sf)
+      .select(col("doc_id"), col("n_tokens").as("ws_tokens"))
+    val joined = p.join(ws, "doc_id")
+    assert(joined.filter(col("n_tokens") < col("ws_tokens")).count() == 0,
+      "a word can never encode to fewer than one token")
+    assert(joined.filter(col("n_tokens") > col("ws_tokens")).count() > 0,
+      "BPE counts should exceed whitespace counts somewhere")
+    p.unpersist()
+    s.catalog.clearCache()
+  }
+
   test("semantic_dedup_text: flagged pairs really clear the cosine threshold on recomputation") {
     val out = ClusterOps.semanticDedupText(s, sf)
       .filter(col("dup_of").isNotNull).limit(20).collect()
