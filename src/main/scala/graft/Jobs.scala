@@ -650,6 +650,45 @@ object Jobs {
     *
     * The latest-drop selection is partition-pruned: `dt` is a partition
     * column, so only the newest directory is scanned. */
+  /** Land the pre-join hot-key skew panel for ANY (table, key) pair as a
+    * dt-stamped drop — run this per ingest for every key a downstream
+    * join shuffles on, so [[keySkewDrift]] can page on drift BEFORE a
+    * stage wedges (the posture `QualityOps.keySkewOf`'s scaladoc
+    * promises). Drops land under `baseDir/key_skew/<key>/dt=<date>`;
+    * the panel is k rows whatever the fact size, so a year of daily
+    * drops for 20 keys is ~73k rows — a broadcastable dimension. */
+  def runKeySkewJob(s: SparkSession, table: DataFrame, keyCol: String,
+      baseDir: String, date: String, k: Int = 10): String =
+    SteamOps.writeDateStamped(
+      graft.operators.QualityOps.keySkewOf(table, keyCol, k),
+      s"$baseDir/key_skew/$keyCol", date)
+
+  /** Day-over-day hot-key drift between two landed skew drops: per key,
+    * both days' skew multiples, the delta, and a status — `entered`
+    * (new in the top-k: the classic incident precursor), `left`, or
+    * `stayed`. Sorted by |delta| so the pager line is row 1. Reads two
+    * k-row panels — driver-light by construction. */
+  def keySkewDrift(s: SparkSession, baseDir: String, keyCol: String,
+      dateA: String, dateB: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def day(d: String, suffix: String) =
+      s.read.parquet(s"$baseDir/key_skew/$keyCol/dt=$d")
+        .select(col("key"), col("n").as(s"n_$suffix"),
+          col("skew_x").as(s"skew_$suffix"))
+    day(dateA, "a").join(day(dateB, "b"), Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("skew_a"), lit(0.0)).as("skew_a"),
+        coalesce(col("skew_b"), lit(0.0)).as("skew_b"),
+        (coalesce(col("skew_b"), lit(0.0)) -
+          coalesce(col("skew_a"), lit(0.0))).as("skew_delta"),
+        when(col("skew_a").isNull, lit("entered"))
+          .when(col("skew_b").isNull, lit("left"))
+          .otherwise(lit("stayed")).as("status"))
+      .orderBy(abs(col("skew_delta")).desc, col("key"))
+  }
+
   def runWorldMapJob(s: SparkSession, sfDir: String, pricesBase: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val drops = s.read.parquet(s"$pricesBase/steam_prices")

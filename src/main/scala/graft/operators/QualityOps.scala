@@ -112,9 +112,16 @@ object QualityOps {
     * key, global totals as a broadcast single-row aggregate, top-k as
     * TakeOrderedAndProject — output bounded at k rows whatever the
     * fact size. All-integer inputs → deterministic ratio doubles. */
-  def keySkewReport(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val counts = Tables.eventsUs(s, dir)
-      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
+  def keySkewReport(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    keySkewOf(Tables.eventsUs(s, dir), "user_id", k)
+
+  /** The parameterized core the scaladoc above promises: top-k heaviest
+    * values of ANY (table, key) pair — orders.o_custkey, lineitem
+    * .l_partkey, documents.source all take the same one-shuffle panel.
+    * [[graft.Jobs.runKeySkewJob]] lands it dt-stamped per ingest and
+    * [[graft.Jobs.keySkewDrift]] diffs two days' drops. */
+  def keySkewOf(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
     val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
     counts.crossJoin(broadcast(stats))
       .select(col("key"), col("n"),

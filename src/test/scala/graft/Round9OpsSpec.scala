@@ -11,6 +11,37 @@ class Round9OpsSpec extends AnyFunSuite {
   lazy val s = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("key skew job: landing two days and diffing pages on the drifted key") {
+    val base = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val events = Tables.eventsUs(s, sf)
+    // day 1: organic distribution; day 2: one user goes hot (its rows
+    // replicated 5× — the drifting-join-key incident this panel exists
+    // to catch before a stage wedges)
+    val hotUser = events.groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).limit(1)
+      .collect()(0).getAs[Long]("user_id")
+    val hot = events.filter(col("user_id") === hotUser)
+    val day2 = events.unionByName(hot).unionByName(hot)
+      .unionByName(hot).unionByName(hot)
+    Jobs.runKeySkewJob(s, events, "user_id", base, "2024-01-01")
+    Jobs.runKeySkewJob(s, day2, "user_id", base, "2024-01-02")
+    val drift = Jobs.keySkewDrift(s, base, "user_id", "2024-01-01", "2024-01-02")
+      .collect()
+    s.catalog.clearCache()
+    assert(drift.nonEmpty)
+    // the pager line: row 1 is the planted hot key, with a positive delta
+    val top = drift.head
+    assert(top.getAs[Long]("key") == hotUser,
+      s"top drift row is ${top.getAs[Long]("key")}, expected planted $hotUser")
+    assert(top.getAs[Double]("skew_delta") > 0.0)
+    assert(drift.forall(r => Set("entered", "left", "stayed")(r.getAs[String]("status"))))
+    // the same parameterized core runs on any (table, key) pair
+    val byPart = graft.operators.QualityOps.keySkewOf(
+      Tables.lineitem(s, sf), "l_partkey", 5).collect()
+    assert(byPart.length == 5 && byPart.forall(_.getAs[Double]("skew_x") >= 1.0))
+    s.catalog.clearCache()
+  }
+
   test("semantic_dedup_text: verdicts cover every non-zero-norm doc with first-wins semantics") {
     val out = ClusterOps.semanticDedupText(s, sf).collect()
     s.catalog.clearCache()
