@@ -1425,6 +1425,31 @@ object OracleSql {
          |ORDER BY q_id, rnk""".stripMargin
     },
 
+    "ann_index_stats" -> {
+      // full-corpus index twin (same unrolled trainers as ann_ivf_pq),
+      // aggregated to the per-cell health panel
+      import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM, PqRounds}
+      val dimsPer = 64 / PqM
+      val coarse = kmeansCtes(CoarseCells, CoarseRounds, "TRUE", 1, 64, "cv",
+        normalized = true)
+      val subCtes = (0 until PqM).map(i =>
+        kmeansCtes(PqK, PqRounds, "TRUE", i * dimsPer + 1, dimsPer, s"q$i",
+          normalized = true)).mkString(",\n")
+      val joins = (0 until PqM)
+        .map(i => s"JOIN q${i}af q$i ON cv.vec_id = q$i.vec_id").mkString(" ")
+      val err = (0 until PqM).map(i => s"q$i.d").mkString(" + ")
+      s"""WITH $coarse,
+         |$subCtes,
+         |base AS (SELECT cv.vec_id, cv.cluster AS cell, CAST($err AS BIGINT) AS err
+         |  FROM cvaf cv $joins),
+         |cells AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(err) AS BIGINT) AS err_sum FROM base GROUP BY cell),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells)
+         |SELECT cell, n, CAST(n AS DOUBLE)/CAST(n_total AS DOUBLE) AS share,
+         |  CAST(err_sum AS DOUBLE)/CAST(n AS DOUBLE) AS err_mean
+         |FROM cells, tot ORDER BY cell""".stripMargin
+    },
+
     "ann_index_admit" -> {
       // the frozen-quantizer ingest twin: every kmeans instance trains
       // on the corpus slice (vec_id < SemSplit) — exactly what

@@ -149,6 +149,7 @@ object SparkEntry {
     "ann_ivf_pq" -> ((s, d) => ClusterOps.annIvfPq(s, d)),
     "ann_index_probe" -> (AnnIndexOps.annIndexProbe(_, _)),
     "ann_index_admit" -> (AnnIndexOps.annIndexAdmit(_, _)),
+    "ann_index_stats" -> (AnnIndexOps.annIndexStats(_, _)),
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "semantic_clusters" -> (DedupOps.semanticClusters(_, _)),

@@ -191,6 +191,28 @@ object AnnIndexOps {
     probeAnnIndex(s, idx, Tables.embeddings(s, dir))
   }
 
+  /** ann_index_stats — the index HEALTH panel you read before trusting
+    * probe results: per coarse cell, its member count, corpus share, and
+    * the mean PQ reconstruction error of its members (exact integer err
+    * sums; the one division at the edge). Unbalanced cells mean probe
+    * cost variance and recall holes; rising err means the codebooks have
+    * drifted from the corpus and the index needs a rebuild — exactly the
+    * two numbers FAISS tells you to watch. Reads the landed artifacts
+    * only (k-row output; one pass over the codes + one over the corpus
+    * for err). */
+  def annIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(s, dir, "full")(identity)
+    val assigned = assignToIndex(s, idx, Tables.embeddings(s, dir))
+    val cells = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("err_sum"))
+    val tot = cells.agg(sum(col("n")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n"),
+        (col("n").cast("double") / col("n_total")).as("share"),
+        (col("err_sum").cast("double") / col("n")).as("err_mean"))
+      .orderBy("cell")
+  }
+
   /** ann_index_admit — the ingest side: vectors arriving AFTER the index
     * build (vec_id ≥ SemSplit, the shared admission split) are assigned
     * against the FROZEN corpus-slice artifacts — cell, M codes, exact

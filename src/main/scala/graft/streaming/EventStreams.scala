@@ -389,6 +389,30 @@ object EventStreams {
     s.catalog.clearCache()
   }
 
+  /** Streaming ANN-INDEX ingestion — the stream twin of
+    * [[graft.operators.AnnIndexOps.admitToIndex]], completing the
+    * landed-index family the way [[landSemanticAdmissionStream]]
+    * completes semantic admission: each micro-batch of new vectors is
+    * assigned against the FROZEN landed IVF-PQ artifacts (coarse cell +
+    * M codes — zero retraining, two k-row broadcast reads) and appended
+    * to `indexDir/codes` under the same vec_id anti-join, so an
+    * at-least-once redelivery appends nothing and a delivery that died
+    * mid-append completes exactly the missing rows on retry. Stream
+    * state: zero; store state: the codes index (O(corpus) rows of
+    * M+1 BIGINTs). Probes against the index see batch N's vectors from
+    * batch N+1 on — the continuously-growing searchable corpus. */
+  def landAnnIndexAdmissionStream(emb: DataFrame, indexDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.operators.AnnIndexOps.admitToIndex(s, indexDir, batch)
+        // per-batch jobs must not leak persisted blocks across batches
+        s.catalog.clearCache()
+      }
+      .start()
+
   /** Streaming heavy hitters, landing side: each micro-batch lands its
     * own Misra–Gries candidate summary as (tok, w) rows plus the batch
     * token count. Soundness of the union: a token with global frequency

@@ -77,6 +77,47 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(half == 0)
   }
 
+  test("landAnnIndexAdmissionStream: micro-batches grow the index; replay appends nothing") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir("stream")
+    val split = ClusterOps.SemSplit
+    val emb = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    AnnIndexOps.buildAnnIndex(emb.filter(col("vec_id") < split), dir)
+    s.catalog.clearCache()
+    val nCorpus = emb.filter(col("vec_id") < split).count()
+    val batchRows = emb.filter(col("vec_id") >= split).collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue,
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+    assert(batchRows.length >= 2)
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+    val in = MemoryStream[(Long, Seq[Float])](s)
+    val q = graft.streaming.EventStreams.landAnnIndexAdmissionStream(
+      in.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      in.addData(b1.toSeq); q.processAllAvailable()
+      assert(s.read.parquet(s"$dir/codes").count() == nCorpus + b1.length)
+      in.addData(b2.toSeq); q.processAllAvailable()
+      // replayed delivery of batch 1 inside the stream: no growth
+      in.addData(b1.toSeq); q.processAllAvailable()
+      val codes = s.read.parquet(s"$dir/codes")
+      assert(codes.count() == nCorpus + batchRows.length,
+        "replayed micro-batch must not re-append")
+      assert(codes.select("vec_id").distinct().count() == codes.count())
+      // streamed assignments are IDENTICAL to the batch admission path
+      val streamed = codes.filter(col("vec_id") >= split)
+        .select(col("vec_id") +: col("cell").cast("long").as("cell") +:
+          (0 until ClusterOps.PqM).map(i => col(s"c$i")): _*)
+        .orderBy("vec_id").collect().toSeq
+      s.catalog.clearCache()
+      val direct = AnnIndexOps.assignToIndex(s, dir,
+          emb.filter(col("vec_id") >= split)).drop("err")
+        .orderBy("vec_id").collect().toSeq
+      assert(streamed == direct, "stream admission diverged from batch admission")
+    } finally q.stop()
+    s.catalog.clearCache()
+  }
+
   test("admitted codes match the keyed frozen-assignment query row-for-row") {
     val dir = freshDir("assign")
     val split = ClusterOps.SemSplit
