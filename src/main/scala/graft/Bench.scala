@@ -45,7 +45,7 @@ object Bench {
     // single rep inflates the recorded number by tenths of a second, not
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
-      "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "embedding_kmeans", "semantic_dedup",
+      "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
       "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text",
       "embedding_pq", "ann_pq", "ann_ivf_pq",
       "repeated_spans", "steam_pipeline", "zorder_layout", "dedup_minhash_verified",

@@ -1984,6 +1984,28 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "bpe_fertility" -> {
+      val n = graft.operators.TokenizerOps.NumMerges
+      s"""WITH ${bpeCtes(n)},
+         |wtok AS (SELECT w, CAST(len(syms) AS BIGINT) AS w_toks FROM seg$n),
+         |wd AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(w_toks) AS BIGINT) AS n_tokens
+         |  FROM wd JOIN wtok USING (w) GROUP BY doc_id),
+         |j AS (SELECT d.source, agg.n_words, agg.n_tokens, d.n_chars
+         |  FROM agg JOIN documents d USING (doc_id)),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM j GROUP BY source)
+         |SELECT source, n_docs, n_words, n_tokens,
+         |  CAST(n_tokens AS DOUBLE)/CAST(n_words AS DOUBLE) AS fertility,
+         |  CAST(n_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS chars_per_token
+         |FROM g ORDER BY source""".stripMargin
+    },
+
     "mm_metadata" ->
       s"""WITH $mmDimsCtes,
          |st AS (SELECT doc_id, media_type, kind, w, h, ch, nf, bl,

@@ -160,6 +160,7 @@ object SparkEntry {
     "doc_neighbors" -> ((s, d) => TextOps.docNeighbors(s, d)),
     "pack_sequences" -> (CurationOps.packSequences(_, _)),
     "pack_sequences_bpe" -> (CurationOps.packSequencesBpe(_, _)),
+    "bpe_fertility" -> (TokenizerOps.bpeFertility(_, _)),
     "decontaminate" -> (CurationOps.decontaminate(_, _)),
     "dataset_split" -> ((s, d) => CurationOps.datasetSplit(s, d)),
     "mm_metadata" -> (MultimodalOps.mmMetadata(_, _)),

@@ -92,6 +92,31 @@ object TokenizerOps {
     * chars-per-token compression ratio the packing/budgeting operators
     * consume. Encode cost is one native fold per DISTINCT word (the
     * vocab-bounded join-back shape), not per occurrence. */
+  /** bpe_fertility — the tokenizer-eval panel: per SOURCE, the mean
+    * fertility (BPE tokens per word) and chars-per-token under the
+    * trained merges, plus the raw exact-integer sums they derive from.
+    * Fertility by source is how you find the corpora a tokenizer serves
+    * badly (high fertility = more sequence length per content = higher
+    * training cost for those docs) and what motivates retraining merges
+    * on a rebalanced mix. Plan: the [[bpeTokens]] per-doc frame joins
+    * the doc dims and collapses to one row per source — integer sums,
+    * the two ratio divisions at the edge. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    bpeTokens(s, dir).select("doc_id", "n_words", "n_tokens")
+      .join(Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("source")
+
   def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges = bpeTrain(docs, NumMerges).map { case (_, l, r, _) => (l, r) }

@@ -42,6 +42,29 @@ class Round9OpsSpec extends AnyFunSuite {
     s.catalog.clearCache()
   }
 
+  test("bpe_fertility: per-source ratios recompute from the per-doc token frame") {
+    import graft.operators.TokenizerOps
+    val panel = TokenizerOps.bpeFertility(s, sf).collect()
+    s.catalog.clearCache()
+    val perDoc = TokenizerOps.bpeTokens(s, sf)
+      .join(Tables.documents(s, sf).select("doc_id", "source"), "doc_id")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens")))
+    s.catalog.clearCache()
+    assert(panel.nonEmpty && panel.length ==
+      perDoc.map(_._1).distinct.length, "one row per source")
+    panel.foreach { r =>
+      val src = r.getAs[String]("source")
+      val rows = perDoc.filter(_._1 == src)
+      assert(r.getAs[Long]("n_words") == rows.map(_._2).sum)
+      assert(r.getAs[Long]("n_tokens") == rows.map(_._3).sum)
+      val fert = r.getAs[Double]("fertility")
+      assert(fert >= 1.0, f"fertility $fert%.3f < 1 — a word encodes to ≥1 token")
+      assert(math.abs(fert - rows.map(_._3).sum.toDouble / rows.map(_._2).sum) < 1e-12)
+    }
+  }
+
   test("semantic_dedup_text: verdicts cover every non-zero-norm doc with first-wins semantics") {
     val out = ClusterOps.semanticDedupText(s, sf).collect()
     s.catalog.clearCache()
