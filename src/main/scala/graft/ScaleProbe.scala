@@ -287,6 +287,29 @@ object ScaleProbe {
       e.unpersist()
       spark.catalog.clearCache()
     }
+    // landed-index read path: build ONCE per scale (untimed separately),
+    // then time the probe-only search — the production split the keyed
+    // ann_index_probe models. Queries grow with the corpus (the joint-
+    // growth convention of the ann_ivf_pq probe), so probe wall growing
+    // ~k× while build grows ~k× shows the read path adds no extra
+    // corpus-proportional term beyond the candidate scan itself.
+    for (k <- Seq(1, 4, factor) if only.forall(_.contains("ann_index_probe"))) {
+      val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val dir = java.nio.file.Files.createTempDirectory("graft_annidx_sp").toString
+      val tb = System.nanoTime()
+      graft.operators.AnnIndexOps.buildAnnIndex(e, dir)
+      val build = (System.nanoTime() - tb) / 1e9
+      val probe = graft.operators.AnnIndexOps.probeAnnIndex(spark, dir, e)
+      val t0 = System.nanoTime()
+      probe.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rows = probe.count()
+      println(s"""{"probe":"ann_index_probe","scale":$k,"build_sec":${f"$build%.2f"},""" +
+        s""""probe_sec":${f"$wall%.2f"},"rows":$rows}""")
+      e.unpersist()
+      spark.catalog.clearCache()
+    }
     val pqProbes = Set("embedding_pq", "ann_pq", "ann_ivf_pq")
     for (k <- Seq(1, 4, factor) if only.forall(_.exists(pqProbes))) {
       val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -50,6 +50,18 @@ class AnnIndexSpec extends AnyFunSuite {
         s"${probe.diff(composed).take(3)} vs ${composed.diff(probe).take(3)}")
   }
 
+  test("probe plan: the codes scan is dynamically partition-pruned on cell") {
+    // the scale contract of the cell-partitioned layout: the probed-cells
+    // equi-join must reach the codes FileScan as a dynamic partition
+    // pruning subquery, so a probe reads ~nprobe/cells of the files
+    // instead of the whole index
+    val plan = AnnIndexOps.annIndexProbe(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "probed-cells join must dynamic-partition-prune the codes scan")
+    s.catalog.clearCache()
+  }
+
   test("admitToIndex appends new vectors once; replay appends nothing") {
     val dir = freshDir("admit")
     val split = ClusterOps.SemSplit
