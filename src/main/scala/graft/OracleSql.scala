@@ -1894,6 +1894,31 @@ object OracleSql {
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "chunk_embed" -> {
+      val dims = graft.operators.TextOps.EmbedDims
+      val size = graft.operators.TextOps.ChunkSize
+      val stride = graft.operators.TextOps.ChunkStride
+      val sums = (0 until dims).map(i =>
+        s"CAST(SUM(CASE WHEN dim = $i THEN sg ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n|  ")
+      // doc_chunk's window CTEs feeding doc_embed's XXH64 hashing twin,
+      // keyed by (doc_id, chunk_id)
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |ch AS (SELECT doc_id, CAST(i // $stride AS BIGINT) AS chunk_id,
+         |  substr(text, CAST(i AS INT) + 1, $size) AS chunk
+         |  FROM t, UNNEST(generate_series(0, greatest(n - 1, 0), $stride)) AS u(i)),
+         |cw AS (SELECT doc_id, chunk_id, string_split(chunk, ' ') AS w FROM ch),
+         |tok AS (SELECT doc_id, chunk_id, i, w[i] AS tok
+         |  FROM cw, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |src AS (SELECT doc_id, chunk_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+         |${xxStringCtes("src", Seq("doc_id", "chunk_id", "i"))},
+         |v AS (SELECT doc_id, chunk_id, CAST(xh % $dims AS BIGINT) AS dim,
+         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh)
+         |SELECT doc_id, chunk_id,
+         |  $sums
+         |FROM v GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
     "doc_neighbors" -> {
       val dims = graft.operators.TextOps.EmbedDims
       val qm = graft.operators.SimilarityOps.QueryModulus

@@ -136,6 +136,7 @@ object SparkEntry {
     "group_heavy_hitters" -> ((s, d) => TextOps.groupHeavyHitters(s, d)),
     "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s, d)),
     "doc_chunk" -> (TextOps.docChunk(_, _)),
+    "chunk_embed" -> (TextOps.chunkEmbed(_, _)),
     "text_winnow" -> (TextOps.textWinnow(_, _)),
     "repetition_stats" -> (TextOps.repetitionStats(_, _)),
     "bm25_topk" -> ((s, d) => RetrievalOps.bm25Topk(s, d)),

@@ -650,6 +650,34 @@ object TextOps {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
       .orderBy("doc_id", "chunk_id")
 
+  /** chunk_embed — hashed embeddings at CHUNK granularity: the
+    * [[docChunk]] sliding windows each get the [[docEmbed]] signed
+    * feature-hashing treatment (per-token XXH64 → dim = low 4 bits,
+    * sign = bit 4, per-dim signed counts) — the retrieval unit a RAG
+    * pipeline actually indexes (a whole-doc vector averages away the
+    * passage that answers a query; chunk vectors don't). Same exact
+    * integer arithmetic as doc_embed, so the composed chunking→hashing
+    * twin is fully oracle-checked. Plan: per-row chunk explode → token
+    * explode → ONE (doc_id, chunk_id)-keyed partial-agg shuffle; shuffle
+    * bytes ≈ chunks × dims longs thanks to map-side combine. */
+  def chunkEmbed(s: SparkSession, dir: String): DataFrame = {
+    val h = xxhash64(col("tok"))
+    val tok = Tables.documents(s, dir)
+      .withColumn("start", explode(sequence(lit(0L),
+        greatest(length(col("text")).cast("long") - 1, lit(0L)), lit(ChunkStride.toLong))))
+      .select(col("doc_id"), (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("text").substr(col("start").cast("int") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        explode(split(col("chunk"), " ")).as("tok"))
+      .select(col("doc_id"), col("chunk_id"),
+        pmod(h, lit(EmbedDims.toLong)).as("dim"),
+        when(shiftrightunsigned(h, 4) % 2 === 0, 1L).otherwise(-1L).as("sg"))
+    val agg = (0 until EmbedDims).map(i =>
+      coalesce(sum(when(col("dim") === i.toLong, col("sg"))), lit(0L)).as(s"f$i"))
+    tok.groupBy("doc_id", "chunk_id").agg(agg.head, agg.tail: _*)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** char_diversity — per-document character-distribution quality gate:
     * distinct characters, Gini–Simpson diversity 1 − Σ(c/L)², and the
     * effective alphabet size L²/Σc² (inverse Simpson — the Hill number

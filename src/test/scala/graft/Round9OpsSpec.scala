@@ -42,6 +42,33 @@ class Round9OpsSpec extends AnyFunSuite {
     s.catalog.clearCache()
   }
 
+  test("chunk_embed: chunk vectors sum consistently with chunk coverage") {
+    import graft.operators.TextOps
+    val ce = TextOps.chunkEmbed(s, sf).collect()
+    s.catalog.clearCache()
+    val chunks = TextOps.docChunk(s, sf).select("doc_id", "chunk_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))).toSet
+    s.catalog.clearCache()
+    // one vector per chunk, exactly the doc_chunk coverage
+    assert(ce.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))).toSet
+      == chunks)
+    // a full-coverage sanity: a doc's FIRST chunk over its own full text
+    // prefix must reproduce hashing that text prefix directly
+    val doc = Tables.documents(s, sf).select("doc_id", "text")
+      .filter(length(col("text")) <= TextOps.ChunkSize)
+      .orderBy("doc_id").limit(1).collect()(0)
+    val id = doc.getAs[Number]("doc_id").longValue
+    val whole = ce.filter(r => r.getAs[Long]("doc_id") == id)
+    assert(whole.length == 1, "short doc must be exactly one chunk")
+    val fromDocEmbed = TextOps.docEmbed(s, sf)
+      .filter(col("doc_id") === id).collect()(0)
+    s.catalog.clearCache()
+    (0 until TextOps.EmbedDims).foreach { i =>
+      assert(whole(0).getAs[Long](s"f$i") == fromDocEmbed.getAs[Long](s"f$i"),
+        s"dim $i of single-chunk doc $id diverges from doc_embed")
+    }
+  }
+
   test("bpe_fertility: per-source ratios recompute from the per-doc token frame") {
     import graft.operators.TokenizerOps
     val panel = TokenizerOps.bpeFertility(s, sf).collect()
