@@ -46,7 +46,7 @@ object Bench {
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
       "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
-      "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text",
+      "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text", "dedup_report",
       "embedding_pq", "ann_pq", "ann_ivf_pq",
       "repeated_spans", "steam_pipeline", "zorder_layout", "dedup_minhash_verified",
       "dedup_minhash_incremental", "quantile_sketch", "text_tfidf", "bm25_topk",

@@ -491,6 +491,65 @@ object OracleSql {
          |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Exact 3-gram Jaccard near-dup pairs twin — shared by the
+    * standalone `dedup_ngram_jaccard` key and `dedup_report`'s
+    * near-dup leg (wrapped as a subquery). The hot-shingle df cutoff
+    * (kept CTE) mirrors DedupOps.MaxShingleDf. */
+  private def ngramJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+         |kept AS (SELECT shingle FROM sh0 GROUP BY shingle
+         |         HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) AS jaccard
+         |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The documents→hashed-vectors→SemDeDup composed twin — shared by the
+    * standalone `semantic_dedup_text` key and `dedup_report`'s semantic
+    * leg (wrapped as a subquery). */
+  private def semanticDedupTextSql: String = {
+      // documents → hashed vectors (the doc_embed XXH64 twin, densified
+      // to 16-long lists) → unrolled kmeans over the RAW integer vectors
+      // (eOverride: no e6 scaling — counts are already integers) →
+      // within-cluster integer-cosine verdicts
+      import graft.operators.ClusterOps.{KmeansK, KmeansRounds, SemThreshold}
+      val dims = graft.operators.TextOps.EmbedDims
+      val km = kmeansCtes(KmeansK, KmeansRounds, "TRUE", 1, dims, "",
+        eOverride = "SELECT vec_id, v FROM docv")
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT doc_id, i, w[i] AS tok
+         |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+         |${xxStringCtes("src", Seq("doc_id", "i"))},
+         |hv AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
+         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
+         |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM hv GROUP BY 1, 2),
+         |dense AS (SELECT d.doc_id, gs.i AS dim, COALESCE(f.fv, 0) AS fv
+         |  FROM (SELECT DISTINCT doc_id FROM f) d
+         |  CROSS JOIN generate_series(0, ${dims - 1}) gs(i)
+         |  LEFT JOIN f ON f.doc_id = d.doc_id AND f.dim = gs.i),
+         |docv AS (SELECT CAST(doc_id AS BIGINT) AS vec_id,
+         |  list(fv ORDER BY dim) AS v, CAST(SUM(fv*fv) AS BIGINT) AS nrm
+         |  FROM dense GROUP BY doc_id HAVING SUM(fv*fv) > 0),
+         |$km,
+         |x AS (SELECT af.vec_id, af.cluster, d.v, d.nrm FROM af JOIN docv d USING (vec_id)),
+         |dup AS (SELECT b.vec_id, MIN(y.vec_id) AS dup_of FROM x b JOIN x y
+         |  ON b.cluster = y.cluster AND y.vec_id < b.vec_id
+         |  AND CAST(list_sum(list_transform(generate_series(1,$dims), i -> b.v[i]*y.v[i])) AS DOUBLE)
+         |    /(sqrt(CAST(b.nrm AS DOUBLE))*sqrt(CAST(y.nrm AS DOUBLE))) >= $SemThreshold
+         |  GROUP BY 1)
+         |SELECT x.vec_id AS doc_id, x.cluster, dup.dup_of,
+         |  dup.dup_of IS NULL AS keep
+         |FROM x LEFT JOIN dup USING (vec_id) ORDER BY doc_id""".stripMargin
+  }
+
   private def stopList(lang: String): String =
     graft.operators.TextOps.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -1211,22 +1270,7 @@ object OracleSql {
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      // the hot-shingle df cutoff (kept CTE) mirrors DedupOps.MaxShingleDf
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
-         |kept AS (SELECT shingle FROM sh0 GROUP BY shingle
-         |         HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
-         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
-         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |       GROUP BY a.doc_id, b.doc_id),
-         |j AS (SELECT doc_a, doc_b, CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) AS jaccard
-         |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
 
     "dedup_containment" ->
       // same posting-list CTEs as dedup_ngram_jaccard; the score is the
@@ -1500,41 +1544,7 @@ object OracleSql {
          |FROM bt LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
     },
 
-    "semantic_dedup_text" -> {
-      // documents → hashed vectors (the doc_embed XXH64 twin, densified
-      // to 16-long lists) → unrolled kmeans over the RAW integer vectors
-      // (eOverride: no e6 scaling — counts are already integers) →
-      // within-cluster integer-cosine verdicts
-      import graft.operators.ClusterOps.{KmeansK, KmeansRounds, SemThreshold}
-      val dims = graft.operators.TextOps.EmbedDims
-      val km = kmeansCtes(KmeansK, KmeansRounds, "TRUE", 1, dims, "",
-        eOverride = "SELECT vec_id, v FROM docv")
-      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |tok AS (SELECT doc_id, i, w[i] AS tok
-         |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
-         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
-         |${xxStringCtes("src", Seq("doc_id", "i"))},
-         |hv AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
-         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
-         |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM hv GROUP BY 1, 2),
-         |dense AS (SELECT d.doc_id, gs.i AS dim, COALESCE(f.fv, 0) AS fv
-         |  FROM (SELECT DISTINCT doc_id FROM f) d
-         |  CROSS JOIN generate_series(0, ${dims - 1}) gs(i)
-         |  LEFT JOIN f ON f.doc_id = d.doc_id AND f.dim = gs.i),
-         |docv AS (SELECT CAST(doc_id AS BIGINT) AS vec_id,
-         |  list(fv ORDER BY dim) AS v, CAST(SUM(fv*fv) AS BIGINT) AS nrm
-         |  FROM dense GROUP BY doc_id HAVING SUM(fv*fv) > 0),
-         |$km,
-         |x AS (SELECT af.vec_id, af.cluster, d.v, d.nrm FROM af JOIN docv d USING (vec_id)),
-         |dup AS (SELECT b.vec_id, MIN(y.vec_id) AS dup_of FROM x b JOIN x y
-         |  ON b.cluster = y.cluster AND y.vec_id < b.vec_id
-         |  AND CAST(list_sum(list_transform(generate_series(1,$dims), i -> b.v[i]*y.v[i])) AS DOUBLE)
-         |    /(sqrt(CAST(b.nrm AS DOUBLE))*sqrt(CAST(y.nrm AS DOUBLE))) >= $SemThreshold
-         |  GROUP BY 1)
-         |SELECT x.vec_id AS doc_id, x.cluster, dup.dup_of,
-         |  dup.dup_of IS NULL AS keep
-         |FROM x LEFT JOIN dup USING (vec_id) ORDER BY doc_id""".stripMargin
-    },
+    "semantic_dedup_text" -> semanticDedupTextSql,
 
     "quality_model_score" ->
       s"""WITH $qmsCtes
@@ -2518,6 +2528,28 @@ object OracleSql {
          |    sqrt(a.var_cents/a.n + b.var_cents/b.n) AS t_stat
          |FROM (SELECT * FROM st WHERE cohort='control') a,
          |     (SELECT * FROM st WHERE cohort='treatment') b""".stripMargin,
+
+    "dedup_report" ->
+      // each leg wraps the corresponding standalone key's twin as a
+      // subquery — the panel is definitionally pinned to those keys
+      s"""WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |legs AS (
+         |  SELECT 'exact' AS space,
+         |    CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_flagged
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'normalized',
+         |    CAST(COUNT(*) - COUNT(DISTINCT md5($normTextSql)) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'near_dup_jaccard', CAST(COUNT(DISTINCT doc_b) AS BIGINT)
+         |  FROM ($ngramJaccardSql)
+         |  UNION ALL
+         |  SELECT 'semantic_text', CAST(COUNT(*) AS BIGINT)
+         |  FROM ($semanticDedupTextSql) WHERE NOT keep)
+         |SELECT space, n_docs, n_flagged,
+         |  CAST(n_flagged AS DOUBLE)/CAST(n_docs AS DOUBLE) AS flagged_rate
+         |FROM legs, tot ORDER BY space""".stripMargin,
 
     "dedup_normalized" ->
       s"""SELECT md5($normTextSql) AS h,

@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashVerified(s, d)),
     "dedup_clusters" -> (DedupOps.dedupClusters(_, _)),
+    "dedup_report" -> (DedupOps.dedupReport(_, _)),
     "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
     "dedup_containment" -> ((s, d) => DedupOps.dedupContainment(s, d)),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard(_, _)),

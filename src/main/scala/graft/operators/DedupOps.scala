@@ -604,6 +604,45 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** dedup_report — the cross-space CORPUS HEALTH panel: one row per
+    * dedup space with how many documents that space flags as duplicates
+    * and the flagged rate — the number a curation review reads first
+    * ("how duplicated is this corpus, and in which sense?").
+    *
+    * Spaces: `exact` (byte-identical, docs − distinct md5), `normalized`
+    * (C4-style canonicalize-then-hash), `near_dup_jaccard` (exact 3-gram
+    * Jaccard ≥ 0.5 — a doc is flagged when a LOWER-id near-dup exists,
+    * the first-wins convention), and `semantic_text` (embedding-space
+    * verdicts of [[graft.operators.ClusterOps.semanticDedupText]] —
+    * keep=false count). Each leg is the SAME definition its standalone
+    * key ships (the oracle wraps those keys' twins as subqueries), so
+    * the panel can never drift from the operators it summarizes.
+    * All legs collapse to single-row aggregates before the union — the
+    * output is 4 rows whatever the corpus size. */
+  def dedupReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val exact = docs
+      .agg((count(lit(1)) - countDistinct(md5(col("text")))).as("n_flagged"))
+      .select(lit("exact").as("space"), col("n_flagged"))
+    val normd = docs
+      .agg((count(lit(1)) - countDistinct(md5(normalizeText(col("text")))))
+        .as("n_flagged"))
+      .select(lit("normalized").as("space"), col("n_flagged"))
+    val jac = dedupNgramJaccard(s, dir)
+      .agg(countDistinct(col("doc_b")).as("n_flagged"))
+      .select(lit("near_dup_jaccard").as("space"), col("n_flagged"))
+    val sem = ClusterOps.semanticDedupText(s, dir).filter(!col("keep"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .select(lit("semantic_text").as("space"), col("n_flagged"))
+    exact.unionByName(normd).unionByName(jac).unionByName(sem)
+      .crossJoin(broadcast(total))
+      .select(col("space"), col("n_docs"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("flagged_rate"))
+      .orderBy("space")
+  }
+
   /** Deterministic exact cosine from scaled-int dot/norms (see DotE12). */
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))

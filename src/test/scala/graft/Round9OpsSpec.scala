@@ -42,6 +42,32 @@ class Round9OpsSpec extends AnyFunSuite {
     s.catalog.clearCache()
   }
 
+  test("dedup_report: every leg recomputes from its standalone key") {
+    import graft.operators.DedupOps
+    val panel = DedupOps.dedupReport(s, sf).collect()
+      .map(r => r.getAs[String]("space") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_flagged"),
+          r.getAs[Double]("flagged_rate")))).toMap
+    s.catalog.clearCache()
+    val nDocs = Tables.documents(s, sf).count()
+    assert(panel.keySet == Set("exact", "normalized", "near_dup_jaccard", "semantic_text"))
+    panel.values.foreach { case (n, f, r) =>
+      assert(n == nDocs && f >= 0 && f <= n)
+      assert(math.abs(r - f.toDouble / n) < 1e-15)
+    }
+    // exact ≤ normalized (canonicalization only merges hash groups)
+    assert(panel("exact")._2 <= panel("normalized")._2)
+    // legs recompute from the standalone keys
+    val jacFlagged = DedupOps.dedupNgramJaccard(s, sf)
+      .select("doc_b").distinct().count()
+    s.catalog.clearCache()
+    assert(panel("near_dup_jaccard")._2 == jacFlagged)
+    val semFlagged = graft.operators.ClusterOps.semanticDedupText(s, sf)
+      .filter(!col("keep")).count()
+    s.catalog.clearCache()
+    assert(panel("semantic_text")._2 == semFlagged)
+  }
+
   test("chunk_embed: chunk vectors sum consistently with chunk coverage") {
     import graft.operators.TextOps
     val ce = TextOps.chunkEmbed(s, sf).collect()
