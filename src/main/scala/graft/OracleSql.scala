@@ -458,6 +458,27 @@ object OracleSql {
     * `ann_index_probe` (the landed-index read path): the two Spark
     * compositions are bit-identical by construction, so one oracle
     * covers both. */
+
+  /** The chunking→token-hashing CTE chain ending in `v` (doc_id,
+    * chunk_id, dim, sg) — shared by `chunk_embed` and
+    * `chunk_neighbors`. */
+  private def chunkHashCtes: String = {
+    val dims = graft.operators.TextOps.EmbedDims
+    val size = graft.operators.TextOps.ChunkSize
+    val stride = graft.operators.TextOps.ChunkStride
+    s"""t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |ch AS (SELECT doc_id, CAST(i // $stride AS BIGINT) AS chunk_id,
+         |  substr(text, CAST(i AS INT) + 1, $size) AS chunk
+         |  FROM t, UNNEST(generate_series(0, greatest(n - 1, 0), $stride)) AS u(i)),
+         |cw AS (SELECT doc_id, chunk_id, string_split(chunk, ' ') AS w FROM ch),
+         |tok AS (SELECT doc_id, chunk_id, i, w[i] AS tok
+         |  FROM cw, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |src AS (SELECT doc_id, chunk_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+         |${xxStringCtes("src", Seq("doc_id", "chunk_id", "i"))},
+         |v AS (SELECT doc_id, chunk_id, CAST(xh % $dims AS BIGINT) AS dim,
+         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh)""".stripMargin
+  }
+
   private def annIvfPqSql: String = {
       import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM, PqNprobe, PqRounds}
       val qm = graft.operators.SimilarityOps.QueryModulus
@@ -1906,27 +1927,42 @@ object OracleSql {
 
     "chunk_embed" -> {
       val dims = graft.operators.TextOps.EmbedDims
-      val size = graft.operators.TextOps.ChunkSize
-      val stride = graft.operators.TextOps.ChunkStride
       val sums = (0 until dims).map(i =>
         s"CAST(SUM(CASE WHEN dim = $i THEN sg ELSE 0 END) AS BIGINT) AS f$i")
         .mkString(",\n|  ")
-      // doc_chunk's window CTEs feeding doc_embed's XXH64 hashing twin,
-      // keyed by (doc_id, chunk_id)
-      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-         |ch AS (SELECT doc_id, CAST(i // $stride AS BIGINT) AS chunk_id,
-         |  substr(text, CAST(i AS INT) + 1, $size) AS chunk
-         |  FROM t, UNNEST(generate_series(0, greatest(n - 1, 0), $stride)) AS u(i)),
-         |cw AS (SELECT doc_id, chunk_id, string_split(chunk, ' ') AS w FROM ch),
-         |tok AS (SELECT doc_id, chunk_id, i, w[i] AS tok
-         |  FROM cw, UNNEST(generate_series(1, len(w))) AS u(i)),
-         |src AS (SELECT doc_id, chunk_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
-         |${xxStringCtes("src", Seq("doc_id", "chunk_id", "i"))},
-         |v AS (SELECT doc_id, chunk_id, CAST(xh % $dims AS BIGINT) AS dim,
-         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh)
+      s"""WITH $chunkHashCtes
          |SELECT doc_id, chunk_id,
          |  $sums
          |FROM v GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    "chunk_neighbors" -> {
+      val qm = graft.operators.SimilarityOps.QueryModulus
+      // long-form chunk vectors (absent dims implicit 0 — the dim-join
+      // dot is exact); same LEFT JOIN + coalesce shape as doc_neighbors,
+      // keyed by (doc, chunk); same-doc chunks excluded
+      s"""WITH $chunkHashCtes,
+         |f AS (SELECT doc_id, chunk_id, dim, CAST(SUM(sg) AS BIGINT) AS fv
+         |  FROM v GROUP BY 1, 2, 3),
+         |nrm AS (SELECT doc_id, chunk_id, CAST(SUM(fv*fv) AS BIGINT) AS n2
+         |  FROM f GROUP BY 1, 2),
+         |pr AS (SELECT qa.doc_id AS q_doc, qa.chunk_id AS q_chunk,
+         |    nb.doc_id AS n_doc, nb.chunk_id AS n_chunk, qa.n2 AS qn, nb.n2 AS nn
+         |  FROM nrm qa JOIN nrm nb ON qa.doc_id <> nb.doc_id
+         |  WHERE qa.doc_id % $qm = 0 AND qa.n2 > 0 AND nb.n2 > 0),
+         |dt AS (SELECT a.doc_id AS q_doc, a.chunk_id AS q_chunk,
+         |    b.doc_id AS n_doc, b.chunk_id AS n_chunk,
+         |    CAST(SUM(a.fv*b.fv) AS BIGINT) AS dt
+         |  FROM f a JOIN f b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % $qm = 0 GROUP BY 1, 2, 3, 4),
+         |sc AS (SELECT pr.q_doc, pr.q_chunk, pr.n_doc, pr.n_chunk,
+         |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
+         |  FROM pr LEFT JOIN dt ON dt.q_doc = pr.q_doc AND dt.q_chunk = pr.q_chunk
+         |    AND dt.n_doc = pr.n_doc AND dt.n_chunk = pr.n_chunk),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc, q_chunk
+         |  ORDER BY cos_sim DESC, n_doc, n_chunk) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_doc, q_chunk, n_doc, n_chunk, cos_sim, rnk FROM rk WHERE rnk <= 5
+         |ORDER BY q_doc, q_chunk, rnk""".stripMargin
     },
 
     "doc_neighbors" -> {

@@ -138,6 +138,7 @@ object SparkEntry {
     "ngram_counts" -> ((s, d) => TextOps.ngramCounts(s, d)),
     "doc_chunk" -> (TextOps.docChunk(_, _)),
     "chunk_embed" -> (TextOps.chunkEmbed(_, _)),
+    "chunk_neighbors" -> ((s, d) => TextOps.chunkNeighbors(s, d)),
     "text_winnow" -> (TextOps.textWinnow(_, _)),
     "repetition_stats" -> (TextOps.repetitionStats(_, _)),
     "bm25_topk" -> ((s, d) => RetrievalOps.bm25Topk(s, d)),

@@ -254,6 +254,45 @@ object TextOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** chunk_neighbors — CHUNK-level retrieval over [[chunkEmbed]]'s
+    * hashed vectors: for every query-doc chunk, the top-k most similar
+    * chunks of OTHER documents by exact integer cosine — the passage
+    * lookup a RAG pipeline serves ([[docNeighbors]] finds similar
+    * documents; this finds the similar passage INSIDE them, which is
+    * what actually gets stuffed into a context window). Query chunks:
+    * doc_id % QueryModulus == 0 (the shared convention); same-doc
+    * chunks are excluded (overlapping windows of one doc are trivially
+    * similar); zero-norm chunks excluded on both sides. Plan: the
+    * chunk-vector frame builds once, the query side broadcasts, per-
+    * query top-k via one rank window — the brute baseline whose scale
+    * path is the same LSH/IVF/PQ bucketing as every embedding family
+    * (hashed chunk vectors are just integer embeddings). */
+  def chunkNeighbors(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = array((0 until EmbedDims).map(i => col(s"f$i")): _*)
+    val withN = chunkEmbed(s, dir)
+      .select(col("doc_id"), col("chunk_id"), v.as("v"))
+      .withColumn("nrm", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+      .filter(col("nrm") > 0L)
+    val q = withN
+      .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("q_doc") % SimilarityOps.QueryModulus === 0)
+    val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_doc", "q_chunk")
+      .orderBy(col("cos_sim").desc, col("n_doc"), col("n_chunk"))
+    withN.join(broadcast(q), col("q_doc") =!= col("doc_id"))
+      .select(col("q_doc"), col("q_chunk"),
+        col("doc_id").as("n_doc"), col("chunk_id").as("n_chunk"),
+        (dot.cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_doc", "q_chunk", "rnk")
+  }
+
   /** #34 text_fingerprint (rows-only) — 64-bit FNV-1a rolling-hash document
     * fingerprint via the native codegen expression [[graft.functions.RollingHash64]].
     * Wrap-around multiplication is intentional → not ANSI-SQL-expressible,

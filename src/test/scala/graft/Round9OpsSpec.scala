@@ -42,6 +42,29 @@ class Round9OpsSpec extends AnyFunSuite {
     s.catalog.clearCache()
   }
 
+  test("chunk_neighbors: k per query chunk, cross-doc only, descending, scores valid") {
+    import graft.operators.TextOps
+    val out = TextOps.chunkNeighbors(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_doc") != r.getAs[Long]("n_doc"),
+        "same-doc chunk must never be a neighbor")
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    out.groupBy(r => (r.getAs[Long]("q_doc"), r.getAs[Long]("q_chunk")))
+      .foreach { case (_, rows) =>
+        assert(rows.length <= 5)
+        val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+        assert(byRank.map(_.getAs[Long]("rnk")).toSeq ==
+          (1L to rows.length).toSeq, "ranks must be dense from 1")
+        val sims = byRank.map(_.getAs[Double]("cos_sim"))
+        assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+          "cos_sim must be non-increasing in rank")
+      }
+  }
+
   test("dedup_report: every leg recomputes from its standalone key") {
     import graft.operators.DedupOps
     val panel = DedupOps.dedupReport(s, sf).collect()
