@@ -479,14 +479,19 @@ object OracleSql {
          |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh)""".stripMargin
   }
 
-  private def annIvfPqSql: String = {
+  private def annIvfPqSql: String = annIvfPqSqlWhere("TRUE")
+
+  /** Same twin with the quantizer training restricted to `trainWhere`
+    * rows — `ann_index_probe_admitted` probes the index whose artifacts
+    * froze on the corpus slice while codes cover everyone. */
+  private def annIvfPqSqlWhere(trainWhere: String): String = {
       import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM, PqNprobe, PqRounds}
       val qm = graft.operators.SimilarityOps.QueryModulus
       val dimsPer = 64 / PqM
-      val coarse = kmeansCtes(CoarseCells, CoarseRounds, "TRUE", 1, 64, "cv",
+      val coarse = kmeansCtes(CoarseCells, CoarseRounds, trainWhere, 1, 64, "cv",
         normalized = true)
       val subCtes = (0 until PqM).map(i =>
-        kmeansCtes(PqK, PqRounds, "TRUE", i * dimsPer + 1, dimsPer, s"q$i",
+        kmeansCtes(PqK, PqRounds, trainWhere, i * dimsPer + 1, dimsPer, s"q$i",
           normalized = true)).mkString(",\n")
       val luts = (0 until PqM).map(i =>
         s"""lut$i AS (SELECT e.vec_id AS q_id, pc.cluster AS code, ${kmDist("e.v", "pc.c", dimsPer)} AS d
@@ -1514,6 +1519,12 @@ object OracleSql {
          |  CAST(err_sum AS DOUBLE)/CAST(n AS DOUBLE) AS err_mean
          |FROM cells, tot ORDER BY cell""".stripMargin
     },
+
+    "ann_index_probe_admitted" ->
+      // the grown-index search twin: quantizers frozen on the corpus
+      // slice, codes (af CTEs) cover corpus + admitted batch, queries
+      // probe the full set
+      annIvfPqSqlWhere(s"vec_id < ${graft.operators.ClusterOps.SemSplit}"),
 
     "ann_index_admit" -> {
       // the frozen-quantizer ingest twin: every kmeans instance trains

@@ -153,6 +153,7 @@ object SparkEntry {
     "ann_index_probe" -> (AnnIndexOps.annIndexProbe(_, _)),
     "ann_index_admit" -> (AnnIndexOps.annIndexAdmit(_, _)),
     "ann_index_stats" -> (AnnIndexOps.annIndexStats(_, _)),
+    "ann_index_probe_admitted" -> (AnnIndexOps.annIndexProbeAdmitted(_, _)),
     "semantic_dedup" -> ((s, d) => ClusterOps.semanticDedup(s, d)),
     "semantic_dedup_incremental" -> ((s, d) => ClusterOps.semanticDedupIncremental(s, d)),
     "semantic_clusters" -> (DedupOps.semanticClusters(_, _)),

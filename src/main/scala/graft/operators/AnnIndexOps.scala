@@ -213,6 +213,22 @@ object AnnIndexOps {
       .orderBy("cell")
   }
 
+  /** ann_index_probe_admitted — the GROW-THEN-SEARCH loop end to end:
+    * the index artifacts froze on the corpus slice (vec_id < SemSplit),
+    * the post-build batch is admitted through [[admitToIndex]] (an
+    * idempotent no-op after the first call), and the probe then
+    * searches corpus + admitted vectors together — proving that what
+    * streaming/batch admission lands is immediately searchable with
+    * NO retraining. The oracle is the IVF-PQ twin with every quantizer
+    * trained on the corpus slice and codes covering everyone. */
+  def annIndexProbeAdmitted(s: SparkSession, dir: String): DataFrame = {
+    val split = ClusterOps.SemSplit
+    val idx = ensureIndex(s, dir, "grown")(_.filter(col("vec_id") < split))
+    admitToIndex(s, idx,
+      Tables.embeddings(s, dir).filter(col("vec_id") >= split))
+    probeAnnIndex(s, idx, Tables.embeddings(s, dir))
+  }
+
   /** ann_index_admit — the ingest side: vectors arriving AFTER the index
     * build (vec_id ≥ SemSplit, the shared admission split) are assigned
     * against the FROZEN corpus-slice artifacts — cell, M codes, exact

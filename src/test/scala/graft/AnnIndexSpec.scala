@@ -130,6 +130,23 @@ class AnnIndexSpec extends AnyFunSuite {
     s.catalog.clearCache()
   }
 
+  test("grow-then-search: the probe over the grown index surfaces admitted vectors") {
+    val split = ClusterOps.SemSplit
+    val out = AnnIndexOps.annIndexProbeAdmitted(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    // admitted vectors (vec_id >= split) must be reachable as neighbors —
+    // the whole point of admission is that landed vectors are searchable
+    assert(out.exists(_.getAs[Long]("n_id") >= split),
+      "no admitted vector ever surfaced as a neighbor")
+    // queries above the split get answers too (they are index members)
+    assert(out.exists(_.getAs[Long]("q_id") >= split))
+    // idempotence: a second call (admit re-runs as a no-op) is identical
+    val again = AnnIndexOps.annIndexProbeAdmitted(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("admitted codes match the keyed frozen-assignment query row-for-row") {
     val dir = freshDir("assign")
     val split = ClusterOps.SemSplit
