@@ -537,6 +537,99 @@ object OracleSql {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dedup_clusters twin — same exact-Jaccard pair pipeline as
+    * dedup_ngram_jaccard, then a recursive reachability closure: a
+    * node's label set is every node that reaches it over the undirected
+    * pair graph; MIN(label) is the component minimum — exactly what
+    * iterative min-label pointer jumping converges to. UNION (not UNION
+    * ALL) dedups rows, so the recursion reaches the transitive-closure
+    * fixpoint and stops. Shared by the standalone key and
+    * dedup_survivors (wrapped as a subquery — DuckDB allows WITH
+    * RECURSIVE inside a derived table). */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+       |kept AS (SELECT shingle FROM sh0 GROUP BY shingle
+       |         HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id),
+       |j AS (SELECT doc_a, doc_b
+       |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
+       |      WHERE CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) >= 0.5),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM j
+       |      UNION ALL SELECT doc_b, doc_a FROM j),
+       |reach(id, label) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.id),
+       |lab AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN lab USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** lexical_neighbors twin — distinct-token-set Jaccard as an exact e6
+    * integer over df-capped posting lists (cap mirrors
+    * DedupOps.MaxShingleDf; set sizes count KEPT tokens only, matching
+    * the Spark side). Shared by the standalone key and
+    * hybrid_retrieval's sparse leg (wrapped as a subquery). */
+  private def lexicalNeighborsSql: String = {
+    val qm = graft.operators.SimilarityOps.QueryModulus
+    val scale = graft.operators.RetrievalOps.RrfScale
+    s"""WITH ltk AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) > 0),
+       |lkept AS (SELECT tok FROM ltk GROUP BY tok
+       |  HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
+       |lsh AS (SELECT ltk.doc_id, ltk.tok FROM ltk JOIN lkept USING (tok)),
+       |lsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM lsh GROUP BY doc_id),
+       |lpr AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM lsh a JOIN lsh b ON a.tok = b.tok AND a.doc_id % $qm = 0
+       |    AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |lj AS (SELECT q_id, n_id, common,
+       |  CAST((common * $scale) // (za.n_tok + zb.n_tok - common) AS BIGINT) AS j_e6
+       |  FROM lpr JOIN lsz za ON q_id = za.doc_id JOIN lsz zb ON n_id = zb.doc_id),
+       |lrk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY j_e6 DESC, n_id) AS BIGINT) AS rnk FROM lj)
+       |SELECT q_id, n_id, common, j_e6, rnk FROM lrk WHERE rnk <= ${graft.operators.RetrievalOps.PoolK}
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** doc_neighbors twin — long-form hashed-feature vectors (absent dims
+    * are implicit 0, so the dim-join dot product is exact); pairs with
+    * NO shared dim get dot 0 via the LEFT JOIN + coalesce — they still
+    * rank. Shared by the standalone key and hybrid_retrieval's dense
+    * leg (wrapped as a subquery). */
+  private def docNeighborsSql: String = {
+    val dims = graft.operators.TextOps.EmbedDims
+    val qm = graft.operators.SimilarityOps.QueryModulus
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, i, w[i] AS tok
+       |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
+       |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+       |${xxStringCtes("src", Seq("doc_id", "i"))},
+       |v AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
+       |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
+       |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM v GROUP BY 1, 2),
+       |nrm AS (SELECT doc_id, CAST(SUM(fv*fv) AS BIGINT) AS n2 FROM f GROUP BY 1),
+       |pr AS (SELECT na.doc_id AS q_id, nb.doc_id AS n_id, na.n2 AS qn, nb.n2 AS nn
+       |  FROM nrm na JOIN nrm nb ON na.doc_id <> nb.doc_id
+       |  WHERE na.doc_id % $qm = 0 AND na.n2 > 0 AND nb.n2 > 0),
+       |dt AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, CAST(SUM(a.fv*b.fv) AS BIGINT) AS dt
+       |  FROM f a JOIN f b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % $qm = 0 GROUP BY 1, 2),
+       |sc AS (SELECT pr.q_id, pr.n_id,
+       |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
+       |  FROM pr LEFT JOIN dt ON dt.q_id = pr.q_id AND dt.n_id = pr.n_id),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT q_id, n_id, cos_sim, rnk FROM rk WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** The documents→hashed-vectors→SemDeDup composed twin — shared by the
     * standalone `semantic_dedup_text` key and `dedup_report`'s semantic
     * leg (wrapped as a subquery). */
@@ -1319,37 +1412,18 @@ object OracleSql {
          |WHERE containment >= ${graft.operators.DedupOps.ContainmentThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dedup_clusters" ->
-      // same exact-Jaccard pair pipeline as dedup_ngram_jaccard, then a
-      // recursive reachability closure: a node's label set is every node
-      // that reaches it over the undirected pair graph; MIN(label) is the
-      // component minimum — exactly what iterative min-label pointer
-      // jumping converges to. UNION (not UNION ALL) dedups rows, so the
-      // recursion reaches the transitive-closure fixpoint and stops.
-      s"""WITH RECURSIVE
-         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-         |       FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i) WHERE len(w) >= 3),
-         |kept AS (SELECT shingle FROM sh0 GROUP BY shingle
-         |         HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
-         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
-         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |       GROUP BY a.doc_id, b.doc_id),
-         |j AS (SELECT doc_a, doc_b
-         |      FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
-         |      WHERE CAST(common AS DOUBLE)/(za.n_sh + zb.n_sh - common) >= 0.5),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM j
-         |      UNION ALL SELECT doc_b, doc_a FROM j),
-         |reach(id, label) AS (
-         |  SELECT DISTINCT a, a FROM e
-         |  UNION
-         |  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.id),
-         |lab AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
-         |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
-         |FROM documents d LEFT JOIN lab USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+
+    "dedup_survivors" ->
+      // the cluster twin wrapped as a subquery + the quality-head CTEs:
+      // per-cluster winner = max logit (ties → min doc_id)
+      s"""WITH $qmsCtes,
+         |cl AS (SELECT doc_id, cluster_id FROM ($dedupClustersSql)),
+         |j AS (SELECT cl.doc_id, cl.cluster_id, qml.logit_e12 FROM cl JOIN qml USING (doc_id)),
+         |k AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY logit_e12 DESC, doc_id) AS r FROM j)
+         |SELECT doc_id, cluster_id, logit_e12, n_members, r = 1 AS is_survivor
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "semantic_clusters" -> {
       // dedup_embedding_lsh's bucketed candidate pairs (seeded planes
@@ -1397,6 +1471,15 @@ object OracleSql {
          |  FROM q JOIN n c ON q.vec_id <> c.vec_id),
          |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM p)
          |SELECT q_id, n_id, cos_sim, rnk FROM k WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH n AS (SELECT vec_id, embedding, label, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |q AS (SELECT * FROM n WHERE vec_id % ${graft.operators.SimilarityOps.QueryModulus} = 0),
+         |p AS (SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id, c.label AS n_label,
+         |  ${cosSim(dotE12("q.embedding", "c.embedding"), "q.nrm", "c.nrm")} AS cos_sim
+         |  FROM q JOIN n c ON q.vec_id <> c.vec_id AND q.label <> c.label),
+         |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM p)
+         |SELECT q_id, q_label, n_id, n_label, cos_sim, rnk FROM k WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     "knn_classify" ->
       s"""WITH n AS (SELECT vec_id, embedding, label, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
@@ -1976,32 +2059,30 @@ object OracleSql {
          |ORDER BY q_doc, q_chunk, rnk""".stripMargin
     },
 
-    "doc_neighbors" -> {
-      val dims = graft.operators.TextOps.EmbedDims
-      val qm = graft.operators.SimilarityOps.QueryModulus
-      // long-form hashed-feature vectors (absent dims are implicit 0, so
-      // the dim-join dot product is exact); pairs with NO shared dim get
-      // dot 0 via the LEFT JOIN + coalesce — they still rank
-      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |tok AS (SELECT doc_id, i, w[i] AS tok
-         |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
-         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
-         |${xxStringCtes("src", Seq("doc_id", "i"))},
-         |v AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
-         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
-         |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM v GROUP BY 1, 2),
-         |nrm AS (SELECT doc_id, CAST(SUM(fv*fv) AS BIGINT) AS n2 FROM f GROUP BY 1),
-         |pr AS (SELECT na.doc_id AS q_id, nb.doc_id AS n_id, na.n2 AS qn, nb.n2 AS nn
-         |  FROM nrm na JOIN nrm nb ON na.doc_id <> nb.doc_id
-         |  WHERE na.doc_id % $qm = 0 AND na.n2 > 0 AND nb.n2 > 0),
-         |dt AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, CAST(SUM(a.fv*b.fv) AS BIGINT) AS dt
-         |  FROM f a JOIN f b ON a.dim = b.dim AND a.doc_id <> b.doc_id
-         |  WHERE a.doc_id % $qm = 0 GROUP BY 1, 2),
-         |sc AS (SELECT pr.q_id, pr.n_id,
-         |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
-         |  FROM pr LEFT JOIN dt ON dt.q_id = pr.q_id AND dt.n_id = pr.n_id),
-         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
-         |SELECT q_id, n_id, cos_sim, rnk FROM rk WHERE rnk <= 5
+    "doc_neighbors" -> docNeighborsSql,
+
+    "lexical_neighbors" -> lexicalNeighborsSql,
+
+    "hybrid_retrieval" -> {
+      // each leg wraps its standalone key's twin as a subquery, so the
+      // fusion is definitionally pinned to those keys; RRF terms are e6
+      // integers via `//` (≡ Spark's `div` for positive operands)
+      val k0 = graft.operators.RetrievalOps.RrfK0
+      val scale = graft.operators.RetrievalOps.RrfScale
+      val k = graft.operators.RetrievalOps.PoolK
+      s"""WITH sem AS (SELECT q_id, n_id, rnk AS sem_rnk FROM ($docNeighborsSql)),
+         |lex AS (SELECT q_id, n_id, rnk AS lex_rnk FROM ($lexicalNeighborsSql)),
+         |f AS (SELECT COALESCE(sem.q_id, lex.q_id) AS q_id,
+         |  COALESCE(sem.n_id, lex.n_id) AS n_id,
+         |  CAST(COALESCE(sem_rnk, 0) AS BIGINT) AS sem_rnk,
+         |  CAST(COALESCE(lex_rnk, 0) AS BIGINT) AS lex_rnk
+         |  FROM sem FULL OUTER JOIN lex ON sem.q_id = lex.q_id AND sem.n_id = lex.n_id),
+         |r AS (SELECT *, CAST(
+         |  (CASE WHEN sem_rnk > 0 THEN $scale // ($k0 + sem_rnk) ELSE 0 END)
+         |  + (CASE WHEN lex_rnk > 0 THEN $scale // ($k0 + lex_rnk) ELSE 0 END)
+         |  AS BIGINT) AS rrf_e6 FROM f),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, n_id) AS BIGINT) AS rnk FROM r)
+         |SELECT q_id, n_id, rrf_e6, sem_rnk, lex_rnk, rnk FROM rk WHERE rnk <= $k
          |ORDER BY q_id, rnk""".stripMargin
     },
 

@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
     "dedup_minhash_verified" -> ((s, d) => DedupOps.dedupMinhashVerified(s, d)),
     "dedup_clusters" -> (DedupOps.dedupClusters(_, _)),
+    "dedup_survivors" -> (DedupOps.dedupSurvivors(_, _)),
     "dedup_report" -> (DedupOps.dedupReport(_, _)),
     "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
     "dedup_containment" -> ((s, d) => DedupOps.dedupContainment(s, d)),
@@ -124,6 +125,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => DedupOps.dedupEmbeddingLsh(s, d)),
     "ann_cosine_topk" -> (SimilarityOps.annCosineTopK(_, _)),
     "knn_classify" -> ((s, d) => SimilarityOps.knnClassify(s, d)),
+    "hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "dq_checks" -> (QualityOps.dqChecks(_, _)),
     "ann_lsh" -> (SimilarityOps.annLsh(_, _)),
     "ann_ivf" -> ((s, d) => SimilarityOps.annIvf(s, d)),
@@ -142,6 +144,8 @@ object SparkEntry {
     "text_winnow" -> (TextOps.textWinnow(_, _)),
     "repetition_stats" -> (TextOps.repetitionStats(_, _)),
     "bm25_topk" -> ((s, d) => RetrievalOps.bm25Topk(s, d)),
+    "lexical_neighbors" -> ((s, d) => RetrievalOps.lexicalNeighbors(s, d)),
+    "hybrid_retrieval" -> ((s, d) => RetrievalOps.hybridRetrieval(s, d)),
     "source_mix" -> (CurationOps.sourceMix(_, _)),
     "mixture_sample" -> ((s, d) => CurationOps.mixtureSample(s, d)),
     "embedding_centroids" -> (SimilarityOps.embeddingCentroids(_, _)),

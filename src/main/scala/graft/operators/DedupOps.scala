@@ -604,6 +604,38 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** dedup_survivors — canonical-representative selection: for every
+    * [[dedupClusters]] near-dup cluster, elect the member with the BEST
+    * [[TextOps.qualityModelScore]] logit as the survivor (ties → lowest
+    * doc_id). Real curation pipelines keep the best-quality copy of a
+    * duplicated page, not the lowest-id one — min-id survivorship (the
+    * `dedup_*` keep_id convention) is an arbitrary-but-deterministic
+    * baseline; this key is the quality-aware policy layered on the SAME
+    * cluster structure, so swapping policies never changes what counts
+    * as a duplicate. Output is the full per-doc verdict frame (cluster,
+    * quality logit, cluster size, survivor flag); `WHERE is_survivor`
+    * is the kept corpus.
+    *
+    * Plan shape: the cluster labels (one CC pass over the bounded pair
+    * graph) join the scored scan on doc_id, then one cluster_id-keyed
+    * window elects per-cluster winners — clusters are near-dup families
+    * (bounded by the df-capped pair generator), so no window partition
+    * is corpus-sized. At 100×, both inputs already scale (CC is
+    * pointer-jumping, scoring is a pure projection); this adds one
+    * doc_id equi-join and one bounded window. */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(s, dir)
+    val q = TextOps.qualityModelScore(s, dir).select("doc_id", "logit_e12")
+    val wSize = Window.partitionBy("cluster_id")
+    val wBest = Window.partitionBy("cluster_id")
+      .orderBy(col("logit_e12").desc, col("doc_id"))
+    cl.join(q, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(wSize).cast("long"))
+      .withColumn("is_survivor", row_number().over(wBest) === 1)
+      .select("doc_id", "cluster_id", "logit_e12", "n_members", "is_survivor")
+      .orderBy("doc_id")
+  }
+
   /** dedup_report — the cross-space CORPUS HEALTH panel: one row per
     * dedup space with how many documents that space flags as duplicates
     * and the flagged rate — the number a curation review reads first

@@ -72,4 +72,85 @@ object RetrievalOps {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .orderBy("rnk")
   }
+
+  /** RRF constants — standard k₀=60 (Cormack & Clarke's reciprocal-rank
+    * fusion), with the 1/(k₀+r) term scaled to an e6 INTEGER via integer
+    * division so fused scores sum order-independently and the DuckDB
+    * twin is bit-exact (`div` here ≡ `//` there for positive operands —
+    * no float reciprocal to accumulate). */
+  val RrfK0 = 60L
+  val RrfScale = 1000000L
+  /** Per-leg candidate pool depth (matches docNeighbors' default k so
+    * the semantic leg reuses that key's twin verbatim). */
+  val PoolK = 5
+
+  /** lexical_neighbors — top-k most similar documents per query doc by
+    * DISTINCT-TOKEN-set Jaccard, as an exact e6 integer: the sparse
+    * keyword leg of hybrid retrieval ([[TextOps.docNeighbors]] is the
+    * dense leg over the same query convention). Candidate generation is
+    * the posting-list self-join with the shared df cap
+    * ([[DedupOps.MaxShingleDf]]): tokens appearing in more than `cap`
+    * docs (stopwords, boilerplate) generate no candidate pairs, which
+    * bounds per-token join fan-out at 100 TB exactly like the n-gram
+    * dedup family — and set sizes count KEPT tokens only, mirrored in
+    * the oracle. j_e6 = ⌊common·10⁶ / |A∪B|⌋ in pure integer arithmetic
+    * (no doubles anywhere in this key). */
+  def lexicalNeighbors(s: SparkSession, dir: String, k: Int = PoolK): DataFrame =
+    lexicalNeighborsDocs(Tables.documents(s, dir), k)
+
+  /** Core on any documents-shaped frame (testable / probe-able). */
+  def lexicalNeighborsDocs(docs: DataFrame, k: Int = PoolK): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val kept = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DedupOps.MaxShingleDf).select("tok")
+    val sh = tok.join(kept, "tok")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_tok"))
+    val pr = sh.filter(SimilarityOps.isQuery(col("doc_id")))
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(sh.select(col("doc_id").as("n_id"), col("tok")), "tok")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id").agg(count(lit(1)).cast("long").as("common"))
+    val j = pr
+      .join(sz.select(col("doc_id").as("q_id"), col("n_tok").as("qn")), "q_id")
+      .join(sz.select(col("doc_id").as("n_id"), col("n_tok").as("nn")), "n_id")
+      .withColumn("j_e6", expr(s"(common * $RrfScale) div (qn + nn - common)"))
+    val w = Window.partitionBy("q_id").orderBy(col("j_e6").desc, col("n_id"))
+    j.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "common", "j_e6", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** hybrid_retrieval — reciprocal-rank fusion of the dense and sparse
+    * retrieval legs: [[TextOps.docNeighbors]] (hashed-embedding cosine)
+    * and [[lexicalNeighbors]] (token-set Jaccard), fused per query doc
+    * with rrf = Σ_legs ⌊10⁶/(60+rank)⌋ (a candidate absent from a leg
+    * contributes 0). This is the standard RAG-stack retrieval shape —
+    * BM25/keyword ∪ vector search → RRF — run corpus-side: each leg's
+    * pool is its existing top-k key, so the fusion stage only ever
+    * touches queries × 2k candidate rows (a full-outer align on
+    * (q_id, n_id) + one bounded rank window), regardless of corpus
+    * size. Scores are pure integers end to end (see [[RrfScale]]); leg
+    * ranks ride along as provenance (0 = not in that leg's pool). */
+  def hybridRetrieval(s: SparkSession, dir: String, k: Int = PoolK): DataFrame = {
+    val sem = TextOps.docNeighbors(s, dir, PoolK)
+      .select(col("q_id"), col("n_id"), col("rnk").as("sem_rnk"))
+    val lex = lexicalNeighbors(s, dir, PoolK)
+      .select(col("q_id"), col("n_id"), col("rnk").as("lex_rnk"))
+    def leg(c: String) =
+      expr(s"CASE WHEN $c > 0 THEN $RrfScale div ($RrfK0 + $c) ELSE 0L END")
+    val fused = sem.join(lex, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"),
+        coalesce(col("sem_rnk"), lit(0L)).as("sem_rnk"),
+        coalesce(col("lex_rnk"), lit(0L)).as("lex_rnk"))
+      .withColumn("rrf_e6", leg("sem_rnk") + leg("lex_rnk"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf_e6").desc, col("n_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rrf_e6", "sem_rnk", "lex_rnk", "rnk")
+      .orderBy("q_id", "rnk")
+  }
 }

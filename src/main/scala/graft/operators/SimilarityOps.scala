@@ -213,6 +213,42 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** hard_negatives — contrastive-pair mining: for every query vector,
+    * the top-k nearest neighbors whose label DIFFERS from the query's —
+    * the "close in embedding space, semantically different" examples a
+    * contrastive/embedding-training pipeline batches as hard negatives
+    * (the in-batch-negatives step of DPR/SimCSE-style training, run
+    * corpus-side so the loader just reads pairs). Same exact scaled-int
+    * cosine + brute candidate source as [[annCosineTopK]] (the label
+    * filter rides the join condition, so mismatched-label pairs never
+    * reach the scorer); at 100× swap the candidate source for
+    * [[annLsh]]/[[annIvf]] buckets — the label filter and top-k window
+    * are unchanged. */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    hardNegativesFrom(Tables.embeddings(s, dir), k)
+
+  /** Core on any (vec_id, embedding, label) frame (testable with
+    * planted cross-label twins). */
+  def hardNegativesFrom(emb: DataFrame, k: Int = 5): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("embedding"), col("label"),
+        normE12(col("embedding")).as("nrm"))
+    val q = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val scored = e.join(broadcast(q),
+        col("q_id") =!= col("vec_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        DedupOps.cosine(dotE12(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "q_label", "n_id", "n_label", "cos_sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   /** embedding_centroids — per-label centroid of the embedding column,
     * element-wise: posexplode to (label, dim, component), scale each
     * component to an exact e6 integer at the ROW level, sum the integers

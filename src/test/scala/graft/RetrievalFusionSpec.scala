@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{RetrievalOps, SimilarityOps, TextOps}
+
+/** The retrieval-fusion family: the sparse lexical leg, RRF fusion of
+  * the dense + sparse legs, contrastive hard-negative mining, and
+  * quality-aware dedup survivor election. */
+class RetrievalFusionSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("lexical_neighbors: planted exact token-set twin ranks first with j_e6 = 1e6") {
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (300L, "alpha beta gamma delta"), // exact token-set twin of query 0
+      (7L, "alpha beta zulu yankee"),
+      (8L, "unrelated words entirely here"),
+      (9L, "gamma delta echo foxtrot")
+    ).toDF("doc_id", "text")
+    val out = RetrievalOps.lexicalNeighborsDocs(docs).collect()
+    s.catalog.clearCache()
+    val q0 = out.filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Long]("rnk"))
+    assert(q0.nonEmpty)
+    assert(q0.head.getAs[Long]("n_id") == 300L,
+      "the identical token set must be the top lexical neighbor")
+    assert(q0.head.getAs[Long]("j_e6") == RetrievalOps.RrfScale)
+    // 300 is itself a query doc (300 % 100 == 0): symmetry check
+    val q300 = out.filter(_.getAs[Long]("q_id") == 300L).sortBy(_.getAs[Long]("rnk"))
+    assert(q300.head.getAs[Long]("n_id") == 0L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"))
+      val j = r.getAs[Long]("j_e6")
+      assert(j >= 0L && j <= RetrievalOps.RrfScale)
+      assert(r.getAs[Long]("common") >= 1L)
+    }
+  }
+
+  test("hybrid_retrieval: rrf_e6 recomputes from the leg ranks; pools bounded; ranks dense (sf)") {
+    val out = RetrievalOps.hybridRetrieval(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sem = r.getAs[Long]("sem_rnk")
+      val lex = r.getAs[Long]("lex_rnk")
+      assert(sem >= 0 && sem <= RetrievalOps.PoolK)
+      assert(lex >= 0 && lex <= RetrievalOps.PoolK)
+      assert(sem > 0 || lex > 0, "a fused candidate must come from at least one leg")
+      val want =
+        (if (sem > 0) RetrievalOps.RrfScale / (RetrievalOps.RrfK0 + sem) else 0L) +
+          (if (lex > 0) RetrievalOps.RrfScale / (RetrievalOps.RrfK0 + lex) else 0L)
+      assert(r.getAs[Long]("rrf_e6") == want,
+        s"rrf_e6 must equal the integer RRF formula (sem=$sem lex=$lex)")
+    }
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.length <= RetrievalOps.PoolK)
+      val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length).toSeq,
+        "fused ranks must be dense from 1")
+      val scores = byRank.map(_.getAs[Long]("rrf_e6"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "rrf_e6 must be non-increasing in rank")
+    }
+    // the legs agree with their standalone keys (fusion is pinned to them)
+    val sem = TextOps.docNeighbors(s, sf, RetrievalOps.PoolK).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Long]("rnk"))
+      .toMap
+    s.catalog.clearCache()
+    out.filter(_.getAs[Long]("sem_rnk") > 0).foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      assert(sem.get(key).contains(r.getAs[Long]("sem_rnk")),
+        s"sem_rnk provenance must match doc_neighbors for $key")
+    }
+  }
+
+  test("hard_negatives: planted cross-label twin is rank 1; same-label candidates never surface") {
+    import s.implicits._
+    // query 100 (label 1): its near-identical twin carries a DIFFERENT
+    // label (the hardest possible negative) and must be rank 1; an
+    // IDENTICAL same-label vector must never appear in the output.
+    val rows = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.999f, 0.01f, 0.0f, 0.0f), 2), // cross-label twin
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),    // same-label identical
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.hardNegativesFrom(rows).collect()
+    s.catalog.clearCache()
+    val q = out.filter(_.getAs[Long]("q_id") == 100L).sortBy(_.getAs[Long]("rnk"))
+    assert(q.nonEmpty)
+    assert(q.head.getAs[Long]("n_id") == 1L,
+      "the cross-label near-twin must be the hardest negative (rank 1)")
+    assert(q.forall(_.getAs[Int]("n_label") != 1),
+      "no same-label vector may appear as a negative")
+    assert(!q.exists(_.getAs[Long]("n_id") == 2L))
+    val sims = q.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hard_negatives on sf data: every negative differs in label; ranks dense per query") {
+    val out = SimilarityOps.hardNegatives(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("q_label") != r.getAs[Int]("n_label"))
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"))
+    }
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("dedup_survivors: exactly one survivor per cluster, and it is the max-quality member") {
+    import graft.operators.DedupOps
+    val out = DedupOps.dedupSurvivors(s, sf).collect()
+    val quality = TextOps.qualityModelScore(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logit_e12")).toMap
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    // logit provenance: the joined score IS the quality head's score
+    out.foreach { r =>
+      assert(quality(r.getAs[Long]("doc_id")) == r.getAs[Long]("logit_e12"))
+    }
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, members) =>
+      assert(members.forall(_.getAs[Long]("n_members") == members.length.toLong))
+      val survivors = members.filter(_.getAs[Boolean]("is_survivor"))
+      assert(survivors.length == 1, "exactly one survivor per cluster")
+      val best = members.map(m =>
+        (-m.getAs[Long]("logit_e12"), m.getAs[Long]("doc_id"))).min
+      assert((-survivors.head.getAs[Long]("logit_e12"),
+        survivors.head.getAs[Long]("doc_id")) == best,
+        "the survivor must be the max-logit (tie: min doc_id) member")
+    }
+    // the survivor policy never changes the cluster structure
+    val clusters = graft.operators.DedupOps.dedupClusters(s, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    s.catalog.clearCache()
+    out.foreach { r =>
+      assert(clusters(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id"))
+    }
+  }
+}
