@@ -1953,6 +1953,34 @@ object OracleSql {
          |FROM r${graft.operators.GraphOps.PRIterations} ORDER BY node_id""".stripMargin
     },
 
+    "target_affinity" -> {
+      // hashed-token bucket via the XXH64 emulation (B a power of two so
+      // unsigned % = Spark's signed pmod); ratio doubles mirror the
+      // Spark op order verbatim, floored to e6 per bucket
+      val b = graft.operators.CurationOps.AffinityBuckets
+      val tl = graft.operators.CurationOps.AffinityTargetLang
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT * FROM (SELECT doc_id, i, w[i] AS tok
+         |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)) WHERE length(tok) > 0),
+         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+         |${xxStringCtes("src", Seq("doc_id", "i"))},
+         |bk AS (SELECT xh.doc_id, CAST(xh % $b AS BIGINT) AS b, d.lang
+         |  FROM xh JOIN documents d USING (doc_id)),
+         |cc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_cnt,
+         |  CAST(SUM(CASE WHEN lang = '$tl' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+         |  FROM bk GROUP BY b),
+         |tot AS (SELECT CAST(SUM(c_cnt) AS BIGINT) AS c_total,
+         |  CAST(SUM(t_cnt) AS BIGINT) AS t_total FROM cc),
+         |rt AS (SELECT b, CAST(FLOOR(((CAST(t_cnt AS DOUBLE) * c_total) /
+         |  (CAST(c_cnt AS DOUBLE) * t_total)) * 1000000.0) AS BIGINT) AS ratio_e6
+         |  FROM cc CROSS JOIN tot),
+         |sc AS (SELECT bk.doc_id, CAST(SUM(rt.ratio_e6) AS BIGINT) AS score_sum,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tok FROM bk JOIN rt USING (b) GROUP BY bk.doc_id)
+         |SELECT sc.doc_id, d.lang, d.lang = '$tl' AS is_target, sc.n_tok,
+         |  CAST(sc.score_sum // sc.n_tok AS BIGINT) AS affinity_e6
+         |FROM sc JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
     "token_histogram" ->
       """WITH d AS (SELECT source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),

@@ -177,6 +177,7 @@ object SparkEntry {
     "corpus_filter" -> ((s, d) => CurationOps.corpusFilter(s, d)),
     "curation_report" -> (CurationOps.curationReport(_, _)),
     "mix_drift" -> (CurationOps.mixDrift(_, _)),
+    "target_affinity" -> (CurationOps.targetAffinity(_, _)),
     "stratified_sample" -> ((s, d) => CurationOps.stratifiedSample(s, d)),
     // layout (write-path; rows-only — emits the landed pruning geometry)
     "zorder_layout" -> ((s, d) => LayoutOps.zorderLayout(s, d)),

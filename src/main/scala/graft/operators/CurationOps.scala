@@ -19,6 +19,74 @@ import graft.Tables
   */
 object CurationOps {
 
+  /** Hashed-feature bucket count for [[targetAffinity]]. Must stay a
+    * POWER OF TWO: the oracle buckets via unsigned HUGEINT `xh % B`
+    * while Spark uses signed `pmod` — equal only when B is a bitmask of
+    * the low bits (the doc_embed constraint). 256 buckets is plenty for
+    * a language/domain-level affinity signal; raising it (DSIR uses
+    * 10⁴) changes no plan shape. */
+  val AffinityBuckets = 256
+  /** The target distribution: English documents (the "I want my mix to
+    * look like this" subset a data-selection pass upweights toward). */
+  val AffinityTargetLang = "en"
+
+  /** target_affinity — importance weighting against a TARGET subset
+    * (the DSIR recipe, Xie et al. 2023: hashed n-gram importance
+    * resampling): every token hashes into [[AffinityBuckets]] buckets;
+    * the target subset (lang = [[AffinityTargetLang]]) and the whole
+    * corpus each induce a bucket distribution; a document's affinity is
+    * the mean likelihood ratio p_target(bucket)/p_corpus(bucket) over
+    * its token occurrences, as an e6 integer. Docs whose token mix
+    * looks like the target score > 10⁶, docs that don't score below —
+    * the resampling weight a data-selection pass feeds to
+    * [[mixtureSample]]-style samplers to steer the corpus toward the
+    * target distribution without a trained model.
+    *
+    * Determinism: bucket ratios are doubles built from exact integer
+    * counts with the op order mirrored verbatim in the oracle, floored
+    * to e6 per BUCKET (256 values), so per-doc sums are integer sums —
+    * order-independent — and the final mean is one integer division.
+    * Invariant (spec): the corpus-weighted mean ratio telescopes to
+    * exactly 1 (Σ_b c_b · t_b·C/(c_b·T) = C), so the overall mean
+    * affinity is within floor-loss of 10⁶.
+    *
+    * Plan at 100 TB: two token-level scans (bucket counting, scoring),
+    * ONE 256-row ratio broadcast, one doc_id-keyed partial-agg shuffle.
+    * No joins wider than the broadcast; no per-token state. */
+  def targetAffinity(s: SparkSession, dir: String): DataFrame =
+    targetAffinityDocs(Tables.documents(s, dir))
+
+  /** Core on any (doc_id, lang, text) frame (testable with planted
+    * target-vocabulary twins). */
+  def targetAffinityDocs(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("tok")), lit(AffinityBuckets.toLong)).as("b"))
+    val cc = tok.groupBy("b").agg(
+      count(lit(1)).cast("long").as("c_cnt"),
+      sum(when(col("lang") === AffinityTargetLang, 1L).otherwise(0L))
+        .cast("long").as("t_cnt"))
+    val tot = cc.agg(sum("c_cnt").cast("long").as("c_total"),
+      sum("t_cnt").cast("long").as("t_total"))
+    val rt = cc.join(broadcast(tot))
+      .select(col("b"),
+        floor(((col("t_cnt").cast("double") * col("c_total")) /
+            (col("c_cnt").cast("double") * col("t_total"))) * lit(1000000.0))
+          .cast("long").as("ratio_e6"))
+    val sc = tok.join(broadcast(rt), "b")
+      .groupBy("doc_id")
+      .agg(sum("ratio_e6").cast("long").as("score_sum"),
+        count(lit(1)).cast("long").as("n_tok"))
+    sc.join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        (col("lang") === AffinityTargetLang).as("is_target"),
+        col("n_tok"), expr("score_sum div n_tok").as("affinity_e6"))
+      .orderBy("doc_id")
+  }
+
   /** mix_drift — source-mix drift between two corpus drops (the
     * training-mix monitor a recurring ingest lands next to every batch:
     * a silently shifting source distribution skews the trained model

@@ -145,4 +145,52 @@ class RetrievalFusionSpec extends AnyFunSuite {
       assert(clusters(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id"))
     }
   }
+  test("target_affinity: planted target-vocabulary doc outscores an off-target doc") {
+    import s.implicits._
+    import graft.operators.CurationOps
+    // target (en) docs share a distinctive vocabulary; two NON-target
+    // probes: one written in the target vocabulary, one off-vocabulary.
+    // The importance weight must rank the target-sounding probe higher.
+    val docs = Seq(
+      (1L, "en", "stream spark shuffle partition broadcast"),
+      (2L, "en", "spark partition shuffle stream codegen"),
+      (3L, "en", "broadcast codegen spark stream partition"),
+      (10L, "zh", "spark shuffle partition broadcast codegen"), // target-sounding
+      (11L, "zh", "pomme banane cerise figue raisin"),          // off-target
+      (12L, "fr", "pomme banane cerise figue raisin")
+    ).toDF("doc_id", "lang", "text")
+    val out = CurationOps.targetAffinityDocs(docs).collect()
+    s.catalog.clearCache()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("affinity_e6")).toMap
+    assert(byId(10L) > byId(11L),
+      "a target-vocabulary doc must outscore an off-vocabulary doc regardless of its own lang tag")
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_target") == (r.getAs[String]("lang") == "en"))
+      assert(r.getAs[Long]("affinity_e6") >= 0L)
+    }
+  }
+
+  test("target_affinity on sf data: telescoping mean invariant; target lang scores highest") {
+    import graft.operators.CurationOps
+    val out = CurationOps.targetAffinity(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    // corpus-weighted mean ratio telescopes to 1 up to floor loss:
+    // Sum_b c_b * (t_b*C)/(c_b*T) = C exactly, and each of the three
+    // floors (per-bucket e6, per-doc mean, this recompute) loses < 1
+    val num = out.map(r => BigInt(r.getAs[Long]("affinity_e6")) * r.getAs[Long]("n_tok")).sum
+    val den = out.map(r => BigInt(r.getAs[Long]("n_tok"))).sum
+    val mean = (num / den).toLong
+    assert(mean >= 999990L && mean <= 1000000L,
+      s"token-weighted mean affinity must telescope to ~1e6, got $mean")
+    // the discriminative signal: the target language's mean affinity
+    // strictly exceeds every other language's (holds at every SF)
+    val byLang = out.groupBy(_.getAs[String]("lang")).map { case (l, rows) =>
+      l -> rows.map(_.getAs[Long]("affinity_e6").toDouble).sum / rows.length
+    }
+    val en = byLang(CurationOps.AffinityTargetLang)
+    byLang.filterNot(_._1 == CurationOps.AffinityTargetLang).foreach { case (l, m) =>
+      assert(en > m, s"target-lang mean $en must exceed $l mean $m")
+    }
+  }
 }
