@@ -630,6 +630,33 @@ object OracleSql {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** hybrid_retrieval twin — ALSO retrieval_index_probe's oracle: the
+    * landed-index probe runs the same leg + fusion cores over the same
+    * corpus, so the two keys share this string verbatim (the
+    * ann_index_probe convention). */
+  private def hybridRetrievalSql: String = {
+      // each leg wraps its standalone key's twin as a subquery, so the
+      // fusion is definitionally pinned to those keys; RRF terms are e6
+      // integers via `//` (≡ Spark's `div` for positive operands)
+      val k0 = graft.operators.RetrievalOps.RrfK0
+      val scale = graft.operators.RetrievalOps.RrfScale
+      val k = graft.operators.RetrievalOps.PoolK
+      s"""WITH sem AS (SELECT q_id, n_id, rnk AS sem_rnk FROM ($docNeighborsSql)),
+         |lex AS (SELECT q_id, n_id, rnk AS lex_rnk FROM ($lexicalNeighborsSql)),
+         |f AS (SELECT COALESCE(sem.q_id, lex.q_id) AS q_id,
+         |  COALESCE(sem.n_id, lex.n_id) AS n_id,
+         |  CAST(COALESCE(sem_rnk, 0) AS BIGINT) AS sem_rnk,
+         |  CAST(COALESCE(lex_rnk, 0) AS BIGINT) AS lex_rnk
+         |  FROM sem FULL OUTER JOIN lex ON sem.q_id = lex.q_id AND sem.n_id = lex.n_id),
+         |r AS (SELECT *, CAST(
+         |  (CASE WHEN sem_rnk > 0 THEN $scale // ($k0 + sem_rnk) ELSE 0 END)
+         |  + (CASE WHEN lex_rnk > 0 THEN $scale // ($k0 + lex_rnk) ELSE 0 END)
+         |  AS BIGINT) AS rrf_e6 FROM f),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, n_id) AS BIGINT) AS rnk FROM r)
+         |SELECT q_id, n_id, rrf_e6, sem_rnk, lex_rnk, rnk FROM rk WHERE rnk <= $k
+         |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** The documents→hashed-vectors→SemDeDup composed twin — shared by the
     * standalone `semantic_dedup_text` key and `dedup_report`'s semantic
     * leg (wrapped as a subquery). */
@@ -2091,28 +2118,9 @@ object OracleSql {
 
     "lexical_neighbors" -> lexicalNeighborsSql,
 
-    "hybrid_retrieval" -> {
-      // each leg wraps its standalone key's twin as a subquery, so the
-      // fusion is definitionally pinned to those keys; RRF terms are e6
-      // integers via `//` (≡ Spark's `div` for positive operands)
-      val k0 = graft.operators.RetrievalOps.RrfK0
-      val scale = graft.operators.RetrievalOps.RrfScale
-      val k = graft.operators.RetrievalOps.PoolK
-      s"""WITH sem AS (SELECT q_id, n_id, rnk AS sem_rnk FROM ($docNeighborsSql)),
-         |lex AS (SELECT q_id, n_id, rnk AS lex_rnk FROM ($lexicalNeighborsSql)),
-         |f AS (SELECT COALESCE(sem.q_id, lex.q_id) AS q_id,
-         |  COALESCE(sem.n_id, lex.n_id) AS n_id,
-         |  CAST(COALESCE(sem_rnk, 0) AS BIGINT) AS sem_rnk,
-         |  CAST(COALESCE(lex_rnk, 0) AS BIGINT) AS lex_rnk
-         |  FROM sem FULL OUTER JOIN lex ON sem.q_id = lex.q_id AND sem.n_id = lex.n_id),
-         |r AS (SELECT *, CAST(
-         |  (CASE WHEN sem_rnk > 0 THEN $scale // ($k0 + sem_rnk) ELSE 0 END)
-         |  + (CASE WHEN lex_rnk > 0 THEN $scale // ($k0 + lex_rnk) ELSE 0 END)
-         |  AS BIGINT) AS rrf_e6 FROM f),
-         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, n_id) AS BIGINT) AS rnk FROM r)
-         |SELECT q_id, n_id, rrf_e6, sem_rnk, lex_rnk, rnk FROM rk WHERE rnk <= $k
-         |ORDER BY q_id, rnk""".stripMargin
-    },
+    "hybrid_retrieval" -> hybridRetrievalSql,
+
+    "retrieval_index_probe" -> hybridRetrievalSql,
 
     "dedup_simhash" -> {
       val pow2 = (0 until 64).map(b => s"CAST('${BigInt(1) << b}' AS HUGEINT)")

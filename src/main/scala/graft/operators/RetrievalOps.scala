@@ -100,14 +100,31 @@ object RetrievalOps {
 
   /** Core on any documents-shaped frame (testable / probe-able). */
   def lexicalNeighborsDocs(docs: DataFrame, k: Int = PoolK): DataFrame = {
+    val sh = lexicalPostings(docs)
+    lexicalFromPostings(sh, lexicalDocLens(sh), k)
+  }
+
+  /** The df-capped (doc_id, tok) posting list — also the `postings/`
+    * artifact [[RetrievalIndexOps]] lands (the kept-token set is decided
+    * at BUILD time against the whole corpus, exactly as here). */
+  private[operators] def lexicalPostings(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
     val kept = tok.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DedupOps.MaxShingleDf).select("tok")
-    val sh = tok.join(kept, "tok")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_tok"))
+    tok.join(kept, "tok")
+  }
+
+  /** Per-doc kept-token counts — the `doclens/` artifact. */
+  private[operators] def lexicalDocLens(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_tok"))
+
+  /** Sparse-leg core on any posting-list + doc-length pair (inline or
+    * landed). */
+  private[operators] def lexicalFromPostings(sh: DataFrame, sz: DataFrame,
+      k: Int = PoolK): DataFrame = {
     val pr = sh.filter(SimilarityOps.isQuery(col("doc_id")))
       .select(col("doc_id").as("q_id"), col("tok"))
       .join(sh.select(col("doc_id").as("n_id"), col("tok")), "tok")
@@ -135,11 +152,16 @@ object RetrievalOps {
     * (q_id, n_id) + one bounded rank window), regardless of corpus
     * size. Scores are pure integers end to end (see [[RrfScale]]); leg
     * ranks ride along as provenance (0 = not in that leg's pool). */
-  def hybridRetrieval(s: SparkSession, dir: String, k: Int = PoolK): DataFrame = {
-    val sem = TextOps.docNeighbors(s, dir, PoolK)
-      .select(col("q_id"), col("n_id"), col("rnk").as("sem_rnk"))
-    val lex = lexicalNeighbors(s, dir, PoolK)
-      .select(col("q_id"), col("n_id"), col("rnk").as("lex_rnk"))
+  def hybridRetrieval(s: SparkSession, dir: String, k: Int = PoolK): DataFrame =
+    fuseRrf(TextOps.docNeighbors(s, dir, PoolK),
+      lexicalNeighbors(s, dir, PoolK), k)
+
+  /** RRF fusion core over any two ranked legs (each (q_id, n_id, rnk))
+    * — shared by the inline key and the landed-index probe. */
+  private[operators] def fuseRrf(semRanked: DataFrame, lexRanked: DataFrame,
+      k: Int = PoolK): DataFrame = {
+    val sem = semRanked.select(col("q_id"), col("n_id"), col("rnk").as("sem_rnk"))
+    val lex = lexRanked.select(col("q_id"), col("n_id"), col("rnk").as("lex_rnk"))
     def leg(c: String) =
       expr(s"CASE WHEN $c > 0 THEN $RrfScale div ($RrfK0 + $c) ELSE 0L END")
     val fused = sem.join(lex, Seq("q_id", "n_id"), "full_outer")

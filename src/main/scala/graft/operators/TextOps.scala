@@ -192,9 +192,12 @@ object TextOps {
 
   /** The unsorted embedding frame — shared by [[docEmbed]] and
     * [[docNeighbors]]. */
-  private def docEmbedCore(s: SparkSession, dir: String): DataFrame = {
+  private def docEmbedCore(s: SparkSession, dir: String): DataFrame =
+    docEmbedCoreOf(Tables.documents(s, dir))
+
+  private[operators] def docEmbedCoreOf(docs: DataFrame): DataFrame = {
     val h = xxhash64(col("tok"))
-    val tok = Tables.documents(s, dir)
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), pmod(h, lit(EmbedDims.toLong)).as("dim"),
         // bit 4 of the UNSIGNED hash: >>> matches the oracle's
@@ -231,13 +234,26 @@ object TextOps {
     * QueryModulus == 0 (the SimilarityOps convention). Zero-norm
     * vectors (all signs cancelled) are excluded on both sides — a
     * cosine against them is undefined. */
-  def docNeighbors(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def docNeighbors(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    docNeighborsFromVectors(docNeighborVectors(s, dir), k)
+
+  /** The (doc_id, v, nrm) hashed-vector frame [[docNeighbors]] searches
+    * — also the `vectors/` artifact [[RetrievalIndexOps]] lands, so the
+    * landed probe is bit-identical to the inline key. */
+  private[operators] def docNeighborVectors(s: SparkSession, dir: String): DataFrame =
+    docNeighborVectorsOf(Tables.documents(s, dir))
+
+  private[operators] def docNeighborVectorsOf(docs: DataFrame): DataFrame = {
     val v = array((0 until EmbedDims).map(i => col(s"f$i")): _*)
-    val withN = docEmbedCore(s, dir)
+    docEmbedCoreOf(docs)
       .select(col("doc_id"), v.as("v"))
       .withColumn("nrm", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
       .filter(col("nrm") > 0L)
+  }
+
+  /** Dense-leg core on any (doc_id, v, nrm) frame (inline or landed). */
+  private[operators] def docNeighborsFromVectors(withN: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = withN
       .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       .filter(col("q_id") % SimilarityOps.QueryModulus === 0)

@@ -193,4 +193,16 @@ class RetrievalFusionSpec extends AnyFunSuite {
       assert(en > m, s"target-lang mean $en must exceed $l mean $m")
     }
   }
+  test("retrieval_index_probe: the landed read path is bit-identical to the inline key") {
+    import graft.operators.RetrievalIndexOps
+    val inline0 = RetrievalOps.hybridRetrieval(s, sf).collect().toSeq
+    val probe1 = RetrievalIndexOps.retrievalIndexProbe(s, sf).collect().toSeq
+    // second call must hit the per-JVM memo (probe-only) and return the
+    // exact same frame — the production build-once / read-many split
+    val probe2 = RetrievalIndexOps.retrievalIndexProbe(s, sf).collect().toSeq
+    s.catalog.clearCache()
+    assert(probe1 == inline0,
+      "probing the landed artifacts must reproduce hybrid_retrieval exactly")
+    assert(probe2 == probe1, "a repeat probe must be byte-identical")
+  }
 }
