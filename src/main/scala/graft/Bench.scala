@@ -46,6 +46,7 @@ object Bench {
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
       "dedup_survivors", "hybrid_retrieval", "retrieval_index_probe",
+      "retrieval_index_probe_admitted",
       "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
       "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text", "dedup_report",
       "embedding_pq", "ann_pq", "ann_ivf_pq",

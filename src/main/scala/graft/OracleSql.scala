@@ -577,13 +577,19 @@ object OracleSql {
     * DedupOps.MaxShingleDf; set sizes count KEPT tokens only, matching
     * the Spark side). Shared by the standalone key and
     * hybrid_retrieval's sparse leg (wrapped as a subquery). */
-  private def lexicalNeighborsSql: String = {
+  private def lexicalNeighborsSql: String = lexicalNeighborsSqlWhere("TRUE")
+
+  /** `keptWhere` restricts which docs VOTE on the kept-token vocabulary
+    * (build-time df) — "TRUE" for the inline key; the corpus-slice
+    * predicate for the frozen-vocab admitted index. Scoring always runs
+    * over every doc. */
+  private def lexicalNeighborsSqlWhere(keptWhere: String): String = {
     val qm = graft.operators.SimilarityOps.QueryModulus
     val scale = graft.operators.RetrievalOps.RrfScale
     s"""WITH ltk AS (SELECT DISTINCT doc_id, tok FROM
        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
        |  WHERE length(tok) > 0),
-       |lkept AS (SELECT tok FROM ltk GROUP BY tok
+       |lkept AS (SELECT tok FROM ltk WHERE $keptWhere GROUP BY tok
        |  HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
        |lsh AS (SELECT ltk.doc_id, ltk.tok FROM ltk JOIN lkept USING (tok)),
        |lsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM lsh GROUP BY doc_id),
@@ -634,7 +640,9 @@ object OracleSql {
     * landed-index probe runs the same leg + fusion cores over the same
     * corpus, so the two keys share this string verbatim (the
     * ann_index_probe convention). */
-  private def hybridRetrievalSql: String = {
+  private def hybridRetrievalSql: String = hybridRetrievalSqlWhere("TRUE")
+
+  private def hybridRetrievalSqlWhere(keptWhere: String): String = {
       // each leg wraps its standalone key's twin as a subquery, so the
       // fusion is definitionally pinned to those keys; RRF terms are e6
       // integers via `//` (≡ Spark's `div` for positive operands)
@@ -642,7 +650,7 @@ object OracleSql {
       val scale = graft.operators.RetrievalOps.RrfScale
       val k = graft.operators.RetrievalOps.PoolK
       s"""WITH sem AS (SELECT q_id, n_id, rnk AS sem_rnk FROM ($docNeighborsSql)),
-         |lex AS (SELECT q_id, n_id, rnk AS lex_rnk FROM ($lexicalNeighborsSql)),
+         |lex AS (SELECT q_id, n_id, rnk AS lex_rnk FROM (${lexicalNeighborsSqlWhere(keptWhere)})),
          |f AS (SELECT COALESCE(sem.q_id, lex.q_id) AS q_id,
          |  COALESCE(sem.n_id, lex.n_id) AS n_id,
          |  CAST(COALESCE(sem_rnk, 0) AS BIGINT) AS sem_rnk,
@@ -2121,6 +2129,12 @@ object OracleSql {
     "hybrid_retrieval" -> hybridRetrievalSql,
 
     "retrieval_index_probe" -> hybridRetrievalSql,
+
+    "retrieval_index_probe_admitted" ->
+      // the hybrid twin with the kept-token vocabulary frozen on the
+      // corpus slice (batch docs score against it but never vote)
+      hybridRetrievalSqlWhere(
+        s"doc_id < ${graft.operators.DedupOps.IncrementalSplit}"),
 
     "dedup_simhash" -> {
       val pow2 = (0 until 64).map(b => s"CAST('${BigInt(1) << b}' AS HUGEINT)")

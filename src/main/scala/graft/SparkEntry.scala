@@ -147,6 +147,7 @@ object SparkEntry {
     "lexical_neighbors" -> ((s, d) => RetrievalOps.lexicalNeighbors(s, d)),
     "hybrid_retrieval" -> ((s, d) => RetrievalOps.hybridRetrieval(s, d)),
     "retrieval_index_probe" -> (RetrievalIndexOps.retrievalIndexProbe(_, _)),
+    "retrieval_index_probe_admitted" -> (RetrievalIndexOps.retrievalIndexProbeAdmitted(_, _)),
     "source_mix" -> (CurationOps.sourceMix(_, _)),
     "mixture_sample" -> ((s, d) => CurationOps.mixtureSample(s, d)),
     "embedding_centroids" -> (SimilarityOps.embeddingCentroids(_, _)),

@@ -73,11 +73,12 @@ object RetrievalIndexOps {
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def ensureIndex(s: SparkSession, dir: String): String =
-    builtIndexes.computeIfAbsent(dir, _ => {
+  private def ensureIndex(s: SparkSession, dir: String, variant: String)(
+      corpus: DataFrame => DataFrame): String =
+    builtIndexes.computeIfAbsent(s"$variant:$dir", _ => {
       val base = java.nio.file.Files
-        .createTempDirectory("graft_retridx").toString
-      buildRetrievalIndex(s, Tables.documents(s, dir), base)
+        .createTempDirectory(s"graft_retridx_$variant").toString
+      buildRetrievalIndex(s, corpus(Tables.documents(s, dir)), base)
       s.catalog.clearCache()
       base
     })
@@ -85,5 +86,66 @@ object RetrievalIndexOps {
   /** retrieval_index_probe — hybrid RRF retrieval over the landed
     * artifacts. Bit-identical to hybrid_retrieval (shared oracle). */
   def retrievalIndexProbe(s: SparkSession, dir: String): DataFrame =
-    probeRetrievalIndex(s, ensureIndex(s, dir))
+    probeRetrievalIndex(s, ensureIndex(s, dir, "full")(identity))
+
+  /** Idempotent index admission: append a batch of NEW documents
+    * against the FROZEN artifacts — postings filtered to the frozen
+    * kept-token vocabulary (build-time df decides membership; a fixed
+    * vocabulary is the point of freezing, exactly like the frozen PQ
+    * codebooks), doc lengths counted over kept tokens, vectors hashed
+    * statelessly (the hash has no corpus state to freeze). Each
+    * artifact anti-joins on its own doc_id set, so an at-least-once
+    * replay — full or after partial failure — appends nothing. Returns
+    * the number of newly admitted documents. */
+  def admitToRetrievalIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val frozenVocab = s.read.parquet(s"$indexDir/postings")
+      .select("tok").distinct()
+    val batchTok = batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .join(frozenVocab, "tok")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freshIds = (existing: DataFrame, frame: DataFrame) =>
+      frame.join(existing.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val freshPost = freshIds(s.read.parquet(s"$indexDir/postings"), batchTok)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = freshPost.select("doc_id").distinct().count()
+    if (n > 0) {
+      freshPost.select("doc_id", "tok")
+        .write.mode("append").parquet(s"$indexDir/postings")
+      RetrievalOps.lexicalDocLens(freshPost)
+        .write.mode("append").parquet(s"$indexDir/doclens")
+    }
+    val freshVecs = freshIds(s.read.parquet(s"$indexDir/vectors"),
+      TextOps.docNeighborVectorsOf(batch))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nv = freshVecs.count()
+    if (nv > 0)
+      freshVecs.write.mode("append").parquet(s"$indexDir/vectors")
+    batchTok.unpersist(); freshPost.unpersist(); freshVecs.unpersist()
+    math.max(n, nv)
+  }
+
+  /** retrieval_index_probe_admitted — the grow-then-search loop for
+    * text: artifacts frozen on the corpus slice (doc_id <
+    * [[DedupOps.IncrementalSplit]], the shared admission convention),
+    * the post-build batch admitted through [[admitToRetrievalIndex]]
+    * (an idempotent no-op after the first call), then the probe
+    * searches corpus + admitted docs together — what document ingest
+    * lands is immediately retrievable with NO rebuild. The frozen
+    * vocabulary shows: batch-only tokens are absent from the sparse
+    * leg (by design — a fixed vocab is what freezing means), while the
+    * dense leg sees every doc (hashing is stateless). The oracle is
+    * the hybrid twin with the kept-token df computed over the corpus
+    * slice only. */
+  def retrievalIndexProbeAdmitted(s: SparkSession, dir: String): DataFrame = {
+    val split = DedupOps.IncrementalSplit
+    val idx = ensureIndex(s, dir, "grown")(_.filter(col("doc_id") < split))
+    admitToRetrievalIndex(s, idx,
+      Tables.documents(s, dir).filter(col("doc_id") >= split))
+    probeRetrievalIndex(s, idx)
+  }
 }

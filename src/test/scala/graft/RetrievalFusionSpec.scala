@@ -205,4 +205,34 @@ class RetrievalFusionSpec extends AnyFunSuite {
       "probing the landed artifacts must reproduce hybrid_retrieval exactly")
     assert(probe2 == probe1, "a repeat probe must be byte-identical")
   }
+  test("retrieval index admission: replay-idempotent, frozen vocab, admitted docs retrievable") {
+    import graft.operators.{DedupOps, RetrievalIndexOps}
+    val base = java.nio.file.Files.createTempDirectory("graft_retridx_spec").toString
+    val split = DedupOps.IncrementalSplit
+    val docs = Tables.documents(s, sf)
+    RetrievalIndexOps.buildRetrievalIndex(s, docs.filter(col("doc_id") < split), base)
+    val vocab0 = s.read.parquet(s"$base/postings").select("tok").distinct().count()
+    val batch = docs.filter(col("doc_id") >= split)
+    val n1 = RetrievalIndexOps.admitToRetrievalIndex(s, base, batch)
+    assert(n1 > 0, "the batch must admit new documents")
+    // frozen vocabulary: admission must never grow the kept-token set
+    assert(s.read.parquet(s"$base/postings").select("tok").distinct().count() == vocab0)
+    // replay idempotence: full re-admission appends nothing
+    val rows1 = s.read.parquet(s"$base/postings").count()
+    val lens1 = s.read.parquet(s"$base/doclens").count()
+    val vecs1 = s.read.parquet(s"$base/vectors").count()
+    val n2 = RetrievalIndexOps.admitToRetrievalIndex(s, base, batch)
+    assert(n2 == 0, s"replaying the same batch must admit 0 docs, got $n2")
+    assert(s.read.parquet(s"$base/postings").count() == rows1)
+    assert(s.read.parquet(s"$base/doclens").count() == lens1)
+    assert(s.read.parquet(s"$base/vectors").count() == vecs1)
+    // the grown index serves admitted docs: queries AND neighbors from
+    // the batch side appear in the probe output
+    val out = RetrievalIndexOps.probeRetrievalIndex(s, base).collect()
+    s.catalog.clearCache()
+    assert(out.exists(_.getAs[Long]("q_id") >= split),
+      "admitted query docs must be searchable")
+    assert(out.exists(_.getAs[Long]("n_id") >= split),
+      "admitted docs must surface as neighbors with no rebuild")
+  }
 }
