@@ -583,16 +583,22 @@ object OracleSql {
     * (build-time df) — "TRUE" for the inline key; the corpus-slice
     * predicate for the frozen-vocab admitted index. Scoring always runs
     * over every doc. */
-  private def lexicalNeighborsSqlWhere(keptWhere: String): String = {
-    val qm = graft.operators.SimilarityOps.QueryModulus
-    val scale = graft.operators.RetrievalOps.RrfScale
-    s"""WITH ltk AS (SELECT DISTINCT doc_id, tok FROM
+  /** The df-capped kept-token posting-list CTE chain (ltk → lkept → lsh
+    * → lsz) — the lexical leg's corpus side, shared by the neighbor twin
+    * and mmr_diversify's redundancy matrix. */
+  private def lexicalBaseCtes(keptWhere: String): String =
+    s"""ltk AS (SELECT DISTINCT doc_id, tok FROM
        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
        |  WHERE length(tok) > 0),
        |lkept AS (SELECT tok FROM ltk WHERE $keptWhere GROUP BY tok
        |  HAVING COUNT(*) <= ${graft.operators.DedupOps.MaxShingleDf}),
        |lsh AS (SELECT ltk.doc_id, ltk.tok FROM ltk JOIN lkept USING (tok)),
-       |lsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM lsh GROUP BY doc_id),
+       |lsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM lsh GROUP BY doc_id)""".stripMargin
+
+  private def lexicalNeighborsSqlWhere(keptWhere: String): String = {
+    val qm = graft.operators.SimilarityOps.QueryModulus
+    val scale = graft.operators.RetrievalOps.RrfScale
+    s"""WITH ${lexicalBaseCtes(keptWhere)},
        |lpr AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, CAST(COUNT(*) AS BIGINT) AS common
        |  FROM lsh a JOIN lsh b ON a.tok = b.tok AND a.doc_id % $qm = 0
        |    AND a.doc_id <> b.doc_id
@@ -663,6 +669,58 @@ object OracleSql {
          |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, n_id) AS BIGINT) AS rnk FROM r)
          |SELECT q_id, n_id, rrf_e6, sem_rnk, lex_rnk, rnk FROM rk WHERE rnk <= $k
          |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** mmr_diversify twin — the hybrid pool wrapped as a subquery (pinning
+    * the pool to that key's definition), the kept-token Jaccard
+    * redundancy matrix from the shared lexical CTE chain, and the greedy
+    * selection UNROLLED MmrK rounds (the BPE/kmeans convention): each
+    * round anti-joins the already-selected set, folds MAX(sim) per
+    * remaining candidate, and picks one row per query by
+    * (mmr_w DESC, n_id). All-integer scoring — no doubles anywhere. */
+  private def mmrDiversifySql: String = {
+    import graft.operators.RetrievalOps.{MmrK, MmrLam, MmrLamC, PoolK, RrfScale}
+    val relUnit = RrfScale / PoolK
+    def round(t: Int): String = {
+      val prevSel = (1 until t).map(i => s"SELECT q_id, n_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$t AS ($prevSel),
+         |r$t AS (SELECT p.* FROM p WHERE NOT EXISTS
+         |  (SELECT 1 FROM sel$t z WHERE z.q_id = p.q_id AND z.n_id = p.n_id)),
+         |m$t AS (SELECT ps.q_id, ps.n_id, MAX(ps.sim_e6) AS ms FROM psim ps
+         |  JOIN sel$t z ON ps.q_id = z.q_id AND ps.m_id = z.n_id GROUP BY 1, 2),
+         |sc$t AS (SELECT r$t.q_id, r$t.n_id, r$t.rel_e6,
+         |  CAST(COALESCE(m$t.ms, 0) AS BIGINT) AS maxsim_e6,
+         |  CAST($MmrLam*r$t.rel_e6 - $MmrLamC*COALESCE(m$t.ms, 0) AS BIGINT) AS mmr_w
+         |  FROM r$t LEFT JOIN m$t ON r$t.q_id = m$t.q_id AND r$t.n_id = m$t.n_id),
+         |s$t AS (SELECT q_id, n_id, rel_e6, maxsim_e6, mmr_w, CAST($t AS BIGINT) AS rnk
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr_w DESC, n_id) AS rk
+         |        FROM sc$t) WHERE rk = 1)""".stripMargin
+    }
+    val rounds = (2 to MmrK).map(round).mkString(",\n")
+    val unionAll = (1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH pool AS (SELECT q_id, n_id, rnk FROM ($hybridRetrievalSql)),
+       |p AS (SELECT q_id, n_id, CAST(($PoolK + 1 - rnk) * $relUnit AS BIGINT) AS rel_e6 FROM pool),
+       |${lexicalBaseCtes("TRUE")},
+       |cand AS (SELECT DISTINCT n_id AS doc_id FROM p),
+       |shc AS (SELECT lsh.doc_id, lsh.tok FROM lsh JOIN cand USING (doc_id)),
+       |cm AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM shc a JOIN shc b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sab AS (SELECT a_id, b_id,
+       |  CAST((common * $RrfScale) // (za.n_tok + zb.n_tok - common) AS BIGINT) AS sim_e6
+       |  FROM cm JOIN lsz za ON a_id = za.doc_id JOIN lsz zb ON b_id = zb.doc_id),
+       |sim AS (SELECT a_id AS n_id, b_id AS m_id, sim_e6 FROM sab
+       |  UNION ALL SELECT b_id, a_id, sim_e6 FROM sab),
+       |psim AS (SELECT x.q_id, x.n_id, y.n_id AS m_id, COALESCE(s.sim_e6, 0) AS sim_e6
+       |  FROM p x JOIN p y ON x.q_id = y.q_id AND x.n_id <> y.n_id
+       |  LEFT JOIN sim s ON s.n_id = x.n_id AND s.m_id = y.n_id),
+       |s1 AS (SELECT q_id, n_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+       |  CAST($MmrLam*rel_e6 AS BIGINT) AS mmr_w, CAST(1 AS BIGINT) AS rnk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY $MmrLam*rel_e6 DESC, n_id) AS rk
+       |        FROM p) WHERE rk = 1),
+       |$rounds
+       |SELECT q_id, n_id, rel_e6, maxsim_e6, mmr_w, rnk FROM ($unionAll)
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   /** The documents→hashed-vectors→SemDeDup composed twin — shared by the
@@ -1182,6 +1240,25 @@ object OracleSql {
         |       THEN CAST(sum_df AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
         |       ELSE 0.0 END AS avg_df
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the MLE bigram LM: NON-distinct transition counts, prefix mass
+    // derived from the transition frame (Σ_w2 p = 1 up to flooring),
+    // per-transition ⌊c12·10⁶/c1⌋ and per-doc mean via `//` — all
+    // integers end to end (the arithmetic-mean stand-in for a log-prob
+    // perplexity; ordering is what the filter consumes)
+    "bigram_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |       FROM t, UNNEST(generate_series(1, len(w)-1)) AS u(i) WHERE len(w) >= 2),
+        |c12 AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+        |        CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |p AS (SELECT bigram, CAST((c12 * 1000000) // c1 AS BIGINT) AS p_e6
+        |      FROM c12 JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_e6,
+        |  CAST(MIN(p_e6) AS BIGINT) AS min_p_e6
+        |FROM bg JOIN p USING (bigram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, doc_id % ${graft.operators.CurationOps.PackShards} AS shard,
@@ -2127,6 +2204,7 @@ object OracleSql {
     "lexical_neighbors" -> lexicalNeighborsSql,
 
     "hybrid_retrieval" -> hybridRetrievalSql,
+    "mmr_diversify" -> mmrDiversifySql,
 
     "retrieval_index_probe" -> hybridRetrievalSql,
 

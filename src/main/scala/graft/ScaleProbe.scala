@@ -310,6 +310,57 @@ object ScaleProbe {
       e.unpersist()
       spark.catalog.clearCache()
     }
+    // landed TEXT-retrieval index: same build-vs-probe split as
+    // ann_index_probe. Growth uses a DISJOINT TOKEN NAMESPACE per
+    // replica (the events disjoint-user convention applied to text:
+    // replica i suffixes every token with "·i") so per-token df — and
+    // with it the kept vocabulary and per-query candidate volume — stay
+    // constant per replica while the corpus grows k×. Clone growth would
+    // instead multiply every df by k and the cap would excise the ENTIRE
+    // vocabulary by 16× (measured: lex_candidates 1494 → 23976 → 0) —
+    // that measures cap pathology on degenerate data, not scaling. The
+    // two legs are timed separately: the sparse leg must track the
+    // (cap-bounded, per-replica-constant) candidate volume ~linearly;
+    // the dense leg is the documented brute |Q|·n baseline (the bucketed
+    // swap is the LSH/IVF candidate source) and its wall shows why.
+    for (k <- Seq(1, 4, factor) if only.forall(_.contains("retrieval_index_probe"))) {
+      val d = (0 until k).map { i =>
+          if (i == 0) docsBase
+          else docsBase.select(
+            (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1·$i").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      val dir = java.nio.file.Files.createTempDirectory("graft_retridx_sp").toString
+      val tb = System.nanoTime()
+      graft.operators.RetrievalIndexOps.buildRetrievalIndex(spark, d, dir)
+      val build = (System.nanoTime() - tb) / 1e9
+      val sh = spark.read.parquet(s"$dir/postings")
+      val cand = sh.filter(graft.operators.SimilarityOps.isQuery(col("doc_id")))
+        .select(col("doc_id").as("q_id"), col("tok"))
+        .join(sh.select(col("doc_id").as("n_id"), col("tok")), "tok")
+        .filter(col("q_id") =!= col("n_id"))
+        .select("q_id", "n_id").distinct().count()
+      val probe = graft.operators.RetrievalIndexOps.probeRetrievalIndex(spark, dir)
+      val t0 = System.nanoTime()
+      probe.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rows = probe.count()
+      val legs = graft.operators.RetrievalIndexOps.probeLegs(spark, dir)
+      val tl = System.nanoTime()
+      legs._2.write.format("noop").mode("overwrite").save()
+      val lexSec = (System.nanoTime() - tl) / 1e9
+      val td = System.nanoTime()
+      legs._1.write.format("noop").mode("overwrite").save()
+      val denseSec = (System.nanoTime() - td) / 1e9
+      println(s"""{"probe":"retrieval_index_probe","scale":$k,"build_sec":${f"$build%.2f"},""" +
+        s""""probe_sec":${f"$wall%.2f"},"lex_sec":${f"$lexSec%.2f"},""" +
+        s""""dense_sec":${f"$denseSec%.2f"},"lex_candidates":$cand,"rows":$rows}""")
+      d.unpersist()
+      spark.catalog.clearCache()
+    }
     val pqProbes = Set("embedding_pq", "ann_pq", "ann_ivf_pq")
     for (k <- Seq(1, 4, factor) if only.forall(_.exists(pqProbes))) {
       val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -66,6 +66,16 @@ object RetrievalIndexOps {
       RetrievalOps.lexicalFromPostings(sh, sz, RetrievalOps.PoolK), k)
   }
 
+  /** The two ranked legs over the landed artifacts, separately — the
+    * ScaleProbe hook (per-leg walls show the sparse leg tracking its
+    * cap-bounded candidate volume while the dense leg pays the brute
+    * |Q|·n baseline). (dense, sparse). */
+  def probeLegs(s: SparkSession, indexDir: String,
+      k: Int = RetrievalOps.PoolK): (DataFrame, DataFrame) =
+    (TextOps.docNeighborsFromVectors(s.read.parquet(s"$indexDir/vectors"), k),
+      RetrievalOps.lexicalFromPostings(s.read.parquet(s"$indexDir/postings"),
+        s.read.parquet(s"$indexDir/doclens"), k))
+
   /** Per-JVM memo of built indexes (the [[AnnIndexOps.annIndexProbe]]
     * convention): the build job runs ONCE per corpus dir; every keyed
     * call afterwards is probe-only — Bench's warmup pass pays the

@@ -175,4 +175,115 @@ object RetrievalOps {
       .select("q_id", "n_id", "rrf_e6", "sem_rnk", "lex_rnk", "rnk")
       .orderBy("q_id", "rnk")
   }
+
+  /** MMR constants: select [[MmrK]] of the [[PoolK]]-deep fused pool;
+    * λ = 0.7 carried as the integer weight pair (7, 3) so the score
+    * 7·rel − 3·maxsim is an exact long (the /10 normalization is a
+    * monotone constant — argmax unchanged, no doubles introduced).
+    * Relevance is the fused rank mapped onto the e6 scale,
+    * rel_e6 = (PoolK+1 − rnk)·(10⁶/PoolK) ∈ {2·10⁵ … 10⁶}, so the
+    * redundancy penalty (Jaccard e6 ∈ [0, 10⁶]) competes on the SAME
+    * scale — raw rrf_e6 tops out at ~3.3·10⁴ and would let any nonzero
+    * overlap swamp relevance. */
+  val MmrK = 3
+  val MmrLam = 7L
+  val MmrLamC = 3L
+
+  /** mmr_diversify — MAXIMAL MARGINAL RELEVANCE re-ranking of the hybrid
+    * retrieval pool (Carbonell & Goldstein 1998): greedily pick the
+    * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected, so the final k answers are relevant AND mutually diverse —
+    * the dedup-at-serving-time stage a RAG stack runs after fusion (three
+    * near-identical passages waste two context slots; MMR returns one
+    * plus two different angles). Candidate↔candidate redundancy is the
+    * same df-capped kept-token Jaccard as [[lexicalNeighbors]] (pairs
+    * sharing no kept token count 0 — independent by construction).
+    *
+    * The greedy loop is UNROLLED ([[MmrK]] fixed rounds — the BPE/kmeans
+    * oracle convention): each round anti-joins the selected set, folds a
+    * max-sim per remaining candidate, and takes one row per query via a
+    * bounded window. Every frame after the pool is queries × ≤PoolK
+    * rows, so the diversification stage costs O(|Q|·k²) REGARDLESS of
+    * corpus size; the corpus-proportional work is exactly the two
+    * retrieval legs it composes (both already scale-shaped). Pool and
+    * postings persist across rounds (multi-consumer contract). */
+  def mmrDiversify(s: SparkSession, dir: String, k: Int = MmrK): DataFrame =
+    mmrDiversifyDocs(Tables.documents(s, dir), k)
+
+  /** Core on any documents-shaped frame (testable / probe-able). */
+  def mmrDiversifyDocs(docs: DataFrame, k: Int = MmrK): DataFrame = {
+    val sh = lexicalPostings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = lexicalDocLens(sh)
+    // the pool is |Q|·k rows consumed by every greedy round — CHECKPOINT
+    // (not persist): the rounds' growing self-referential lineage would
+    // otherwise replay the full two-leg retrieval plan per reference
+    val pool = fuseRrf(
+        TextOps.docNeighborsFromVectors(TextOps.docNeighborVectorsOf(docs), PoolK),
+        lexicalFromPostings(sh, sz, PoolK), PoolK)
+      .localCheckpoint()
+    mmrFromPool(pool, sh, sz, k)
+  }
+
+  /** Greedy MMR core over any fused pool + posting-list pair. */
+  private[operators] def mmrFromPool(pool: DataFrame, sh: DataFrame,
+      sz: DataFrame, k: Int = MmrK): DataFrame = {
+    val relUnit = RrfScale / PoolK
+    val p = pool.select(col("q_id"), col("n_id"),
+      ((lit(PoolK + 1L) - col("rnk")) * lit(relUnit)).as("rel_e6"))
+
+    // pairwise kept-token Jaccard among docs that appear in ANY pool —
+    // the candidate set is |Q|·PoolK docs, and the df cap bounds the
+    // co-token self-join exactly as in the lexical leg itself
+    val cand = p.select(col("n_id").as("doc_id")).distinct()
+    val shc = sh.join(cand, "doc_id")
+    val common = shc.select(col("doc_id").as("a_id"), col("tok"))
+      .join(shc.select(col("doc_id").as("b_id"), col("tok")), "tok")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).cast("long").as("common"))
+    val simAB = common
+      .join(sz.select(col("doc_id").as("a_id"), col("n_tok").as("an")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n_tok").as("bn")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr(s"(common * $RrfScale) div (an + bn - common)").as("sim_e6"))
+    val sim = simAB.select(col("a_id").as("n_id"), col("b_id").as("m_id"), col("sim_e6"))
+      .unionByName(simAB.select(col("b_id").as("n_id"), col("a_id").as("m_id"), col("sim_e6")))
+    // per-query candidate pairs with absent-sim = 0 (disjoint token sets)
+    val mem = p.select("q_id", "n_id")
+    val psim = mem.join(mem.withColumnRenamed("n_id", "m_id"), "q_id")
+      .filter(col("n_id") =!= col("m_id"))
+      .join(sim, Seq("n_id", "m_id"), "left")
+      .select(col("q_id"), col("n_id"), col("m_id"),
+        coalesce(col("sim_e6"), lit(0L)).as("sim_e6"))
+      .localCheckpoint()
+
+    val byScore = Window.partitionBy("q_id").orderBy(col("mmr_w").desc, col("n_id"))
+    var selected = p
+      .withColumn("maxsim_e6", lit(0L))
+      .withColumn("mmr_w", lit(MmrLam) * col("rel_e6"))
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("n_id"), col("rel_e6"), col("maxsim_e6"),
+        col("mmr_w"), lit(1L).as("rnk"))
+    for (t <- 2 to k) {
+      val rem = p.join(selected.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+      val ms = psim
+        .join(selected.select(col("q_id"), col("n_id").as("m_id")), Seq("q_id", "m_id"))
+        .groupBy("q_id", "n_id").agg(max("sim_e6").as("ms"))
+      val scored = rem.join(ms, Seq("q_id", "n_id"), "left")
+        .withColumn("maxsim_e6", coalesce(col("ms"), lit(0L)))
+        .withColumn("mmr_w",
+          lit(MmrLam) * col("rel_e6") - lit(MmrLamC) * col("maxsim_e6"))
+      // lazy checkpoint: the next round consumes `selected` twice (the
+      // anti-join and the max-sim fold) and the final output a third
+      // time — without it the round plans re-derive each other
+      selected = selected.unionByName(
+        scored.withColumn("rk", row_number().over(byScore))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("n_id"), col("rel_e6"), col("maxsim_e6"),
+            col("mmr_w"), lit(t.toLong).as("rnk")))
+        .localCheckpoint(false)
+    }
+    selected.orderBy("q_id", "rnk")
+  }
 }

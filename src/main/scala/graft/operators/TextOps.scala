@@ -959,4 +959,56 @@ object TextOps {
           .otherwise(lit(0.0)).as("avg_df"))
       .orderBy("doc_id")
   }
+
+  /** bigram_lm_score — a corpus-trained bigram LANGUAGE MODEL as a
+    * quality filter, the integer-exact analog of CCNet's KenLM
+    * perplexity gate (Wenzek et al. 2020: score every document under an
+    * n-gram LM, route low-probability text to the discard/review
+    * bucket). The "model" is nothing but corpus counts — the MLE
+    * conditional p(w₂|w₁) = c(w₁w₂)/c(w₁·) — so training is one counting
+    * pass and scoring is one join, and every number is an exact long:
+    * each transition's probability lands as ⌊c₁₂·10⁶/c₁⌋ and a doc's
+    * score is the MEAN transition probability ⌊Σp_e6/n⌋ (arithmetic
+    * mean, not the geometric mean a log-prob perplexity uses — logs are
+    * transcendental and would break the bit-exact oracle; the ORDERING
+    * both induce on mostly-seen vs mostly-novel text is what the filter
+    * consumes). `min_p_e6` flags the single most surprising transition
+    * (the value a burst-of-garbage detector thresholds), and docs whose
+    * every bigram is unique to them score exactly ⌊10⁶·n⁻¹Σ(1/c₁)⌋-ish
+    * low. Prefix counts c(w₁·) count BIGRAM STARTS (so Σ_w₂ p(w₂|w₁) = 1
+    * up to flooring — the distribution property the telescoping spec
+    * pins), not raw token frequency.
+    *
+    * Scale shape ([[textFamiliarityDocs]] one conditional deeper): ONE
+    * non-distinct bigram explode persisted for two consumers (transition
+    * counts, per-doc score join); c₁ derives from the transition-count
+    * frame itself (a vocabulary-sized partial agg, no second corpus
+    * pass); the score join keys on the bigram string (AQE absorbs the
+    * power-law head) and folds per-doc with one partial-agg groupBy.
+    * Linear end to end; docs with <2 tokens have no transitions and are
+    * excluded (mirrored in the oracle). */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame =
+    bigramLmScoreDocs(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (testable). */
+  def bigramLmScoreDocs(documents: DataFrame): DataFrame = {
+    // NON-distinct grams: an LM counts occurrences, not document sets —
+    // the one semantic line separating this from textFamiliarity
+    val bg = documents
+      .select(col("doc_id"),
+        explode(DedupOps.wordGrams(col("text"), 2)).as("bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    // prefix mass from the transition frame (vocab-sized, not corpus)
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val p = c12.join(c1, "w1")
+      .select(col("bigram"), expr(s"(c12 * ${RetrievalOps.RrfScale}) div c1").as("p_e6"))
+    bg.join(p, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        expr(s"sum(p_e6) div count(1)").as("lm_e6"),
+        min("p_e6").as("min_p_e6"))
+      .orderBy("doc_id")
+  }
 }

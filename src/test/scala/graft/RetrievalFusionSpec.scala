@@ -235,4 +235,54 @@ class RetrievalFusionSpec extends AnyFunSuite {
     assert(out.exists(_.getAs[Long]("n_id") >= split),
       "admitted docs must surface as neighbors with no rebuild")
   }
+
+  test("mmr_diversify: a near-duplicate of the top pick is deferred behind a diverse candidate") {
+    import s.implicits._
+    // query 0's pool by construction: A=copy of q (rank 1), B=near-copy
+    // of A (high relevance, high redundancy), C=token-disjoint (lower
+    // relevance, zero redundancy). After A is selected, MMR must prefer
+    // C (7·rel − 3·0) over B (7·rel − 3·~10⁶) at rank 2.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"), // A: exact twin of q0
+      (2L, "alpha beta gamma delta zeta"), // B: near-copy of A
+      (3L, "unrelated vocabulary entirely different here") // C: disjoint
+    ).toDF("doc_id", "text")
+    val out = RetrievalOps.mmrDiversifyDocs(docs).collect()
+      .filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Long]("rnk"))
+    s.catalog.clearCache()
+    assert(out.length == RetrievalOps.MmrK)
+    assert(out(0).getAs[Long]("n_id") == 1L, "rank 1 = highest fused relevance (the twin)")
+    assert(out(0).getAs[Long]("maxsim_e6") == 0L)
+    assert(out(1).getAs[Long]("n_id") == 3L,
+      "the token-disjoint candidate must beat the near-copy at rank 2")
+    assert(out(2).getAs[Long]("n_id") == 2L, "the near-copy drops to rank 3")
+    out.foreach { r =>
+      assert(r.getAs[Long]("mmr_w") ==
+        RetrievalOps.MmrLam * r.getAs[Long]("rel_e6") -
+          RetrievalOps.MmrLamC * r.getAs[Long]("maxsim_e6"),
+        "mmr_w must recompute from its own row")
+    }
+  }
+
+  test("mmr_diversify (sf): selections are pool members, unique per query, rank-1 = fused rank-1") {
+    val pool = RetrievalOps.hybridRetrieval(s, sf).collect()
+    s.catalog.clearCache()
+    val out = RetrievalOps.mmrDiversify(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    val poolSet = pool.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val top1 = pool.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val ids = rows.map(_.getAs[Long]("n_id"))
+      assert(ids.distinct.length == ids.length, s"q=$q repeats a selection")
+      assert(rows.length <= RetrievalOps.MmrK)
+      val r1 = rows.minBy(_.getAs[Long]("rnk"))
+      assert(r1.getAs[Long]("n_id") == top1(q),
+        s"q=$q: MMR rank 1 must be the fused pool's rank 1")
+    }
+    out.foreach(r => assert(poolSet((r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))),
+      "every MMR selection must come from the fused pool"))
+  }
 }

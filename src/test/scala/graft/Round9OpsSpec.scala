@@ -216,4 +216,53 @@ class Round9OpsSpec extends AnyFunSuite {
         f"flagged pair ($a,$b) has cos=$cos%.4f < threshold")
     }
   }
+
+  test("bigram_lm_score: planted MLE probabilities, certainty self-loop, <2-token docs absent") {
+    import s.implicits._
+    // corpus transitions from 'a': a→b twice, a→c once ⇒ p(b|a)=⌊2e6/3⌋,
+    // p(c|a)=⌊1e6/3⌋; "x x x" is a certainty loop ⇒ p(x|x)=1e6 exactly
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "x x x"),
+      (5L, "solo"), (6L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.bigramLmScoreDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_e6"), r.getAs[Long]("min_p_e6")))
+      .toMap
+    s.catalog.clearCache()
+    assert(!out.contains(5L) && !out.contains(6L),
+      "docs with <2 tokens have no transitions and must be absent")
+    assert(out(1L) == ((1L, 666666L, 666666L)))
+    assert(out(2L) == ((1L, 666666L, 666666L)))
+    assert(out(3L) == ((1L, 333333L, 333333L)))
+    assert(out(4L) == ((2L, 1000000L, 1000000L)),
+      "a repeated token is the model's only continuation: probability 1")
+  }
+
+  test("bigram_lm_score (sf): transition distributions sum to the prefix mass; scores bounded") {
+    val out = graft.operators.TextOps.bigramLmScore(s, sf).collect()
+    s.catalog.clearCache()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lm = r.getAs[Long]("lm_e6"); val mn = r.getAs[Long]("min_p_e6")
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+      assert(mn >= 0L && mn <= 1000000L && lm >= mn && lm <= 1000000L,
+        "the mean transition probability is bounded by [min_p, 1]")
+    }
+    // the distribution property the scaladoc claims: for every prefix,
+    // transition counts sum exactly to the prefix mass (recomputed here
+    // independently of the operator)
+    import org.apache.spark.sql.functions._
+    val bg = Tables.documents(s, sf)
+      .select(explode(graft.operators.DedupOps.wordGrams(col("text"), 2)).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("w1"), col("bigram"))
+    val chk = bg.groupBy("w1", "bigram").agg(count(lit(1)).as("c12"))
+      .groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("fanout"))
+      .agg(sum(col("c1")).as("mass"), sum(col("fanout")).as("types")).head()
+    val total = bg.count()
+    s.catalog.clearCache()
+    assert(chk.getAs[Long]("mass") == total,
+      "Σ_w1 c1(w1) must equal the corpus transition count exactly")
+  }
 }
