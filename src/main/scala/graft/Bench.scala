@@ -46,7 +46,8 @@ object Bench {
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
       "dedup_survivors", "hybrid_retrieval", "mmr_diversify", "retrieval_index_probe",
-      "retrieval_index_probe_admitted", "bigram_lm_score",
+      "retrieval_index_probe_admitted", "retrieval_index_probe_compacted",
+      "ann_index_probe_compacted", "bigram_lm_score",
       "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
       "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text", "dedup_report",
       "embedding_pq", "ann_pq", "ann_ivf_pq",

@@ -114,6 +114,20 @@ object Jobs {
     * re-clustering as ONE rewrite. */
   def compactPartition(s: SparkSession, baseDir: String, date: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
+      layout: Seq[String] = Nil): Int =
+    compactLeaf(s, s"$baseDir/dt=$date", targetFileBytes, layout)
+
+  /** The generic leaf-directory form of [[compactPartition]] (same
+    * crash-safe rename-pair protocol, parameterized over the directory)
+    * — also the primitive the landed-INDEX maintenance jobs use to fold
+    * admission's appended small files back into full-size ones
+    * ([[graft.operators.AnnIndexOps.compactAnnIndex]] per `cell=` leaf,
+    * [[graft.operators.RetrievalIndexOps.compactRetrievalIndex]] per
+    * artifact). The sibling `.old`/`.tmp` names derive from the leaf's
+    * own name, so concurrent compactions of DIFFERENT leaves never
+    * collide. */
+  def compactLeaf(s: SparkSession, leafDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
       layout: Seq[String] = Nil): Int = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     def listParquet[A](dir: Path)(f: Seq[Path] => A): A = {
@@ -122,8 +136,9 @@ object Jobs {
         .filter(_.getFileName.toString.endsWith(".parquet")))
       finally st.close() // Files.list holds a directory fd until closed
     }
-    val part = Paths.get(s"$baseDir/dt=$date")
-    val old = Paths.get(s"$baseDir/.dt=$date.old")
+    val part = Paths.get(leafDir)
+    val leaf = part.getFileName.toString
+    val old = part.resolveSibling(s".$leaf.old")
     // crash recovery: a previous run that died between the two renames
     // left the live data in `.old` and no partition — restore it; a
     // leftover `.old` NEXT TO a live partition is post-swap garbage
@@ -135,7 +150,7 @@ object Jobs {
     val bytes = listParquet(part)(_.map(Files.size).sum)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = s.read.parquet(part.toString)
-    val tmp = Paths.get(s"$baseDir/.dt=$date.compact.tmp")
+    val tmp = part.resolveSibling(s".$leaf.compact.tmp")
     if (layout.nonEmpty)
       graft.operators.LayoutOps.zorderWrite(df, layout, tmp.toString, nFiles)
     else

@@ -1721,6 +1721,10 @@ object OracleSql {
       // probe the full set
       annIvfPqSqlWhere(s"vec_id < ${graft.operators.ClusterOps.SemSplit}"),
 
+    "ann_index_probe_compacted" ->
+      // compaction is pure layout: same twin as the admitted probe
+      annIvfPqSqlWhere(s"vec_id < ${graft.operators.ClusterOps.SemSplit}"),
+
     "ann_index_admit" -> {
       // the frozen-quantizer ingest twin: every kmeans instance trains
       // on the corpus slice (vec_id < SemSplit) — exactly what
@@ -2211,6 +2215,11 @@ object OracleSql {
     "retrieval_index_probe_admitted" ->
       // the hybrid twin with the kept-token vocabulary frozen on the
       // corpus slice (batch docs score against it but never vote)
+      hybridRetrievalSqlWhere(
+        s"doc_id < ${graft.operators.DedupOps.IncrementalSplit}"),
+
+    "retrieval_index_probe_compacted" ->
+      // compaction is pure layout: same twin as the admitted probe
       hybridRetrievalSqlWhere(
         s"doc_id < ${graft.operators.DedupOps.IncrementalSplit}"),
 

@@ -229,6 +229,52 @@ object AnnIndexOps {
     probeAnnIndex(s, idx, Tables.embeddings(s, dir))
   }
 
+  /** Fold admission's appended small files back into full-size ones,
+    * one `cell=` leaf at a time ([[graft.Jobs.compactLeaf]]'s crash-safe
+    * rename-pair per leaf) — the nightly INDEX maintenance twin of the
+    * table-side `runMaintenanceJob`. Every admitted batch appends its
+    * own file(s) into each touched cell partition; at a daily ingest
+    * cadence a year is ~365 files per cell, and probe cost at 100 TB is
+    * dominated by per-file scheduling before a single row is read.
+    * Compaction rewrites ROWS UNCHANGED (the spec pins probe-frame
+    * equality), touches only leaves that actually fragmented (≤1-file
+    * cells skip — so re-running after a quiet day is a no-op), and
+    * leaves the cell partitioning intact (DPP pruning unaffected).
+    * Returns the number of leaves rewritten. */
+  def compactAnnIndex(s: SparkSession, indexDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Path, Paths}
+    val codes = Paths.get(s"$indexDir/codes")
+    val st = Files.list(codes)
+    val cells = try st.toArray.map(_.asInstanceOf[Path]).toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("cell="))
+      finally st.close()
+    cells.count { c =>
+      val fs = Files.list(c)
+      val n = try fs.toArray.map(_.asInstanceOf[Path]).toSeq
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        finally fs.close()
+      if (n > 1) { graft.Jobs.compactLeaf(s, c.toString, targetFileBytes); true }
+      else false
+    }
+  }
+
+  /** ann_index_probe_compacted — the full index LIFECYCLE in one key:
+    * build on the corpus slice, admit the growth batch, COMPACT the
+    * fragmented cell leaves, then probe. Compaction is pure layout —
+    * the result is bit-identical to `ann_index_probe_admitted` (shared
+    * oracle verbatim), which is exactly the property that makes it safe
+    * to run nightly. */
+  def annIndexProbeCompacted(s: SparkSession, dir: String): DataFrame = {
+    val split = ClusterOps.SemSplit
+    val idx = ensureIndex(s, dir, "grown_compact")(_.filter(col("vec_id") < split))
+    admitToIndex(s, idx,
+      Tables.embeddings(s, dir).filter(col("vec_id") >= split))
+    compactAnnIndex(s, idx)
+    probeAnnIndex(s, idx, Tables.embeddings(s, dir))
+  }
+
   /** ann_index_admit — the ingest side: vectors arriving AFTER the index
     * build (vec_id ≥ SemSplit, the shared admission split) are assigned
     * against the FROZEN corpus-slice artifacts — cell, M codes, exact

@@ -158,4 +158,36 @@ object RetrievalIndexOps {
       Tables.documents(s, dir).filter(col("doc_id") >= split))
     probeRetrievalIndex(s, idx)
   }
+
+  /** Fold admission's appended small files back into full-size ones,
+    * per artifact directory ([[graft.Jobs.compactLeaf]]'s crash-safe
+    * rename-pair) — the text-index maintenance twin of
+    * [[AnnIndexOps.compactAnnIndex]]. Artifacts that never fragmented
+    * (≤1 parquet file) are skipped, so a quiet-day run is a no-op.
+    * Returns the number of artifact directories rewritten. */
+  def compactRetrievalIndex(s: SparkSession, indexDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    Seq("postings", "doclens", "vectors").count { a =>
+      import java.nio.file.{Files, Path, Paths}
+      val d = Paths.get(s"$indexDir/$a")
+      val fs = Files.list(d)
+      val n = try fs.toArray.map(_.asInstanceOf[Path]).toSeq
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        finally fs.close()
+      if (n > 1) { graft.Jobs.compactLeaf(s, d.toString, targetFileBytes); true }
+      else false
+    }
+
+  /** retrieval_index_probe_compacted — the text-index LIFECYCLE in one
+    * key: build on the corpus slice, admit the growth batch, COMPACT
+    * the fragmented artifacts, probe. Pure layout — bit-identical to
+    * `retrieval_index_probe_admitted` (shared oracle verbatim). */
+  def retrievalIndexProbeCompacted(s: SparkSession, dir: String): DataFrame = {
+    val split = DedupOps.IncrementalSplit
+    val idx = ensureIndex(s, dir, "grown_compact")(_.filter(col("doc_id") < split))
+    admitToRetrievalIndex(s, idx,
+      Tables.documents(s, dir).filter(col("doc_id") >= split))
+    compactRetrievalIndex(s, idx)
+    probeRetrievalIndex(s, idx)
+  }
 }

@@ -168,4 +168,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(bad.count() == 0)
     s.catalog.clearCache()
   }
+
+  test("compactAnnIndex: fragmented cells fold to one file each; probe frame unchanged") {
+    import java.nio.file.{Files, Path, Paths}
+    def parquetFiles(dir: String): Seq[Path] = {
+      val st = Files.walk(Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[Path]).toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    val dir = freshDir("compact")
+    val split = ClusterOps.SemSplit
+    val emb = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    AnnIndexOps.buildAnnIndex(emb.filter(col("vec_id") < split), dir)
+    s.catalog.clearCache()
+    // two admission batches: every touched cell gains extra small files
+    val mid = split + (2000 - split) / 2
+    AnnIndexOps.admitToIndex(s, dir,
+      emb.filter(col("vec_id") >= split && col("vec_id") < mid))
+    AnnIndexOps.admitToIndex(s, dir, emb.filter(col("vec_id") >= mid))
+    val before = AnnIndexOps.probeAnnIndex(s, dir, emb).collect()
+      .map(_.toString).toSeq
+    s.catalog.clearCache()
+    val rowsBefore = s.read.parquet(s"$dir/codes").count()
+    val filesBefore = parquetFiles(s"$dir/codes").size
+    val rewritten = AnnIndexOps.compactAnnIndex(s, dir)
+    assert(rewritten > 0, "admission fragmented at least one cell")
+    val filesAfter = parquetFiles(s"$dir/codes").size
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(s.read.parquet(s"$dir/codes").count() == rowsBefore,
+      "compaction is pure layout: no row may appear or vanish")
+    val after = AnnIndexOps.probeAnnIndex(s, dir, emb).collect()
+      .map(_.toString).toSeq
+    s.catalog.clearCache()
+    assert(after == before, "probe results must be bit-identical post-compaction")
+    // quiet-day run: nothing fragmented, nothing rewritten
+    assert(AnnIndexOps.compactAnnIndex(s, dir) == 0)
+  }
 }

@@ -236,6 +236,40 @@ class RetrievalFusionSpec extends AnyFunSuite {
       "admitted docs must surface as neighbors with no rebuild")
   }
 
+  test("compactRetrievalIndex: fragmented artifacts fold; probe frame unchanged") {
+    import java.nio.file.{Files, Path, Paths}
+    import graft.operators.{DedupOps, RetrievalIndexOps}
+    def parquetFiles(dir: String): Int = {
+      val st = Files.walk(Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[Path]).toSeq
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_retridx_cmp").toString
+    val split = DedupOps.IncrementalSplit
+    val docs = Tables.documents(s, sf)
+    RetrievalIndexOps.buildRetrievalIndex(s, docs.filter(col("doc_id") < split), base)
+    // two admission batches fragment the flat artifacts
+    val mid = split + 50
+    RetrievalIndexOps.admitToRetrievalIndex(s, base,
+      docs.filter(col("doc_id") >= split && col("doc_id") < mid))
+    RetrievalIndexOps.admitToRetrievalIndex(s, base,
+      docs.filter(col("doc_id") >= mid))
+    val before = RetrievalIndexOps.probeRetrievalIndex(s, base).collect()
+      .map(_.toString).toSeq
+    s.catalog.clearCache()
+    val filesBefore = parquetFiles(base)
+    val rewritten = RetrievalIndexOps.compactRetrievalIndex(s, base)
+    assert(rewritten > 0, "admission fragmented at least one artifact")
+    assert(parquetFiles(base) < filesBefore)
+    val after = RetrievalIndexOps.probeRetrievalIndex(s, base).collect()
+      .map(_.toString).toSeq
+    s.catalog.clearCache()
+    assert(after == before, "probe results must be bit-identical post-compaction")
+    assert(RetrievalIndexOps.compactRetrievalIndex(s, base) == 0,
+      "a quiet-day re-run rewrites nothing")
+  }
+
   test("mmr_diversify: a near-duplicate of the top pick is deferred behind a diverse candidate") {
     import s.implicits._
     // query 0's pool by construction: A=copy of q (rank 1), B=near-copy
