@@ -616,10 +616,12 @@ object OracleSql {
     * NO shared dim get dot 0 via the LEFT JOIN + coalesce — they still
     * rank. Shared by the standalone key and hybrid_retrieval's dense
     * leg (wrapped as a subquery). */
-  private def docNeighborsSql: String = {
+  /** The documents→hashed-integer-vector CTE chain ending in `f`
+    * (doc_id, dim, fv — long form, absent dims implicit 0) and `nrm`
+    * (doc_id, n2) — shared by the brute and LSH dense-leg twins. */
+  private def docVecCtes: String = {
     val dims = graft.operators.TextOps.EmbedDims
-    val qm = graft.operators.SimilarityOps.QueryModulus
-    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |tok AS (SELECT doc_id, i, w[i] AS tok
        |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
        |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
@@ -627,7 +629,27 @@ object OracleSql {
        |v AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
        |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
        |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM v GROUP BY 1, 2),
-       |nrm AS (SELECT doc_id, CAST(SUM(fv*fv) AS BIGINT) AS n2 FROM f GROUP BY 1),
+       |nrm AS (SELECT doc_id, CAST(SUM(fv*fv) AS BIGINT) AS n2 FROM f GROUP BY 1)""".stripMargin
+  }
+
+  /** TextOps.docLshBucket's bit-exact SQL twin over the LONG-FORM vector
+    * frame `f`: one GROUP BY doc_id computing every plane's exact integer
+    * dot (absent dims contribute 0 on both engines) — bit p set iff
+    * strictly positive, the same seeded ±1 planes inlined as literals. */
+  private def docLshBucketExpr: String =
+    graft.operators.TextOps.docPlaneWeights.zipWithIndex.map { case (w, p) =>
+      val lst = w.mkString("[", ",", "]")
+      s"(CASE WHEN SUM(fv * ($lst)[dim+1]) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def docProbeMasks: String =
+    graft.operators.SimilarityOps
+      .probeMasks(2, graft.operators.TextOps.DocPlanes)
+      .mkString("[", ",", "]")
+
+  private def docNeighborsSql: String = {
+    val qm = graft.operators.SimilarityOps.QueryModulus
+    s"""WITH $docVecCtes,
        |pr AS (SELECT na.doc_id AS q_id, nb.doc_id AS n_id, na.n2 AS qn, nb.n2 AS nn
        |  FROM nrm na JOIN nrm nb ON na.doc_id <> nb.doc_id
        |  WHERE na.doc_id % $qm = 0 AND na.n2 > 0 AND nb.n2 > 0),
@@ -640,6 +662,72 @@ object OracleSql {
        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
        |SELECT q_id, n_id, cos_sim, rnk FROM rk WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** doc_neighbors_lsh twin — the dedup_embedding_lsh pattern applied to
+    * the long-form hashed doc vectors: bucket per doc (literal ±1
+    * planes, exact integer dots), multi-probe masks on the query side
+    * (each candidate pair meets exactly once — a corpus doc has ONE
+    * bucket and a query's probed buckets are distinct), exact cosine +
+    * rank on candidates only. Shared by the standalone key and the
+    * fused/landed retrieval twins (wrapped as a subquery). */
+  private def docNeighborsLshSql: String = {
+    val qm = graft.operators.SimilarityOps.QueryModulus
+    s"""WITH $docVecCtes,
+       |bk AS (SELECT doc_id, $docLshBucketExpr AS bucket FROM f GROUP BY doc_id),
+       |bkn AS (SELECT bk.doc_id, bk.bucket FROM bk JOIN nrm USING (doc_id) WHERE nrm.n2 > 0),
+       |pm AS (SELECT doc_id AS q_id, unnest(list_transform($docProbeMasks, m -> xor(bucket, m))) AS bucket
+       |  FROM bkn WHERE doc_id % $qm = 0),
+       |cnd AS (SELECT pm.q_id, b.doc_id AS n_id FROM pm JOIN bkn b
+       |  ON b.bucket = pm.bucket AND b.doc_id <> pm.q_id),
+       |pr AS (SELECT cnd.q_id, cnd.n_id, qa.n2 AS qn, nb.n2 AS nn
+       |  FROM cnd JOIN nrm qa ON cnd.q_id = qa.doc_id JOIN nrm nb ON cnd.n_id = nb.doc_id),
+       |dt AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, CAST(SUM(a.fv*b.fv) AS BIGINT) AS dt
+       |  FROM f a JOIN f b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % $qm = 0 GROUP BY 1, 2),
+       |sc AS (SELECT pr.q_id, pr.n_id,
+       |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
+       |  FROM pr LEFT JOIN dt ON dt.q_id = pr.q_id AND dt.n_id = pr.n_id),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT q_id, n_id, cos_sim, rnk FROM rk WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** chunk_neighbors_lsh twin — the same bucket/probe chain at chunk
+    * grain over the shared chunkHashCtes vectors; same-doc chunks
+    * excluded at the candidate join exactly as in Spark. */
+  private def chunkNeighborsLshSql: String = {
+    val qm = graft.operators.SimilarityOps.QueryModulus
+    s"""WITH $chunkHashCtes,
+       |f AS (SELECT doc_id, chunk_id, dim, CAST(SUM(sg) AS BIGINT) AS fv
+       |  FROM v GROUP BY 1, 2, 3),
+       |nrm AS (SELECT doc_id, chunk_id, CAST(SUM(fv*fv) AS BIGINT) AS n2
+       |  FROM f GROUP BY 1, 2),
+       |bk AS (SELECT doc_id, chunk_id, $docLshBucketExpr AS bucket
+       |  FROM f GROUP BY doc_id, chunk_id),
+       |bkn AS (SELECT bk.doc_id, bk.chunk_id, bk.bucket FROM bk
+       |  JOIN nrm USING (doc_id, chunk_id) WHERE nrm.n2 > 0),
+       |pm AS (SELECT doc_id AS q_doc, chunk_id AS q_chunk,
+       |  unnest(list_transform($docProbeMasks, m -> xor(bucket, m))) AS bucket
+       |  FROM bkn WHERE doc_id % $qm = 0),
+       |cnd AS (SELECT pm.q_doc, pm.q_chunk, b.doc_id AS n_doc, b.chunk_id AS n_chunk
+       |  FROM pm JOIN bkn b ON b.bucket = pm.bucket AND b.doc_id <> pm.q_doc),
+       |pr AS (SELECT cnd.q_doc, cnd.q_chunk, cnd.n_doc, cnd.n_chunk, qa.n2 AS qn, nb.n2 AS nn
+       |  FROM cnd JOIN nrm qa ON cnd.q_doc = qa.doc_id AND cnd.q_chunk = qa.chunk_id
+       |  JOIN nrm nb ON cnd.n_doc = nb.doc_id AND cnd.n_chunk = nb.chunk_id),
+       |dt AS (SELECT a.doc_id AS q_doc, a.chunk_id AS q_chunk,
+       |    b.doc_id AS n_doc, b.chunk_id AS n_chunk,
+       |    CAST(SUM(a.fv*b.fv) AS BIGINT) AS dt
+       |  FROM f a JOIN f b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % $qm = 0 GROUP BY 1, 2, 3, 4),
+       |sc AS (SELECT pr.q_doc, pr.q_chunk, pr.n_doc, pr.n_chunk,
+       |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
+       |  FROM pr LEFT JOIN dt ON dt.q_doc = pr.q_doc AND dt.q_chunk = pr.q_chunk
+       |    AND dt.n_doc = pr.n_doc AND dt.n_chunk = pr.n_chunk),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc, q_chunk
+       |  ORDER BY cos_sim DESC, n_doc, n_chunk) AS BIGINT) AS rnk FROM sc)
+       |SELECT q_doc, q_chunk, n_doc, n_chunk, cos_sim, rnk FROM rk WHERE rnk <= 5
+       |ORDER BY q_doc, q_chunk, rnk""".stripMargin
   }
 
   /** hybrid_retrieval twin — ALSO retrieval_index_probe's oracle: the
@@ -2204,6 +2292,30 @@ object OracleSql {
     },
 
     "doc_neighbors" -> docNeighborsSql,
+
+    "doc_neighbors_lsh" -> docNeighborsLshSql,
+
+    "chunk_neighbors_lsh" -> chunkNeighborsLshSql,
+
+    "hard_negatives_lsh" -> {
+      // the ann_lsh twin with the cross-label predicate riding the same
+      // candidate join (seeded planes inlined as literals)
+      val masks = graft.operators.SimilarityOps.probeMasks(2)
+        .mkString("[", ",", "]")
+      s"""WITH n AS (SELECT vec_id, embedding, label, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |b AS (SELECT vec_id, embedding, label, nrm, ${lshBucketSql("embedding")} AS bucket FROM n),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, label AS q_label,
+         |  unnest(list_transform($masks, m -> xor(bucket, m))) AS bucket
+         |  FROM b WHERE vec_id % ${graft.operators.SimilarityOps.QueryModulus} = 0),
+         |sc AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+         |  ${cosSim(dotE12("q_emb", "e.embedding"), "q_nrm", "e.nrm")} AS cos_sim
+         |  FROM b e JOIN q ON e.bucket = q.bucket AND q.q_id <> e.vec_id
+         |    AND q.q_label <> e.label),
+         |r AS (SELECT q_id, q_label, n_id, n_label, cos_sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, q_label, n_id, n_label, cos_sim, rnk FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
 
     "lexical_neighbors" -> lexicalNeighborsSql,
 

@@ -249,6 +249,43 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** hard_negatives_lsh — the BUCKETED twin of [[hardNegatives]] (the
+    * ann_cosine_topk → ann_lsh pattern with the label filter riding the
+    * same join): multi-probe hyperplane buckets generate the candidates,
+    * the cross-label filter and exact cosine run on collisions only, the
+    * top-k window is unchanged. The contrastive-mining leg at 100×: pair
+    * volume is Σ(bucket × queries-in-bucket), never |Q| · corpus. Fully
+    * oracle-checked (seeded planes inlined as literals — the ann_lsh
+    * twin plus the label predicate). */
+  def hardNegativesLsh(s: SparkSession, dir: String, k: Int = 5,
+      probeBits: Int = 2): DataFrame =
+    hardNegativesLshFrom(Tables.embeddings(s, dir), k, probeBits)
+
+  /** Core on any (vec_id, embedding, label) frame (planted-twin specs). */
+  def hardNegativesLshFrom(emb: DataFrame, k: Int = 5,
+      probeBits: Int = 2): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("embedding"), col("label"),
+        normE12(col("embedding")).as("nrm"))
+      .withColumn("bucket", lshBucket(col("embedding")))
+    val probes = array(probeMasks(probeBits).map(lit): _*)
+    val q = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"),
+        DedupOps.cosine(dotE12(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "q_label", "n_id", "n_label", "cos_sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   /** embedding_centroids — per-label centroid of the embedding column,
     * element-wise: posexplode to (label, dim, component), scale each
     * component to an exact e6 integer at the ROW level, sum the integers

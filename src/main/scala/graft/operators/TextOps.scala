@@ -243,7 +243,7 @@ object TextOps {
   private[operators] def docNeighborVectors(s: SparkSession, dir: String): DataFrame =
     docNeighborVectorsOf(Tables.documents(s, dir))
 
-  private[operators] def docNeighborVectorsOf(docs: DataFrame): DataFrame = {
+  private[graft] def docNeighborVectorsOf(docs: DataFrame): DataFrame = {
     val v = array((0 until EmbedDims).map(i => col(s"f$i")): _*)
     docEmbedCoreOf(docs)
       .select(col("doc_id"), v.as("v"))
@@ -270,6 +270,88 @@ object TextOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Hyperplane count for the hashed-vector LSH family (docs + chunks):
+    * 6 planes → 64 buckets — the [[SimilarityOps.NumPlanes]] sizing
+    * argument applied to the documents corpus (500–5000 docs at the test
+    * SFs keeps ~8–80 vectors per bucket). At cluster scale planes grow
+    * with log₂(corpus / target bucket size); multi-probe is the recall
+    * lever either way. */
+  val DocPlanes = 6
+
+  /** Deterministic ±1 plane weights over the [[EmbedDims]] INTEGER dims —
+    * an independent seed family from [[SimilarityOps.planeWeights]] (the
+    * 64-dim float-embedding planes), so the two LSH spaces stay
+    * uncorrelated. Package-visible: OracleSql inlines the same values as
+    * DuckDB list literals, making every bucket twin bit-exact. */
+  private[graft] def docPlaneWeights: IndexedSeq[Array[Long]] =
+    (0 until DocPlanes).map { p =>
+      val rng = new scala.util.Random(271L * (p + 3))
+      Array.fill(EmbedDims)(if (rng.nextBoolean()) 1L else -1L)
+    }
+
+  /** LSH bucket id of a hashed integer vector: bit p = sign of the EXACT
+    * integer dot product with plane p. Pure codegen arithmetic
+    * (DocPlanes × EmbedDims long multiply-adds against literal weights —
+    * no per-row weight materialization, no doubles, so the DuckDB twin
+    * reproduces every bit). */
+  private[graft] def docLshBucket(v: Column): Column =
+    docPlaneWeights.zipWithIndex.map { case (w, p) =>
+      val dot = (0 until EmbedDims).map(i =>
+        element_at(v, i + 1) * lit(w(i))).reduce(_ + _)
+      when(dot > lit(0L), lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** doc_neighbors_lsh — the BUCKETED twin of [[docNeighbors]] (the
+    * dedup_embedding → dedup_embedding_lsh pattern applied to the hashed
+    * doc vectors): multi-probe hyperplane LSH candidate generation, exact
+    * integer cosine only on bucket collisions, per-query top-k window
+    * unchanged. Candidate volume is (probed buckets / 2^planes) · corpus
+    * instead of the brute |Q| · corpus — the dense-retrieval leg that
+    * survives 100× data, and the leg `hybrid_retrieval` /
+    * `mmr_diversify` / the landed text index actually compose. Fully
+    * oracle-checked: buckets, masks, and cosines are pure integer
+    * functions of (text, planes), so the DuckDB twin mirrors the whole
+    * pipeline bit-for-bit (approximate vs BRUTE by design — recall is
+    * RecallSpec's business, algorithm parity is the oracle's). */
+  def docNeighborsLsh(s: SparkSession, dir: String, k: Int = 5,
+      probeBits: Int = 2): DataFrame =
+    docNeighborsLshFromVectors(docNeighborVectors(s, dir), k, probeBits)
+
+  /** Bucketed dense-leg core on any (doc_id, v, nrm) frame — buckets
+    * computed inline (a pure function of v, so the landed-bucket and
+    * inline compositions are bit-identical). */
+  private[graft] def docNeighborsLshFromVectors(withN: DataFrame,
+      k: Int = 5, probeBits: Int = 2): DataFrame =
+    docNeighborsLshCore(withN.withColumn("bucket", docLshBucket(col("v"))),
+      k, probeBits)
+
+  /** Core over a pre-bucketed (doc_id, v, nrm, bucket) frame — inline or
+    * the landed `vectors/` ⋈ `buckets/` artifacts. The bucket equi-join
+    * is the shuffle key; each (query, candidate) pair meets exactly once
+    * (a corpus vector has ONE bucket; a query's probed buckets are
+    * distinct), so no dedup stage is needed. */
+  private[operators] def docNeighborsLshCore(e: DataFrame, k: Int,
+      probeBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = array(
+      SimilarityOps.probeMasks(probeBits, DocPlanes).map(lit): _*)
+    val q = e.filter(col("doc_id") % SimilarityOps.QueryModulus === 0)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        (dot.cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
+  }
+
   /** chunk_neighbors — CHUNK-level retrieval over [[chunkEmbed]]'s
     * hashed vectors: for every query-doc chunk, the top-k most similar
     * chunks of OTHER documents by exact integer cosine — the passage
@@ -285,11 +367,7 @@ object TextOps {
     * (hashed chunk vectors are just integer embeddings). */
   def chunkNeighbors(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = array((0 until EmbedDims).map(i => col(s"f$i")): _*)
-    val withN = chunkEmbed(s, dir)
-      .select(col("doc_id"), col("chunk_id"), v.as("v"))
-      .withColumn("nrm", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
-      .filter(col("nrm") > 0L)
+    val withN = chunkVectors(s, dir)
     val q = withN
       .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -299,6 +377,50 @@ object TextOps {
     val w = Window.partitionBy("q_doc", "q_chunk")
       .orderBy(col("cos_sim").desc, col("n_doc"), col("n_chunk"))
     withN.join(broadcast(q), col("q_doc") =!= col("doc_id"))
+      .select(col("q_doc"), col("q_chunk"),
+        col("doc_id").as("n_doc"), col("chunk_id").as("n_chunk"),
+        (dot.cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_doc", "q_chunk", "rnk")
+  }
+
+  /** The (doc_id, chunk_id, v, nrm) hashed CHUNK vectors [[chunkNeighbors]]
+    * and [[chunkNeighborsLsh]] search — zero-norm chunks excluded (cosine
+    * undefined), the docNeighborVectors convention at chunk grain. */
+  private[operators] def chunkVectors(s: SparkSession, dir: String): DataFrame = {
+    val v = array((0 until EmbedDims).map(i => col(s"f$i")): _*)
+    chunkEmbed(s, dir)
+      .select(col("doc_id"), col("chunk_id"), v.as("v"))
+      .withColumn("nrm", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+      .filter(col("nrm") > 0L)
+  }
+
+  /** chunk_neighbors_lsh — the BUCKETED twin of [[chunkNeighbors]]: the
+    * same [[docLshBucket]] hyperplane family (hashed chunk vectors live
+    * in the same integer space as doc vectors), multi-probe candidates,
+    * exact integer cosine on collisions only, same-doc chunks excluded.
+    * The passage-retrieval leg at 100×: candidate volume is bucket-
+    * density-bounded instead of |Q-chunks| · corpus-chunks. Fully
+    * oracle-checked (the chunkHashCtes twin + literal planes). */
+  def chunkNeighborsLsh(s: SparkSession, dir: String, k: Int = 5,
+      probeBits: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = chunkVectors(s, dir).withColumn("bucket", docLshBucket(col("v")))
+    val probes = array(
+      SimilarityOps.probeMasks(probeBits, DocPlanes).map(lit): _*)
+    val q = e.filter(col("doc_id") % SimilarityOps.QueryModulus === 0)
+      .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_doc", "q_chunk")
+      .orderBy(col("cos_sim").desc, col("n_doc"), col("n_chunk"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_doc") =!= col("doc_id"))
       .select(col("q_doc"), col("q_chunk"),
         col("doc_id").as("n_doc"), col("chunk_id").as("n_chunk"),
         (dot.cast("double") /
