@@ -743,7 +743,9 @@ object OracleSql {
       val k0 = graft.operators.RetrievalOps.RrfK0
       val scale = graft.operators.RetrievalOps.RrfScale
       val k = graft.operators.RetrievalOps.PoolK
-      s"""WITH sem AS (SELECT q_id, n_id, rnk AS sem_rnk FROM ($docNeighborsSql)),
+      // dense leg = the BUCKETED doc_neighbors_lsh twin (round 10: the
+      // fused keys ride the scale-shaped leg, pinned to that key's SQL)
+      s"""WITH sem AS (SELECT q_id, n_id, rnk AS sem_rnk FROM ($docNeighborsLshSql)),
          |lex AS (SELECT q_id, n_id, rnk AS lex_rnk FROM (${lexicalNeighborsSqlWhere(keptWhere)})),
          |f AS (SELECT COALESCE(sem.q_id, lex.q_id) AS q_id,
          |  COALESCE(sem.n_id, lex.n_id) AS n_id,
@@ -2334,6 +2336,43 @@ object OracleSql {
       // compaction is pure layout: same twin as the admitted probe
       hybridRetrievalSqlWhere(
         s"doc_id < ${graft.operators.DedupOps.IncrementalSplit}"),
+
+    "retrieval_index_stats" -> {
+      // the health panel re-derived from FIRST PRINCIPLES: the Spark
+      // side reads the landed grown index (build on doc_id < split,
+      // batch admitted); this twin recomputes every artifact count and
+      // the OOV drift ratio from the documents table + the split
+      // convention, so hash equality proves the landed index is exactly
+      // what a from-scratch build+admit produces
+      val split = graft.operators.DedupOps.IncrementalSplit
+      val scale = graft.operators.RetrievalOps.RrfScale
+      s"""WITH ${lexicalBaseCtes(s"doc_id < $split")},
+         |adm AS (SELECT doc_id, tok FROM ltk WHERE doc_id >= $split),
+         |admo AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         |  CAST(COALESCE(SUM(CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS o
+         |  FROM adm LEFT JOIN lkept k ON adm.tok = k.tok),
+         |vstats AS (SELECT * FROM (WITH $docVecCtes
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS all_docs,
+         |    CAST(COALESCE(SUM(CASE WHEN doc_id >= $split THEN 1 ELSE 0 END), 0) AS BIGINT) AS adm_docs
+         |  FROM nrm WHERE n2 > 0))
+         |SELECT metric, value FROM (
+         |  SELECT 'admitted_docs_dense' AS metric, (SELECT adm_docs FROM vstats) AS value
+         |  UNION ALL SELECT 'admitted_docs_sparse',
+         |    (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM lsh WHERE doc_id >= $split)
+         |  UNION ALL SELECT 'admitted_pairs_oov', (SELECT o FROM admo)
+         |  UNION ALL SELECT 'admitted_pairs_total', (SELECT t FROM admo)
+         |  UNION ALL SELECT 'buckets_docs', (SELECT all_docs FROM vstats)
+         |  UNION ALL SELECT 'doclens_docs', (SELECT CAST(COUNT(*) AS BIGINT) FROM lsz)
+         |  UNION ALL SELECT 'kept_vocab_size', (SELECT CAST(COUNT(*) AS BIGINT) FROM lkept)
+         |  UNION ALL SELECT 'oov_e6',
+         |    (SELECT CASE WHEN t = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST((o * $scale) // t AS BIGINT) END FROM admo)
+         |  UNION ALL SELECT 'postings_docs',
+         |    (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM lsh)
+         |  UNION ALL SELECT 'postings_rows', (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh)
+         |  UNION ALL SELECT 'vectors_docs', (SELECT all_docs FROM vstats)
+         |) ORDER BY metric""".stripMargin
+    },
 
     "dedup_simhash" -> {
       val pow2 = (0 until 64).map(b => s"CAST('${BigInt(1) << b}' AS HUGEINT)")

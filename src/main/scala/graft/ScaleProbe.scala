@@ -321,8 +321,9 @@ object ScaleProbe {
     // that measures cap pathology on degenerate data, not scaling. The
     // two legs are timed separately: the sparse leg must track the
     // (cap-bounded, per-replica-constant) candidate volume ~linearly;
-    // the dense leg is the documented brute |Q|·n baseline (the bucketed
-    // swap is the LSH/IVF candidate source) and its wall shows why.
+    // the dense leg is the BUCKETED LSH candidate source since r10 —
+    // its wall must track bucket-collision volume, not the |Q|·n brute
+    // baseline it replaced (r9 measured that baseline at 56.9 s @16×).
     for (k <- Seq(1, 4, factor) if only.forall(_.contains("retrieval_index_probe"))) {
       val d = (0 until k).map { i =>
           if (i == 0) docsBase

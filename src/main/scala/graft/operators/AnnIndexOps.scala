@@ -197,13 +197,19 @@ object AnnIndexOps {
     * sums; the one division at the edge). Unbalanced cells mean probe
     * cost variance and recall holes; rising err means the codebooks have
     * drifted from the corpus and the index needs a rebuild — exactly the
-    * two numbers FAISS tells you to watch. Reads the landed artifacts
-    * only (k-row output; one pass over the codes + one over the corpus
-    * for err). */
+    * two numbers FAISS tells you to watch. Cell MEMBERSHIP comes from the
+    * LANDED `codes/` frame (the index as it actually is, admitted rows
+    * included); reconstruction error — which codes/ doesn't store — comes
+    * from one assignment pass over the corpus against the frozen
+    * quantizers, joined back on vec_id (a landed code whose vector has
+    * left the corpus keeps its membership row and contributes no err). */
   def annIndexStats(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureIndex(s, dir, "full")(identity)
-    val assigned = assignToIndex(s, idx, Tables.embeddings(s, dir))
-    val cells = assigned.groupBy("cell")
+    val codes = readCodes(s, idx, PqM).select("vec_id", "cell")
+    val errOf = assignToIndex(s, idx, Tables.embeddings(s, dir))
+      .select("vec_id", "err")
+    val cells = codes.join(errOf, Seq("vec_id"), "left")
+      .groupBy("cell")
       .agg(count(lit(1)).as("n"), sum(col("err")).as("err_sum"))
     val tot = cells.agg(sum(col("n")).as("n_total"))
     cells.crossJoin(broadcast(tot))
@@ -240,7 +246,13 @@ object AnnIndexOps {
     * equality), touches only leaves that actually fragmented (≤1-file
     * cells skip — so re-running after a quiet day is a no-op), and
     * leaves the cell partitioning intact (DPP pruning unaffected).
-    * Returns the number of leaves rewritten. */
+    * SINGLE-WRITER maintenance: the per-leaf read-then-rename swap
+    * silently discards any file appended between the read and the
+    * swap, so STOP admission (batch [[admitToIndex]] or the streaming
+    * twin) while compaction runs — the standard maintenance-window
+    * contract for file-granularity rewrites without a table format's
+    * optimistic-concurrency log. Returns the number of leaves
+    * rewritten. */
   def compactAnnIndex(s: SparkSession, indexDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     import java.nio.file.{Files, Path, Paths}

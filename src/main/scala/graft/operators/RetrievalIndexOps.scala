@@ -19,7 +19,14 @@ import graft.Tables
   * search afterwards only READS them:
   *
   *   `vectors/`   the hashed doc vectors (doc_id, v, nrm) — the dense
-  *                leg's corpus side ([[TextOps.docNeighborVectors]])
+  *                corpus bridge frame ([[TextOps.docNeighborVectors]]),
+  *                kept flat for non-search consumers
+  *   `buckets/`   the SAME rows PARTITIONED BY their hyperplane-LSH
+  *                bucket ([[TextOps.docLshBucket]]) — the dense leg's
+  *                search-side layout (the [[AnnIndexOps]] `codes/`
+  *                cell-partitioning pattern): a probe that touches
+  *                `probed` of 2^planes buckets reads only that
+  *                fraction of the corpus files
   *   `postings/`  the df-capped (doc_id, tok) posting list — the
   *                sparse leg's corpus side; the kept-token set is
   *                decided ONCE at build time against the whole corpus
@@ -33,10 +40,11 @@ import graft.Tables
   * verbatim, and the spec asserts frame equality directly).
   *
   * Scale shape: build cost is the two one-off corpus passes; probe
-  * cost is the broadcast-query candidate join on each leg plus the
-  * bounded RRF align — no hashing, no df aggregation, no token
-  * distinct at read time. Re-landing on corpus change is the same
-  * rebuild-vs-admit tradeoff as the ANN index.
+  * cost is the bucket-equi-join candidate volume on the dense leg
+  * (collision-bounded, never |Q|·n) and the cap-bounded posting join
+  * on the sparse leg, plus the bounded RRF align — no hashing, no df
+  * aggregation, no token distinct at read time. Re-landing on corpus
+  * change is the same rebuild-vs-admit tradeoff as the ANN index.
   */
 object RetrievalIndexOps {
 
@@ -45,34 +53,55 @@ object RetrievalIndexOps {
   def buildRetrievalIndex(s: SparkSession, docs: DataFrame, baseDir: String): Unit = {
     val sh = RetrievalOps.lexicalPostings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.write.mode("overwrite").parquet(s"$baseDir/postings")
+    // column order pinned to the admission append's (doc_id, tok) so
+    // every file in the artifact shares one physical schema
+    sh.select("doc_id", "tok").write.mode("overwrite")
+      .parquet(s"$baseDir/postings")
     RetrievalOps.lexicalDocLens(sh)
       .write.mode("overwrite").parquet(s"$baseDir/doclens")
     sh.unpersist()
-    TextOps.docNeighborVectorsOf(docs)
-      .write.mode("overwrite").parquet(s"$baseDir/vectors")
+    val vecs = TextOps.docNeighborVectorsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.write.mode("overwrite").parquet(s"$baseDir/vectors")
+    vecs.withColumn("bucket", TextOps.docLshBucket(col("v")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$baseDir/buckets")
+    vecs.unpersist()
   }
+
+  /** The bucket-partitioned dense corpus side, with the partition column
+    * normalized back to its build-time long type (partition values
+    * round-trip as ints — the [[AnnIndexOps.readCodes]] convention). */
+  private def readBuckets(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/buckets")
+      .select(col("doc_id"), col("v"), col("nrm"),
+        col("bucket").cast("long").as("bucket"))
 
   /** Hybrid RRF top-k against the LANDED index — zero corpus passes
     * beyond the artifact reads; every arithmetic step mirrors the
-    * inline composition exactly. */
+    * inline composition exactly (the dense leg runs the same
+    * [[TextOps.docNeighborsLshCore]] as the inline key over the landed
+    * buckets — bucket assignment is a pure function of v, so landed
+    * and inline buckets are bit-identical). */
   def probeRetrievalIndex(s: SparkSession, indexDir: String,
       k: Int = RetrievalOps.PoolK): DataFrame = {
-    val vectors = s.read.parquet(s"$indexDir/vectors")
     val sh = s.read.parquet(s"$indexDir/postings")
     val sz = s.read.parquet(s"$indexDir/doclens")
     RetrievalOps.fuseRrf(
-      TextOps.docNeighborsFromVectors(vectors, RetrievalOps.PoolK),
+      TextOps.docNeighborsLshCore(readBuckets(s, indexDir),
+        RetrievalOps.PoolK, TextOps.DocProbeBits),
       RetrievalOps.lexicalFromPostings(sh, sz, RetrievalOps.PoolK), k)
   }
 
   /** The two ranked legs over the landed artifacts, separately — the
-    * ScaleProbe hook (per-leg walls show the sparse leg tracking its
-    * cap-bounded candidate volume while the dense leg pays the brute
-    * |Q|·n baseline). (dense, sparse). */
+    * ScaleProbe hook (per-leg walls show BOTH legs tracking their
+    * candidate volumes: cap-bounded posting pairs on the sparse side,
+    * bucket collisions on the dense side — no |Q|·n term anywhere).
+    * (dense, sparse). */
   def probeLegs(s: SparkSession, indexDir: String,
       k: Int = RetrievalOps.PoolK): (DataFrame, DataFrame) =
-    (TextOps.docNeighborsFromVectors(s.read.parquet(s"$indexDir/vectors"), k),
+    (TextOps.docNeighborsLshCore(readBuckets(s, indexDir), k,
+        TextOps.DocProbeBits),
       RetrievalOps.lexicalFromPostings(s.read.parquet(s"$indexDir/postings"),
         s.read.parquet(s"$indexDir/doclens"), k))
 
@@ -103,10 +132,16 @@ object RetrievalIndexOps {
     * kept-token vocabulary (build-time df decides membership; a fixed
     * vocabulary is the point of freezing, exactly like the frozen PQ
     * codebooks), doc lengths counted over kept tokens, vectors hashed
-    * statelessly (the hash has no corpus state to freeze). Each
-    * artifact anti-joins on its own doc_id set, so an at-least-once
-    * replay — full or after partial failure — appends nothing. Returns
-    * the number of newly admitted documents. */
+    * statelessly (the hash has no corpus state to freeze), buckets
+    * derived from the fresh vectors and appended into their partition
+    * leaves. EACH artifact computes its fresh rows by an anti-join
+    * against its OWN landed doc_id set — never another artifact's — so
+    * an at-least-once replay, full or after a crash between any two
+    * appends, completes exactly the missing artifact(s) and appends
+    * nothing twice. Returns the number of newly admitted documents
+    * (the distinct union of docs that contributed to any artifact — a
+    * doc can be postings-only, e.g. all-out-of-vocab tokens hash to a
+    * zero-norm vector, or vectors-only). */
   def admitToRetrievalIndex(s: SparkSession, indexDir: String,
       batch: DataFrame): Long = {
     import org.apache.spark.storage.StorageLevel
@@ -118,25 +153,32 @@ object RetrievalIndexOps {
       .distinct()
       .join(frozenVocab, "tok")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val freshIds = (existing: DataFrame, frame: DataFrame) =>
-      frame.join(existing.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-    val freshPost = freshIds(s.read.parquet(s"$indexDir/postings"), batchTok)
+    val freshIds = (artifact: String, frame: DataFrame) =>
+      frame.join(s.read.parquet(s"$indexDir/$artifact")
+          .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val freshPost = freshIds("postings", batchTok)
+    val freshLens = freshIds("doclens", RetrievalOps.lexicalDocLens(batchTok))
+    val batchVecs = TextOps.docNeighborVectorsOf(batch)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = freshPost.select("doc_id").distinct().count()
-    if (n > 0) {
+    val freshVecs = freshIds("vectors", batchVecs)
+    val freshBkts = freshIds("buckets",
+      batchVecs.withColumn("bucket", TextOps.docLshBucket(col("v"))))
+    val n = freshPost.select("doc_id").union(freshVecs.select("doc_id"))
+      .distinct().count()
+    if (!freshPost.isEmpty)
       freshPost.select("doc_id", "tok")
         .write.mode("append").parquet(s"$indexDir/postings")
-      RetrievalOps.lexicalDocLens(freshPost)
-        .write.mode("append").parquet(s"$indexDir/doclens")
-    }
-    val freshVecs = freshIds(s.read.parquet(s"$indexDir/vectors"),
-      TextOps.docNeighborVectorsOf(batch))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nv = freshVecs.count()
-    if (nv > 0)
+    if (!freshLens.isEmpty)
+      freshLens.write.mode("append").parquet(s"$indexDir/doclens")
+    if (!freshVecs.isEmpty)
       freshVecs.write.mode("append").parquet(s"$indexDir/vectors")
-    batchTok.unpersist(); freshPost.unpersist(); freshVecs.unpersist()
-    math.max(n, nv)
+    if (!freshBkts.isEmpty)
+      freshBkts.write.mode("append").partitionBy("bucket")
+        .parquet(s"$indexDir/buckets")
+    Seq(batchTok, freshPost, freshLens, batchVecs, freshVecs, freshBkts)
+      .foreach(_.unpersist())
+    n
   }
 
   /** retrieval_index_probe_admitted — the grow-then-search loop for
@@ -159,24 +201,122 @@ object RetrievalIndexOps {
     probeRetrievalIndex(s, idx)
   }
 
-  /** Fold admission's appended small files back into full-size ones,
-    * per artifact directory ([[graft.Jobs.compactLeaf]]'s crash-safe
-    * rename-pair) — the text-index maintenance twin of
-    * [[AnnIndexOps.compactAnnIndex]]. Artifacts that never fragmented
-    * (≤1 parquet file) are skipped, so a quiet-day run is a no-op.
-    * Returns the number of artifact directories rewritten. */
+  /** retrieval_index_stats — the text-index HEALTH panel (the
+    * [[AnnIndexOps.annIndexStats]] twin): a long-form (metric, value)
+    * frame read off the LANDED artifacts plus one pass over the
+    * admitted batch. The load-bearing row is `oov_e6` — the e6
+    * fraction of the admitted docs' distinct (doc, token) pairs that
+    * fall OUTSIDE the frozen kept vocabulary. Admission silently drops
+    * those tokens (a fixed vocabulary is what freezing means), so a
+    * rising oov_e6 is the signal that corpus vocabulary has drifted
+    * from the build and the sparse leg is degrading: the REBUILD
+    * trigger, exactly as rising reconstruction error is the ANN
+    * index's. The artifact-size rows (postings/doclens/vectors/buckets
+    * row counts, kept-vocab size, admitted-doc counts per leg) are the
+    * consistency panel: doclens_docs must equal postings_docs and
+    * buckets_docs must equal vectors_docs, or an admission crashed
+    * between appends and the next replay hasn't healed it yet. All
+    * values are exact BIGINTs (the one ratio is integer e6), so the
+    * DuckDB twin — which RE-DERIVES every number from the documents
+    * table and the split convention — hash-checks that the landed
+    * index is exactly what a from-scratch build+admit would produce. */
+  def retrievalIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val split = DedupOps.IncrementalSplit
+    val idx = ensureIndex(s, dir, "grown")(_.filter(col("doc_id") < split))
+    val batch = Tables.documents(s, dir).filter(col("doc_id") >= split)
+    admitToRetrievalIndex(s, idx, batch)
+    retrievalIndexStatsOf(s, idx, batch)
+  }
+
+  /** Panel core over any landed index + admitted-batch pair. Every
+    * metric is a single-row aggregate; the bounded frames cross as
+    * broadcast 1-row joins and stack to long form (the dq_checks
+    * shape) — no driver-side action anywhere. */
+  private[graft] def retrievalIndexStatsOf(s: SparkSession, indexDir: String,
+      admitted: DataFrame): DataFrame = {
+    val post = s.read.parquet(s"$indexDir/postings")
+    val lens = s.read.parquet(s"$indexDir/doclens")
+    val vecs = s.read.parquet(s"$indexDir/vectors")
+    val bkts = s.read.parquet(s"$indexDir/buckets")
+    val vocab = post.select("tok").distinct()
+    val admIds = admitted.select("doc_id").distinct()
+    val admTok = admitted
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val p = post.agg(count(lit(1)).as("postings_rows"),
+      countDistinct(col("doc_id")).as("postings_docs"),
+      countDistinct(col("tok")).as("kept_vocab_size"))
+    val l = lens.agg(count(lit(1)).as("doclens_docs"))
+    val v = vecs.agg(count(lit(1)).as("vectors_docs"))
+    val b = bkts.agg(count(lit(1)).as("buckets_docs"))
+    val ls = lens.join(admIds, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("admitted_docs_sparse"))
+    val vs = vecs.join(admIds, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("admitted_docs_dense"))
+    val ao = admTok.join(vocab.withColumn("known", lit(1)), Seq("tok"), "left")
+      .agg(count(lit(1)).as("admitted_pairs_total"),
+        coalesce(sum(when(col("known").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("admitted_pairs_oov"))
+    p.crossJoin(broadcast(l)).crossJoin(broadcast(v)).crossJoin(broadcast(b))
+      .crossJoin(broadcast(ls)).crossJoin(broadcast(vs)).crossJoin(broadcast(ao))
+      .withColumn("oov_e6", expr(
+        "CASE WHEN admitted_pairs_total = 0 THEN 0L " +
+          s"ELSE (admitted_pairs_oov * ${RetrievalOps.RrfScale}) div admitted_pairs_total END"))
+      .select(expr("""stack(11,
+          'admitted_docs_dense', admitted_docs_dense,
+          'admitted_docs_sparse', admitted_docs_sparse,
+          'admitted_pairs_oov', admitted_pairs_oov,
+          'admitted_pairs_total', admitted_pairs_total,
+          'buckets_docs', buckets_docs,
+          'doclens_docs', doclens_docs,
+          'kept_vocab_size', kept_vocab_size,
+          'oov_e6', oov_e6,
+          'postings_docs', postings_docs,
+          'postings_rows', postings_rows,
+          'vectors_docs', vectors_docs) as (metric, value)"""))
+      .orderBy("metric")
+  }
+
+  /** Fold admission's appended small files back into full-size ones:
+    * the three flat artifacts compact whole ([[graft.Jobs.compactLeaf]]'s
+    * crash-safe rename-pair), `buckets/` compacts per `bucket=` leaf
+    * (the [[AnnIndexOps.compactAnnIndex]] pattern — partitioning, and
+    * with it the probe's file pruning, is untouched). Directories that
+    * never fragmented (≤1 parquet file) are skipped, so a quiet-day run
+    * is a no-op. SINGLE-WRITER maintenance: compaction's read-then-swap
+    * discards files appended between the read and the rename — stop
+    * admission (batch or streaming) while it runs, exactly like the ANN
+    * side. Returns the number of artifact directories rewritten
+    * (buckets counts once however many leaves folded). */
   def compactRetrievalIndex(s: SparkSession, indexDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int =
-    Seq("postings", "doclens", "vectors").count { a =>
-      import java.nio.file.{Files, Path, Paths}
-      val d = Paths.get(s"$indexDir/$a")
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Path, Paths}
+    def parquetCount(d: Path): Int = {
       val fs = Files.list(d)
-      val n = try fs.toArray.map(_.asInstanceOf[Path]).toSeq
-          .count(_.getFileName.toString.endsWith(".parquet"))
-        finally fs.close()
-      if (n > 1) { graft.Jobs.compactLeaf(s, d.toString, targetFileBytes); true }
-      else false
+      try fs.toArray.map(_.asInstanceOf[Path]).toSeq
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      finally fs.close()
     }
+    val flat = Seq("postings", "doclens", "vectors").count { a =>
+      val d = Paths.get(s"$indexDir/$a")
+      if (parquetCount(d) > 1) {
+        graft.Jobs.compactLeaf(s, d.toString, targetFileBytes); true
+      } else false
+    }
+    val bdir = Paths.get(s"$indexDir/buckets")
+    val st = Files.list(bdir)
+    val leaves = try st.toArray.map(_.asInstanceOf[Path]).toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("bucket="))
+      finally st.close()
+    val folded = leaves.count { leaf =>
+      if (parquetCount(leaf) > 1) {
+        graft.Jobs.compactLeaf(s, leaf.toString, targetFileBytes); true
+      } else false
+    }
+    flat + (if (folded > 0) 1 else 0)
+  }
 
   /** retrieval_index_probe_compacted — the text-index LIFECYCLE in one
     * key: build on the corpus slice, admit the growth batch, COMPACT

@@ -142,18 +142,23 @@ object RetrievalOps {
   }
 
   /** hybrid_retrieval — reciprocal-rank fusion of the dense and sparse
-    * retrieval legs: [[TextOps.docNeighbors]] (hashed-embedding cosine)
-    * and [[lexicalNeighbors]] (token-set Jaccard), fused per query doc
+    * retrieval legs: [[TextOps.docNeighborsLsh]] (bucketed hashed-
+    * embedding cosine — the scale-shaped dense leg; the brute
+    * `doc_neighbors` stays shipped as the recall baseline) and
+    * [[lexicalNeighbors]] (token-set Jaccard), fused per query doc
     * with rrf = Σ_legs ⌊10⁶/(60+rank)⌋ (a candidate absent from a leg
     * contributes 0). This is the standard RAG-stack retrieval shape —
     * BM25/keyword ∪ vector search → RRF — run corpus-side: each leg's
     * pool is its existing top-k key, so the fusion stage only ever
     * touches queries × 2k candidate rows (a full-outer align on
     * (q_id, n_id) + one bounded rank window), regardless of corpus
-    * size. Scores are pure integers end to end (see [[RrfScale]]); leg
-    * ranks ride along as provenance (0 = not in that leg's pool). */
+    * size — and BOTH legs' candidate volumes are now bounded (df-cap
+    * posting pairs / LSH bucket collisions), so no stage carries a
+    * |Q|·n term. Scores are pure integers end to end (see
+    * [[RrfScale]]); leg ranks ride along as provenance (0 = not in
+    * that leg's pool). */
   def hybridRetrieval(s: SparkSession, dir: String, k: Int = PoolK): DataFrame =
-    fuseRrf(TextOps.docNeighbors(s, dir, PoolK),
+    fuseRrf(TextOps.docNeighborsLsh(s, dir, PoolK),
       lexicalNeighbors(s, dir, PoolK), k)
 
   /** RRF fusion core over any two ranked legs (each (q_id, n_id, rnk))
@@ -219,7 +224,8 @@ object RetrievalOps {
     // (not persist): the rounds' growing self-referential lineage would
     // otherwise replay the full two-leg retrieval plan per reference
     val pool = fuseRrf(
-        TextOps.docNeighborsFromVectors(TextOps.docNeighborVectorsOf(docs), PoolK),
+        TextOps.docNeighborsLshFromVectors(
+          TextOps.docNeighborVectorsOf(docs), PoolK),
         lexicalFromPostings(sh, sz, PoolK), PoolK)
       .localCheckpoint()
     mmrFromPool(pool, sh, sz, k)

@@ -278,6 +278,12 @@ object TextOps {
     * lever either way. */
   val DocPlanes = 6
 
+  /** Multi-probe radius for the hashed-vector LSH family: all buckets
+    * within hamming-2 of the query's (1 + 6 + 15 = 22 of 64 masks) —
+    * the recall lever shared by every doc/chunk LSH key and the landed
+    * index probe. */
+  val DocProbeBits = 2
+
   /** Deterministic ±1 plane weights over the [[EmbedDims]] INTEGER dims —
     * an independent seed family from [[SimilarityOps.planeWeights]] (the
     * 64-dim float-embedding planes), so the two LSH spaces stay

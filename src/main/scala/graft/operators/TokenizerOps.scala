@@ -86,12 +86,6 @@ object TokenizerOps {
       .orderBy("rank")
   }
 
-  /** bpe_tokens (oracle-checked via the same unrolled-training twin) —
-    * tokenize every document under the learned
-    * merges: per doc, whitespace word count, BPE token count, and the
-    * chars-per-token compression ratio the packing/budgeting operators
-    * consume. Encode cost is one native fold per DISTINCT word (the
-    * vocab-bounded join-back shape), not per occurrence. */
   /** bpe_fertility — the tokenizer-eval panel: per SOURCE, the mean
     * fertility (BPE tokens per word) and chars-per-token under the
     * trained merges, plus the raw exact-integer sums they derive from.
@@ -117,6 +111,12 @@ object TokenizerOps {
           .as("chars_per_token"))
       .orderBy("source")
 
+  /** bpe_tokens (oracle-checked via the same unrolled-training twin) —
+    * tokenize every document under the learned
+    * merges: per doc, whitespace word count, BPE token count, and the
+    * chars-per-token compression ratio the packing/budgeting operators
+    * consume. Encode cost is one native fold per DISTINCT word (the
+    * vocab-bounded join-back shape), not per occurrence. */
   def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges = bpeTrain(docs, NumMerges).map { case (_, l, r, _) => (l, r) }

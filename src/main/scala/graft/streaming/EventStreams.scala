@@ -413,6 +413,30 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming TEXT-INDEX ingestion — the stream twin of
+    * [[graft.operators.RetrievalIndexOps.admitToRetrievalIndex]],
+    * completing the streaming-admission quadruple (minhash text /
+    * embedding space / ANN index / text index): each micro-batch of new
+    * documents is admitted against the FROZEN landed artifacts —
+    * postings filtered to the frozen kept vocabulary, doc lengths over
+    * kept tokens, stateless hashed vectors + their LSH buckets — with
+    * each artifact's per-doc anti-join making an at-least-once
+    * redelivery (full or after a crash between appends) append nothing
+    * twice. Stream state: zero; store state: the four index artifacts.
+    * Probes see batch N's docs from batch N+1 on — the continuously
+    * growing searchable corpus, text-side. */
+  def landRetrievalIndexAdmissionStream(docs: DataFrame, indexDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.operators.RetrievalIndexOps.admitToRetrievalIndex(s, indexDir, batch)
+        // per-batch jobs must not leak persisted blocks across batches
+        s.catalog.clearCache()
+      }
+      .start()
+
   /** Streaming heavy hitters, landing side: each micro-batch lands its
     * own Misra–Gries candidate summary as (tok, w) rows plus the batch
     * token count. Soundness of the union: a token with global frequency

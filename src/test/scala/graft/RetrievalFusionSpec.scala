@@ -64,8 +64,9 @@ class RetrievalFusionSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
         "rrf_e6 must be non-increasing in rank")
     }
-    // the legs agree with their standalone keys (fusion is pinned to them)
-    val sem = TextOps.docNeighbors(s, sf, RetrievalOps.PoolK).collect()
+    // the legs agree with their standalone keys (fusion is pinned to
+    // them; the dense leg is the bucketed doc_neighbors_lsh since r10)
+    val sem = TextOps.docNeighborsLsh(s, sf, RetrievalOps.PoolK).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Long]("rnk"))
       .toMap
     s.catalog.clearCache()
@@ -280,7 +281,9 @@ class RetrievalFusionSpec extends AnyFunSuite {
       (0L, "alpha beta gamma delta epsilon"),
       (1L, "alpha beta gamma delta epsilon"), // A: exact twin of q0
       (2L, "alpha beta gamma delta zeta"), // B: near-copy of A
-      (3L, "unrelated vocabulary entirely different here") // C: disjoint
+      // C: token-disjoint from q0 (zero lexical redundancy) but hashed
+      // into q0's LSH bucket, so the bucketed dense leg pools it
+      (3L, "unrelated vocabulary entirely different there")
     ).toDF("doc_id", "text")
     val out = RetrievalOps.mmrDiversifyDocs(docs).collect()
       .filter(_.getAs[Long]("q_id") == 0L).sortBy(_.getAs[Long]("rnk"))

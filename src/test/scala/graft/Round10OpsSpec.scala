@@ -118,6 +118,90 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!q.exists(_.getAs[Long]("n_id") == 2L))
   }
 
+  test("retrieval_index_stats: consistency rows agree; planted vocab drift flags oov_e6") {
+    import s.implicits._
+    import graft.operators.RetrievalIndexOps
+    // keyed panel on sf data: internal consistency of the landed index
+    val out = RetrievalIndexOps.retrievalIndexStats(s, sf).collect()
+    s.catalog.clearCache()
+    val m = out.map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(m.size == 11)
+    assert(m("doclens_docs") == m("postings_docs"),
+      "every postings doc must have its doclens row (admission healed)")
+    assert(m("buckets_docs") == m("vectors_docs"),
+      "every vector must have its bucket row")
+    assert(m("admitted_pairs_total") >= m("admitted_pairs_oov"))
+    assert(m("oov_e6") == (if (m("admitted_pairs_total") == 0) 0L
+      else m("admitted_pairs_oov") * 1000000L / m("admitted_pairs_total")))
+    // planted drift: vocabulary frozen on a 5-token corpus, then a batch
+    // arrives speaking 5 new words — the panel must flag the drift
+    val base = java.nio.file.Files.createTempDirectory("graft_ridx_stats").toString
+    val corpus = Seq((1L, "aa bb cc"), (2L, "aa bb dd"), (3L, "cc dd ee"))
+      .toDF("doc_id", "text")
+    RetrievalIndexOps.buildRetrievalIndex(s, corpus, base)
+    val drifted = Seq((10L, "zz yy xx"), (11L, "ww vv aa")).toDF("doc_id", "text")
+    RetrievalIndexOps.admitToRetrievalIndex(s, base, drifted)
+    val p = RetrievalIndexOps.retrievalIndexStatsOf(s, base, drifted).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    s.catalog.clearCache()
+    assert(p("kept_vocab_size") == 5L)
+    assert(p("admitted_pairs_total") == 6L)
+    assert(p("admitted_pairs_oov") == 5L, "only 'aa' is in the frozen vocab")
+    assert(p("oov_e6") == 833333L)
+    // doc 10 has zero in-vocab tokens: absent from the sparse leg by
+    // design — the panel shows it (dense admits 2, sparse admits 1)
+    assert(p("admitted_docs_sparse") == 1L)
+    assert(p("admitted_docs_dense") == 2L)
+    // a same-vocabulary batch admits with zero drift
+    val same = Seq((20L, "aa bb"), (21L, "cc dd ee")).toDF("doc_id", "text")
+    RetrievalIndexOps.admitToRetrievalIndex(s, base, same)
+    val p2 = RetrievalIndexOps.retrievalIndexStatsOf(s, base, same).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    s.catalog.clearCache()
+    assert(p2("admitted_pairs_oov") == 0L)
+    assert(p2("oov_e6") == 0L)
+    assert(p2("admitted_docs_sparse") == 2L)
+  }
+
+  test("landRetrievalIndexAdmissionStream: micro-batches grow the text index; replay appends nothing") {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{DedupOps, RetrievalIndexOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ridx_stream").toString
+    val split = DedupOps.IncrementalSplit
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    RetrievalIndexOps.buildRetrievalIndex(s, docs.filter(col("doc_id") < split), dir)
+    s.catalog.clearCache()
+    val batchRows = docs.filter(col("doc_id") >= split).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(batchRows.length >= 2)
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+    val in = MemoryStream[(Long, String)](s)
+    val q = graft.streaming.EventStreams.landRetrievalIndexAdmissionStream(
+      in.toDF().toDF("doc_id", "text"), dir)
+    try {
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      // replayed delivery of batch 1 inside the stream: no growth
+      in.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the streamed index is IDENTICAL to one batch admission of the
+    // full batch — per-artifact, row for row
+    val twin = java.nio.file.Files.createTempDirectory("graft_ridx_twin").toString
+    RetrievalIndexOps.buildRetrievalIndex(s, docs.filter(col("doc_id") < split), twin)
+    RetrievalIndexOps.admitToRetrievalIndex(s, twin,
+      docs.filter(col("doc_id") >= split))
+    for (a <- Seq("postings", "doclens", "vectors", "buckets")) {
+      val sa = s.read.parquet(s"$dir/$a").collect().map(_.toString).sorted.toSeq
+      val sb = s.read.parquet(s"$twin/$a").collect().map(_.toString).sorted.toSeq
+      assert(sa == sb, s"streamed $a diverged from batch admission")
+    }
+    // and the probe serves streamed docs
+    val out = RetrievalIndexOps.probeRetrievalIndex(s, dir).collect()
+    s.catalog.clearCache()
+    assert(out.exists(_.getAs[Long]("q_id") >= split))
+  }
+
   test("hard_negatives_lsh (sf0.1): labels differ, scores exact, recall vs brute recorded") {
     val lsh = SimilarityOps.hardNegativesLsh(s, sf01).collect()
     val brute = SimilarityOps.hardNegatives(s, sf01).collect()
