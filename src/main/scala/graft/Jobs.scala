@@ -74,20 +74,41 @@ object Jobs {
     SteamOps.writeDateStamped(merged, stateBase, date)
   }
 
-  /** CurationETL: run the corpus filter (quality → language-consistency →
-    * exact dedup) and land the SURVIVING documents — keeper rows joined
-    * back to their text — as a date-stamped snappy drop. The landed drop
-    * is the training-ready corpus: one row per unique kept document.
+  /** CurationETL: gate (quality ≥ 0.5 → language-consistency), then
+    * QUALITY-AWARE near-dup survivor election — the
+    * [[graft.operators.DedupOps.dedupSurvivors]] policy: per near-dup
+    * cluster, the gate-PASSING member with the best quality-head logit
+    * survives (ties → lowest doc_id). This is the copy real curation
+    * ships — keep the best version of a duplicated page, not the
+    * lowest-id one (the keyed `corpus_filter` query is untouched: it
+    * stays the exact-hash / min-id reference policy). Election runs
+    * among gate-passers, so a cluster whose globally-best member fails
+    * a gate still lands its best PASSING member — gating then electing
+    * never silently drops a cluster that has an acceptable copy. The
+    * landed drop is the training-ready corpus: one row per kept doc
+    * with its election provenance (cluster_id, cluster size, logit).
     * Returns the written path. */
   def runCurationJob(s: SparkSession, sfDir: String, outDir: String,
       date: String): String = {
     import org.apache.spark.sql.functions._
-    val keepers = graft.operators.CurationOps.corpusFilter(s, sfDir)
-      .select(col("keep_id").as("doc_id"), col("n_dups"), col("keep_quality"))
-    val corpus = graft.Tables.documents(s, sfDir)
-      .join(keepers, Seq("doc_id"))
-      .select("doc_id", "text", "lang", "source", "n_chars", "n_dups", "keep_quality")
-    SteamOps.writeDateStamped(corpus, s"$outDir/curated_corpus", date)
+    import graft.operators.TextOps
+    val passers = graft.Tables.documents(s, sfDir)
+      .withColumn("quality", TextOps.qualityExpr(col("text")))
+      .withColumn("pred_lang", TextOps.predLangExpr(col("text")))
+      .filter(col("quality") >= lit(0.5) && col("pred_lang") === col("lang"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val verdicts = graft.operators.DedupOps.dedupSurvivors(s, sfDir)
+      .select("doc_id", "cluster_id", "logit_e12", "n_members")
+    // re-elect among passers only: one cluster_id-keyed window over the
+    // gated join (cluster partitions are near-dup families, never
+    // corpus-sized — the dedupSurvivors plan argument)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("logit_e12").desc, col("doc_id"))
+    val kept = passers.join(verdicts, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    SteamOps.writeDateStamped(kept, s"$outDir/curated_corpus", date)
   }
 
   /** Compaction: rewrite one date partition of a landed drop into
@@ -479,10 +500,12 @@ object Jobs {
     * and vertices its boundary carries, its lon/lat bbox, and whether
     * stats joined (the reference's merged naturalearth frame,
     * world_map_transformer.py:205–208, as data instead of pixels).
-    * Rows-only: the geometry comes from the in-code
-    * [[graft.sources.WorldBoundaries]] dim, which has no DuckDB twin
-    * table. All geometry math is array-fold projection over the
-    * broadcast-joined dim — bounded by the planet, zero fact shuffles. */
+    * Fully oracle-checked since round 10: the in-code
+    * [[graft.sources.WorldBoundaries]] dim is deterministic, so the
+    * DuckDB twin inlines its parsed rings' fold results as a VALUES
+    * literal and every count/bbox hash-compares. All geometry math is
+    * array-fold projection over the broadcast-joined dim — bounded by
+    * the planet, zero fact shuffles. */
   def worldMapFeatures(s: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val world = withBoundaryGeometry(s,

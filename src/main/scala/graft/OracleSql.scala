@@ -943,6 +943,34 @@ object OracleSql {
          |SELECT alpha2, continent, $euPropExpr AS usd_dif_prop
          |FROM world ORDER BY alpha2""".stripMargin,
 
+    "world_map_features" -> {
+      // the boundary dim is deterministic in-code Scala, so its parsed
+      // rings inline as a VALUES literal (the seeded-planes convention)
+      // and the geometry panel hash-checks end to end: the twin pins the
+      // Spark-side struct plumbing (flatten / array_min folds over the
+      // MultiPolygon nesting, the broadcast boundary join, has_data from
+      // the stats left-join) against straight Scala folds over the same
+      // parsed rows; ring parsing itself is WorldBoundariesSpec's job
+      val vals = graft.sources.WorldBoundaries.rows.map { r =>
+        val pts = r.coordinates.flatten.flatten
+        val lons = pts.map(_.head); val lats = pts.map(_(1))
+        s"('${r.alpha3}', CAST(${r.coordinates.size} AS BIGINT), " +
+          s"CAST(${pts.size} AS BIGINT), CAST(${lons.min} AS DOUBLE), " +
+          s"CAST(${lons.max} AS DOUBLE), CAST(${lats.min} AS DOUBLE), " +
+          s"CAST(${lats.max} AS DOUBLE))"
+      }.mkString(",\n|  ")
+      s"""WITH ${factCte(false)},
+         |$statsCtes,
+         |$worldCtes,
+         |bounds(alpha3, n_polygons, n_vertices, lon_min, lon_max, lat_min, lat_max) AS (VALUES
+         |  $vals)
+         |SELECT w.alpha3, w.continent, b.n_polygons, b.n_vertices,
+         |  b.lon_min, b.lon_max, b.lat_min, b.lat_max,
+         |  (w.perc_dif IS NOT NULL) AS has_data
+         |FROM world w JOIN bounds b USING (alpha3)
+         |ORDER BY alpha3""".stripMargin
+    },
+
     "latest_partition" ->
       """WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events)
         |SELECT event_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type, value

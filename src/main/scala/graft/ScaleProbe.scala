@@ -362,6 +362,30 @@ object ScaleProbe {
       d.unpersist()
       spark.catalog.clearCache()
     }
+    // MMR at PRODUCTION pool sizes: the keyed mmr_diversify pins
+    // PoolK=5/MmrK=3 (the unrolled-oracle convention); this probe runs
+    // the SAME runtime code path at PoolK=20/MmrK=10 to pin the
+    // |Q|·k² claim when k is serving-sized. Growth uses the disjoint
+    // token namespace (per-replica df constant); comparing the k=10
+    // wall against the k=3 wall at each scale isolates the
+    // diversification stage's k² term from the two retrieval legs.
+    val mmrProbes = Set("mmr_k3_pool5", "mmr_k10_pool20")
+    for (k <- Seq(1, 4) if only.forall(_.exists(mmrProbes))) {
+      val d = (0 until k).map { i =>
+          if (i == 0) docsBase
+          else docsBase.select(
+            (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1·$i").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      time("mmr_k3_pool5", k, graft.operators.RetrievalOps.mmrDiversifyDocs(d))
+      time("mmr_k10_pool20", k,
+        graft.operators.RetrievalOps.mmrDiversifyDocs(d, 10, 20))
+      d.unpersist()
+      spark.catalog.clearCache()
+    }
     val pqProbes = Set("embedding_pq", "ann_pq", "ann_ivf_pq")
     for (k <- Seq(1, 4, factor) if only.forall(_.exists(pqProbes))) {
       val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

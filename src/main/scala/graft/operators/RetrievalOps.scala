@@ -215,8 +215,14 @@ object RetrievalOps {
   def mmrDiversify(s: SparkSession, dir: String, k: Int = MmrK): DataFrame =
     mmrDiversifyDocs(Tables.documents(s, dir), k)
 
-  /** Core on any documents-shaped frame (testable / probe-able). */
-  def mmrDiversifyDocs(docs: DataFrame, k: Int = MmrK): DataFrame = {
+  /** Core on any documents-shaped frame (testable / probe-able).
+    * `poolK` parameterizes the per-leg pool depth (the keyed query pins
+    * [[PoolK]]; ScaleProbe runs production-sized pools through the same
+    * code path — the greedy loop is a RUNTIME loop over k rounds, so
+    * there is no unroll-count ceiling on the Spark side; only the
+    * DuckDB twin unrolls, and only at the keyed [[MmrK]]). */
+  def mmrDiversifyDocs(docs: DataFrame, k: Int = MmrK,
+      poolK: Int = PoolK): DataFrame = {
     val sh = lexicalPostings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = lexicalDocLens(sh)
@@ -225,18 +231,18 @@ object RetrievalOps {
     // otherwise replay the full two-leg retrieval plan per reference
     val pool = fuseRrf(
         TextOps.docNeighborsLshFromVectors(
-          TextOps.docNeighborVectorsOf(docs), PoolK),
-        lexicalFromPostings(sh, sz, PoolK), PoolK)
+          TextOps.docNeighborVectorsOf(docs), poolK),
+        lexicalFromPostings(sh, sz, poolK), poolK)
       .localCheckpoint()
-    mmrFromPool(pool, sh, sz, k)
+    mmrFromPool(pool, sh, sz, k, poolK)
   }
 
   /** Greedy MMR core over any fused pool + posting-list pair. */
   private[operators] def mmrFromPool(pool: DataFrame, sh: DataFrame,
-      sz: DataFrame, k: Int = MmrK): DataFrame = {
-    val relUnit = RrfScale / PoolK
+      sz: DataFrame, k: Int = MmrK, poolK: Int = PoolK): DataFrame = {
+    val relUnit = RrfScale / poolK
     val p = pool.select(col("q_id"), col("n_id"),
-      ((lit(PoolK + 1L) - col("rnk")) * lit(relUnit)).as("rel_e6"))
+      ((lit(poolK + 1L) - col("rnk")) * lit(relUnit)).as("rel_e6"))
 
     // pairwise kept-token Jaccard among docs that appear in ANY pool —
     // the candidate set is |Q|·PoolK docs, and the df cap bounds the

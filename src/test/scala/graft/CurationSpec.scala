@@ -40,20 +40,43 @@ class CurationSpec extends AnyFunSuite {
       s"expected at most the dedup exchange, got $hashAggExchanges:\n${plan.take(1500)}")
   }
 
-  test("curation job lands a unique, gate-passing corpus drop") {
+  test("curation job lands the best-quality PASSING copy per near-dup cluster") {
+    import graft.operators.DedupOps
     val base = java.nio.file.Files.createTempDirectory("graft_cur").toString
     val path = Jobs.runCurationJob(s, sf, base, "2024-02-01")
     assert(path.endsWith("dt=2024-02-01"))
-    val landed = s.read.parquet(path)
-    val n = landed.count()
-    assert(n > 0)
-    // one row per unique kept content, and it matches the filter's keepers
-    assert(landed.select(md5(col("text"))).distinct().count() == n)
-    val expected = CurationOps.corpusFilter(s, sf).count()
-    assert(n == expected, "landed corpus must be exactly the keeper set")
-    landed.collect().foreach { r =>
-      assert(r.getAs[Double]("keep_quality") >= 0.5)
-      assert(r.getAs[Long]("n_dups") >= 1L)
+    val landed = s.read.parquet(path).collect()
+    assert(landed.nonEmpty)
+    // one survivor per cluster
+    val byCluster = landed.map(_.getAs[Long]("cluster_id"))
+    assert(byCluster.distinct.length == byCluster.length)
+    // every landed row passes both gates
+    val gateOk = s.read.parquet(path)
+      .withColumn("q", TextOps.qualityExpr(col("text")))
+      .withColumn("p", TextOps.predLangExpr(col("text")))
+      .filter(col("q") >= 0.5 && col("p") === col("lang")).count()
+    assert(gateOk == landed.length.toLong)
+    // the landed member is the MAX-LOGIT gate-passing member of its
+    // cluster (ties → min doc_id), and every cluster with at least one
+    // passer is represented — recomputed from the verdict frame
+    val passers = Tables.documents(s, sf)
+      .withColumn("q", TextOps.qualityExpr(col("text")))
+      .withColumn("p", TextOps.predLangExpr(col("text")))
+      .filter(col("q") >= 0.5 && col("p") === col("lang"))
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
+    val verdicts = DedupOps.dedupSurvivors(s, sf).collect()
+    s.catalog.clearCache()
+    val bestPasser = verdicts
+      .filter(r => passers(r.getAs[Long]("doc_id")))
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (c, rows) =>
+        c -> rows.map(r => (-r.getAs[Long]("logit_e12"), r.getAs[Long]("doc_id"))).min._2
+      }
+    assert(landed.length == bestPasser.size,
+      "every cluster with a passing member must land exactly one row")
+    landed.foreach { r =>
+      assert(bestPasser(r.getAs[Long]("cluster_id")) == r.getAs[Long]("doc_id"),
+        s"cluster ${r.getAs[Long]("cluster_id")} landed a non-optimal member")
     }
   }
 
