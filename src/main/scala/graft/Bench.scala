@@ -34,10 +34,12 @@ object Bench {
     }
     // optional second timed passes stop once the wall-clock budget is
     // spent, so a slow box degrades to warmup+single-pass timings instead
-    // of risking a harness timeout with no output at all. 900s covers
-    // 127 queries × 3 executions at sf0.1 with headroom (round-6 lesson:
-    // 480 exhausted mid-run and recorded 43 cold single-reps).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
+    // of risking a harness timeout with no output at all. 1500s covers
+    // 173 queries × 3 executions at sf0.1 with headroom (round-6 lesson:
+    // 480 exhausted mid-run and recorded 43 cold single-reps; round-10
+    // lesson: 900 ran dry at the grown 173-key surface and left 34 cold
+    // tail entries — re-size the budget when the surface grows).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toDouble
     val wall0 = System.nanoTime()
     def elapsed = (System.nanoTime() - wall0) / 1e9
     // Steady-state-heaviest keys run FIRST: if the budget ever runs dry,
@@ -47,6 +49,7 @@ object Bench {
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
       "dedup_survivors", "hybrid_retrieval", "mmr_diversify", "retrieval_index_probe",
       "retrieval_index_probe_admitted", "retrieval_index_probe_compacted",
+      "retrieval_index_stats",
       "ann_index_probe_compacted", "bigram_lm_score",
       "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
       "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text", "dedup_report",
