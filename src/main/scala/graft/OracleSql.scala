@@ -813,6 +813,57 @@ object OracleSql {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** The documents→dense-hashed-doc-vector CTE chain ending in `docv`
+    * (vec_id, v — a dims-long integer list, nrm; zero-norm docs excluded)
+    * — the docEmbedVectors twin, shared by `semantic_dedup_text` and
+    * `doc_neighbors_ivf`. */
+  private def docDenseVecCtes: String = {
+    val dims = graft.operators.TextOps.EmbedDims
+    s"""t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, i, w[i] AS tok
+       |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
+       |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
+       |${xxStringCtes("src", Seq("doc_id", "i"))},
+       |hv AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
+       |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
+       |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM hv GROUP BY 1, 2),
+       |dense AS (SELECT d.doc_id, gs.i AS dim, COALESCE(f.fv, 0) AS fv
+       |  FROM (SELECT DISTINCT doc_id FROM f) d
+       |  CROSS JOIN generate_series(0, ${dims - 1}) gs(i)
+       |  LEFT JOIN f ON f.doc_id = d.doc_id AND f.dim = gs.i),
+       |docv AS (SELECT CAST(doc_id AS BIGINT) AS vec_id,
+       |  list(fv ORDER BY dim) AS v, CAST(SUM(fv*fv) AS BIGINT) AS nrm
+       |  FROM dense GROUP BY doc_id HAVING SUM(fv*fv) > 0)""".stripMargin
+  }
+
+  /** doc_neighbors_ivf twin — the ann_ivf pattern over the derived doc
+    * vectors: unrolled exact-integer kmeans (docv via eOverride, the
+    * semantic_dedup_text convention), probe choice by exact integer L2
+    * with the (distance, cell) tie-break, exact integer-cosine ranking
+    * inside probed cells only. */
+  private def docNeighborsIvfSql: String = {
+    import graft.operators.TextOps.{DocIvfCells, DocIvfNprobe, DocIvfRounds}
+    val dims = graft.operators.TextOps.EmbedDims
+    val qm = graft.operators.SimilarityOps.QueryModulus
+    val km = kmeansCtes(DocIvfCells, DocIvfRounds, "TRUE", 1, dims, "dv",
+      eOverride = "SELECT vec_id, v FROM docv")
+    s"""WITH $docDenseVecCtes,
+       |$km,
+       |pc AS (SELECT e.vec_id AS q_id, p.cluster AS cell, ${kmDist("e.v", "p.c", dims)} AS cd
+       |  FROM dve e CROSS JOIN dvc$DocIvfRounds p WHERE e.vec_id % $qm = 0),
+       |probed AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY q_id ORDER BY cd, cell) AS rn FROM pc) WHERE rn <= $DocIvfNprobe),
+       |cand AS (SELECT p.q_id, a.vec_id AS n_id FROM probed p
+       |  JOIN dvaf a ON a.cluster = p.cell AND a.vec_id <> p.q_id),
+       |sc AS (SELECT c.q_id, c.n_id,
+       |  CAST(list_sum(list_transform(generate_series(1,$dims), i -> qd.v[i]*nd.v[i])) AS DOUBLE)
+       |    /(sqrt(CAST(qd.nrm AS DOUBLE))*sqrt(CAST(nd.nrm AS DOUBLE))) AS cos_sim
+       |  FROM cand c JOIN docv qd ON qd.vec_id = c.q_id JOIN docv nd ON nd.vec_id = c.n_id),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT q_id, n_id, cos_sim, rnk FROM rk WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** The documents→hashed-vectors→SemDeDup composed twin — shared by the
     * standalone `semantic_dedup_text` key and `dedup_report`'s semantic
     * leg (wrapped as a subquery). */
@@ -825,21 +876,7 @@ object OracleSql {
       val dims = graft.operators.TextOps.EmbedDims
       val km = kmeansCtes(KmeansK, KmeansRounds, "TRUE", 1, dims, "",
         eOverride = "SELECT vec_id, v FROM docv")
-      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |tok AS (SELECT doc_id, i, w[i] AS tok
-         |  FROM t0, UNNEST(generate_series(1, len(w))) AS u(i)),
-         |src AS (SELECT doc_id, i, ${xxUtf8Bytes("tok")} AS bs FROM tok),
-         |${xxStringCtes("src", Seq("doc_id", "i"))},
-         |hv AS (SELECT doc_id, CAST(xh % $dims AS BIGINT) AS dim,
-         |  CASE WHEN (xh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM xh),
-         |f AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS fv FROM hv GROUP BY 1, 2),
-         |dense AS (SELECT d.doc_id, gs.i AS dim, COALESCE(f.fv, 0) AS fv
-         |  FROM (SELECT DISTINCT doc_id FROM f) d
-         |  CROSS JOIN generate_series(0, ${dims - 1}) gs(i)
-         |  LEFT JOIN f ON f.doc_id = d.doc_id AND f.dim = gs.i),
-         |docv AS (SELECT CAST(doc_id AS BIGINT) AS vec_id,
-         |  list(fv ORDER BY dim) AS v, CAST(SUM(fv*fv) AS BIGINT) AS nrm
-         |  FROM dense GROUP BY doc_id HAVING SUM(fv*fv) > 0),
+      s"""WITH $docDenseVecCtes,
          |$km,
          |x AS (SELECT af.vec_id, af.cluster, d.v, d.nrm FROM af JOIN docv d USING (vec_id)),
          |dup AS (SELECT b.vec_id, MIN(y.vec_id) AS dup_of FROM x b JOIN x y
@@ -2324,6 +2361,7 @@ object OracleSql {
     "doc_neighbors" -> docNeighborsSql,
 
     "doc_neighbors_lsh" -> docNeighborsLshSql,
+    "doc_neighbors_ivf" -> docNeighborsIvfSql,
 
     "chunk_neighbors_lsh" -> chunkNeighborsLshSql,
 

@@ -369,6 +369,47 @@ object ScaleProbe {
     // token namespace (per-replica df constant); comparing the k=10
     // wall against the k=3 wall at each scale isolates the
     // diversification stage's k² term from the two retrieval legs.
+    // The LSH dense leg at PRODUCTION plane sizing: the keyed
+    // doc_neighbors_lsh pins 6 planes (64 buckets — right for the test
+    // corpus); at fixed planes the candidate volume is (22/64)·|Q|·n —
+    // a smaller constant on the same quadratic. The production rule is
+    // planes ≈ 6 + log₂(growth), holding per-bucket occupancy constant
+    // so candidates per query stay flat. Both variants run the SAME
+    // code path (the planes parameter); the seed family is prefix-
+    // stable, so growing planes refines existing buckets. Prints the
+    // measured candidate-pair volume per variant alongside the walls.
+    val lshProbes = Set("dense_lsh_fixed", "dense_lsh_adaptive")
+    for (k <- Seq(1, 4, factor) if only.forall(_.exists(lshProbes))) {
+      val d = (0 until k).map { i =>
+          if (i == 0) docsBase
+          else docsBase.select(
+            (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1·$i").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+      val fv = graft.operators.TextOps.docNeighborVectorsOf(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fv.count()
+      val planes = 6 + (math.log(k.toDouble) / math.log(2.0)).round.toInt
+      time("dense_lsh_fixed", k,
+        graft.operators.TextOps.docNeighborsLshFromVectors(fv))
+      time("dense_lsh_adaptive", k,
+        graft.operators.TextOps.docNeighborsLshFromVectors(fv, 5, 2, planes))
+      def cands(p: Int): Long = {
+        val e = fv.withColumn("bucket",
+          graft.operators.TextOps.docLshBucketN(col("v"), p))
+        val masks = array(
+          graft.operators.SimilarityOps.probeMasks(2, p).map(lit): _*)
+        val q = e.filter(col("doc_id") % graft.operators.SimilarityOps.QueryModulus === 0)
+          .select(col("doc_id").as("q_id"),
+            explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+        e.join(q, Seq("bucket")).filter(col("q_id") =!= col("doc_id")).count()
+      }
+      println(s"""{"probe":"dense_lsh_candidates","scale":$k,"planes":$planes,""" +
+        s""""cand_fixed6":${cands(6)},"cand_adaptive":${cands(planes)}}""")
+      fv.unpersist()
+      spark.catalog.clearCache()
+    }
     val mmrProbes = Set("mmr_k3_pool5", "mmr_k10_pool20")
     for (k <- Seq(1, 4) if only.forall(_.exists(mmrProbes))) {
       val d = (0 until k).map { i =>

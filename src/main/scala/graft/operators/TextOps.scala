@@ -287,25 +287,35 @@ object TextOps {
   /** Deterministic ±1 plane weights over the [[EmbedDims]] INTEGER dims —
     * an independent seed family from [[SimilarityOps.planeWeights]] (the
     * 64-dim float-embedding planes), so the two LSH spaces stay
-    * uncorrelated. Package-visible: OracleSql inlines the same values as
-    * DuckDB list literals, making every bucket twin bit-exact. */
-  private[graft] def docPlaneWeights: IndexedSeq[Array[Long]] =
-    (0 until DocPlanes).map { p =>
+    * uncorrelated. Per-plane seeds, so `docPlaneWeightsN(p)` for any p
+    * is a PREFIX-stable family: growing the plane count refines the
+    * existing buckets instead of reshuffling them (each doubling splits
+    * every bucket in two — the re-bucketing story for a growing corpus).
+    * Package-visible: OracleSql inlines the same values as DuckDB list
+    * literals, making every bucket twin bit-exact. */
+  private[graft] def docPlaneWeightsN(planes: Int): IndexedSeq[Array[Long]] =
+    (0 until planes).map { p =>
       val rng = new scala.util.Random(271L * (p + 3))
       Array.fill(EmbedDims)(if (rng.nextBoolean()) 1L else -1L)
     }
 
+  private[graft] def docPlaneWeights: IndexedSeq[Array[Long]] =
+    docPlaneWeightsN(DocPlanes)
+
   /** LSH bucket id of a hashed integer vector: bit p = sign of the EXACT
     * integer dot product with plane p. Pure codegen arithmetic
-    * (DocPlanes × EmbedDims long multiply-adds against literal weights —
+    * (planes × EmbedDims long multiply-adds against literal weights —
     * no per-row weight materialization, no doubles, so the DuckDB twin
     * reproduces every bit). */
-  private[graft] def docLshBucket(v: Column): Column =
-    docPlaneWeights.zipWithIndex.map { case (w, p) =>
+  private[graft] def docLshBucketN(v: Column, planes: Int): Column =
+    docPlaneWeightsN(planes).zipWithIndex.map { case (w, p) =>
       val dot = (0 until EmbedDims).map(i =>
         element_at(v, i + 1) * lit(w(i))).reduce(_ + _)
       when(dot > lit(0L), lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private[graft] def docLshBucket(v: Column): Column =
+    docLshBucketN(v, DocPlanes)
 
   /** doc_neighbors_lsh — the BUCKETED twin of [[docNeighbors]] (the
     * dedup_embedding → dedup_embedding_lsh pattern applied to the hashed
@@ -325,11 +335,14 @@ object TextOps {
 
   /** Bucketed dense-leg core on any (doc_id, v, nrm) frame — buckets
     * computed inline (a pure function of v, so the landed-bucket and
-    * inline compositions are bit-identical). */
+    * inline compositions are bit-identical). `planes` defaults to the
+    * keyed [[DocPlanes]]; ScaleProbe grows it with log₂(corpus) (the
+    * production sizing rule) through the same code path. */
   private[graft] def docNeighborsLshFromVectors(withN: DataFrame,
-      k: Int = 5, probeBits: Int = 2): DataFrame =
-    docNeighborsLshCore(withN.withColumn("bucket", docLshBucket(col("v"))),
-      k, probeBits)
+      k: Int = 5, probeBits: Int = 2, planes: Int = DocPlanes): DataFrame =
+    docNeighborsLshCore(
+      withN.withColumn("bucket", docLshBucketN(col("v"), planes)),
+      k, probeBits, planes)
 
   /** Core over a pre-bucketed (doc_id, v, nrm, bucket) frame — inline or
     * the landed `vectors/` ⋈ `buckets/` artifacts. The bucket equi-join
@@ -337,10 +350,10 @@ object TextOps {
     * (a corpus vector has ONE bucket; a query's probed buckets are
     * distinct), so no dedup stage is needed. */
   private[operators] def docNeighborsLshCore(e: DataFrame, k: Int,
-      probeBits: Int): DataFrame = {
+      probeBits: Int, planes: Int = DocPlanes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probes = array(
-      SimilarityOps.probeMasks(probeBits, DocPlanes).map(lit): _*)
+      SimilarityOps.probeMasks(probeBits, planes).map(lit): _*)
     val q = e.filter(col("doc_id") % SimilarityOps.QueryModulus === 0)
       .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
@@ -350,6 +363,78 @@ object TextOps {
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("doc_id"))
       .select(col("q_id"), col("doc_id").as("n_id"),
+        (dot.cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** IVF sizing for the hashed-doc-vector family: 16 coarse cells, 2
+    * Lloyd's rounds, 2 probed cells — the [[SimilarityOps.annIvf]]
+    * defaults applied to the documents corpus; at scale cells follow
+    * √corpus (the shared sizing rule), so the probed fraction
+    * nprobe/cells SHRINKS as the corpus grows. */
+  val DocIvfCells = 16
+  val DocIvfRounds = 2
+  val DocIvfNprobe = 2
+
+  /** doc_neighbors_ivf — the IVF-bucketed twin of [[docNeighbors]] (the
+    * ann_cosine_topk → ann_ivf pattern applied to the hashed doc
+    * vectors, completing the text-side LSH/IVF candidate-source pair):
+    * a coarse exact-integer kmeans quantizer over the integer count
+    * vectors (the [[graft.operators.ClusterOps.kmeansCentroids]]
+    * machinery `semantic_dedup_text` already trains — deterministic
+    * init, argmin with total-order tie-break), queries probe their
+    * [[DocIvfNprobe]] nearest cells by exact integer L2, exact integer
+    * cosine only on probed-cell members, per-query top-k window
+    * unchanged. Candidate volume is (nprobe/cells)·corpus per query —
+    * and unlike fixed LSH planes the cell count follows √corpus, so
+    * the scanned fraction shrinks with growth. Fully oracle-checked:
+    * the DuckDB twin unrolls the trainer over the same derived doc
+    * vectors (the semantic_dedup_text eOverride pattern) and mirrors
+    * probe choice, candidate join, and the cosine double chain
+    * bit-for-bit. */
+  def docNeighborsIvf(s: SparkSession, dir: String, k: Int = 5,
+      cells: Int = DocIvfCells, nprobe: Int = DocIvfNprobe,
+      rounds: Int = DocIvfRounds): DataFrame =
+    docNeighborsIvfFrom(docEmbedVectors(s, dir), k, cells, nprobe, rounds)
+
+  /** IVF core on any (vec_id, v, nrm) integer-vector frame (testable /
+    * probe-able; ScaleProbe grows the corpus and follows cells ≈ √n). */
+  private[graft] def docNeighborsIvfFrom(fv0: DataFrame, k: Int = 5,
+      cells: Int = DocIvfCells, nprobe: Int = DocIvfNprobe,
+      rounds: Int = DocIvfRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: kmeans training reads it per round, then the cell
+    // assignment and both sides of the candidate join (callers clear
+    // the cache once the result is consumed — the annIvf contract)
+    val fv = fv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ints = fv.select("vec_id", "v")
+    val cent = ClusterOps.kmeansCentroids(ints, cells, rounds).localCheckpoint()
+    val cellOf = ClusterOps.assign(ints, cent)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val corpus = fv.join(cellOf, "vec_id")
+    // probe choice: exact integer L2 to each centroid, top-nprobe with
+    // the (distance, cell) total-order tie-break the oracle mirrors
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
+    val probes = ints.filter(SimilarityOps.isQuery(col("vec_id")))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
+        ClusterOps.dist2(col("v"), col("c")).as("cd"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "cell")
+    val qe = fv.filter(SimilarityOps.isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(probes, "q_id")
+    val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.join(broadcast(qe), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
         (dot.cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))))
           .as("cos_sim"))

@@ -118,6 +118,66 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!q.exists(_.getAs[Long]("n_id") == 2L))
   }
 
+  test("docLshBucketN: the plane family is prefix-stable (8-plane bucket's low 6 bits == 6-plane bucket)") {
+    // growing the plane count must REFINE buckets, not reshuffle them —
+    // the property that lets a growing corpus re-bucket incrementally
+    // (each added plane splits every existing bucket in two)
+    val fv = TextOps.docNeighborVectorsOf(
+      Tables.documents(s, sf).select("doc_id", "text"))
+    val both = fv.select(col("doc_id"),
+      TextOps.docLshBucketN(col("v"), 6).as("b6"),
+      TextOps.docLshBucketN(col("v"), 8).as("b8")).collect()
+    s.catalog.clearCache()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert((r.getAs[Long]("b8") & 63L) == r.getAs[Long]("b6"),
+        s"doc ${r.getAs[Long]("doc_id")}: plane family not prefix-stable")
+    }
+  }
+
+  test("doc_neighbors_ivf: planted identical twin shares the query's cell and surfaces at cos 1.0") {
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    // identical text → identical integer vector → identical cell (argmin
+    // is a pure function of v) → the probe must find it at cos exactly 1
+    val twins = docs.filter(col("doc_id") % SimilarityOps.QueryModulus === 0)
+      .select((col("doc_id") + 1000001L).as("doc_id"), col("text"))
+    val fv = TextOps.docNeighborVectorsOf(docs.unionByName(twins))
+      .select(col("doc_id").as("vec_id"), col("v"),
+        aggregate(col("v"), lit(0L), (a, x) => a + x * x).as("nrm"))
+    val out = TextOps.docNeighborsIvfFrom(fv).collect()
+    s.catalog.clearCache()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    val qIds = byQ.keys.filter(_ <= 1000000L).toSeq
+    assert(qIds.nonEmpty)
+    qIds.foreach { q =>
+      val hit = byQ(q).find(_.getAs[Long]("n_id") == q + 1000001L)
+      assert(hit.isDefined, s"query $q must retrieve its planted twin")
+      assert(math.abs(hit.get.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+    }
+  }
+
+  test("doc_neighbors_ivf: exact scores on candidates; recall vs brute recorded (sf0.001)") {
+    val ivf = TextOps.docNeighborsIvf(s, sf).collect()
+    val brute = TextOps.docNeighbors(s, sf).collect()
+    s.catalog.clearCache()
+    assert(ivf.nonEmpty)
+    val bruteScore = brute.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos_sim")).toMap
+    ivf.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      bruteScore.get(k).foreach(b => assert(b == r.getAs[Double]("cos_sim"),
+        s"cosine mismatch vs brute for $k"))
+    }
+    val bSet = brute.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val iSet = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (iSet & bSet).size.toDouble / bSet.size
+    info(f"doc_neighbors_ivf organic top-5 recall vs brute: $recall%.4f")
+    assert(recall >= 0.3, f"recall collapsed: $recall%.4f")
+    ivf.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("retrieval_index_stats: consistency rows agree; planted vocab drift flags oov_e6") {
     import s.implicits._
     import graft.operators.RetrievalIndexOps
