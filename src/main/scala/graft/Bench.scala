@@ -47,9 +47,10 @@ object Bench {
     // single rep inflates the recorded number by tenths of a second, not
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
-      "dedup_survivors", "hybrid_retrieval", "mmr_diversify", "retrieval_index_probe",
+      "dedup_survivors", "hybrid_retrieval", "hybrid_retrieval_ivf",
+      "mmr_diversify", "retrieval_index_probe",
       "retrieval_index_probe_admitted", "retrieval_index_probe_compacted",
-      "retrieval_index_stats",
+      "retrieval_index_stats", "doc_neighbors_ivf",
       "ann_index_probe_compacted", "bigram_lm_score",
       "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
       "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text", "dedup_report",

@@ -149,7 +149,18 @@ object Jobs {
     * collide. */
   def compactLeaf(s: SparkSession, leafDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      layout: Seq[String] = Nil): Int = {
+      layout: Seq[String] = Nil): Int =
+    compactLeafGuarded(s, leafDir, targetFileBytes, layout)
+
+  /** [[compactLeaf]] with the race-injection seam exposed: `midWrite`
+    * runs after the compacted rewrite is staged but BEFORE the swap —
+    * exactly the window where a concurrent admission append used to be
+    * silently discarded. The guard below makes that window safe, and the
+    * spec drives this overload to prove it. */
+  private[graft] def compactLeafGuarded(s: SparkSession, leafDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      layout: Seq[String] = Nil,
+      midWrite: () => Unit = () => ()): Int = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     def listParquet[A](dir: Path)(f: Seq[Path] => A): A = {
       val st = Files.list(dir)
@@ -171,14 +182,32 @@ object Jobs {
     val bytes = listParquet(part)(_.map(Files.size).sum)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = s.read.parquet(part.toString)
+    // the EXACT file set Spark captured at scan time (the file index is
+    // built eagerly at read.parquet) — any parquet file present in the
+    // swapped-out directory later but absent here was appended by a
+    // concurrent writer AFTER the scan and is NOT in the rewrite
+    val readSet = df.inputFiles
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
     val tmp = part.resolveSibling(s".$leaf.compact.tmp")
     if (layout.nonEmpty)
       graft.operators.LayoutOps.zorderWrite(df, layout, tmp.toString, nFiles)
     else
       df.repartition(nFiles).write.mode("overwrite")
         .option("compression", "snappy").parquet(tmp.toString)
+    midWrite()
     Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
+    // single-writer guard: an admission append that landed between the
+    // scan and the swap sits in `old` but not in the rewrite — move those
+    // files into the live partition instead of deleting them with the
+    // swapped-out originals (part-file names are UUID-unique, so the
+    // moves can't collide). Turns the documented maintenance-window
+    // hazard into a heal: compaction + concurrent append now loses
+    // nothing, it just leaves the appended files unfolded until the
+    // next compaction pass.
+    listParquet(old)(_.filterNot(f => readSet(f.getFileName.toString)))
+      .foreach(f => Files.move(f, part.resolve(f.getFileName),
+        StandardCopyOption.ATOMIC_MOVE))
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     listParquet(part)(_.size)
   }

@@ -761,6 +761,62 @@ object OracleSql {
          |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** zorder_geometry twin — the z-layout MATH mirrored bit-for-bit:
+    * min-max normalize each dimension into [0, 2^bits) (the one double
+    * division, identical association both sides), interleave bits into
+    * the Morton z-value (pure integer shifts), assign files by exact
+    * z-rank octile (ntile over the totally-ordered (z, event_id)), and
+    * box each octile. The WRITE key (`zorder_layout`) stays rows-only
+    * because RangePartitioner's sampled boundaries are the one
+    * non-ANSI-reproducible step — this twin hash-checks every
+    * deterministic stage of the same pipeline. */
+  private def zorderGeometrySql: String = {
+    val bits = graft.operators.LayoutOps.ZBits
+    val maxCell = (1L << bits) - 1
+    def norm(c: String, mn: String, mx: String) =
+      s"""(CASE WHEN $mx - $mn <= 0 THEN CAST(0 AS BIGINT)
+         |  ELSE LEAST(CAST(floor((CAST($c - $mn AS DOUBLE) / CAST($mx - $mn AS DOUBLE)) * $maxCell) AS BIGINT), $maxCell) END)""".stripMargin
+    val zterms = (0 until bits).flatMap(b => Seq(
+      s"(((nu >> $b) & 1) << ${b * 2})",
+      s"(((nt >> $b) & 1) << ${b * 2 + 1})")).mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events),
+       |agg AS (SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+       |  MIN(us) AS mnt, MAX(us) AS mxt FROM e),
+       |n AS (SELECT event_id, user_id, us,
+       |  ${norm("user_id", "mnu", "mxu")} AS nu,
+       |  ${norm("us", "mnt", "mxt")} AS nt FROM e, agg),
+       |z AS (SELECT event_id, user_id, us, CAST($zterms AS BIGINT) AS zv FROM n),
+       |t AS (SELECT *, CAST(ntile(8) OVER (ORDER BY zv, event_id) AS BIGINT) AS octile FROM z)
+       |SELECT octile, CAST(COUNT(*) AS BIGINT) AS rows,
+       |  MIN(user_id) AS mn_user_id, MAX(user_id) AS mx_user_id,
+       |  MIN(us) AS mn_us, MAX(us) AS mx_us
+       |FROM t GROUP BY octile ORDER BY octile""".stripMargin
+  }
+
+  /** hybrid_retrieval_ivf twin — the hybrid fusion with the DENSE leg
+    * swapped to the doc_neighbors_ivf twin (each leg wraps its
+    * standalone key's SQL as a subquery, so the fused behavior is
+    * pinned to those keys' definitions leg by leg). */
+  private def hybridRetrievalIvfSql: String = {
+    val k0 = graft.operators.RetrievalOps.RrfK0
+    val scale = graft.operators.RetrievalOps.RrfScale
+    val k = graft.operators.RetrievalOps.PoolK
+    s"""WITH sem AS (SELECT q_id, n_id, rnk AS sem_rnk FROM ($docNeighborsIvfSql)),
+       |lex AS (SELECT q_id, n_id, rnk AS lex_rnk FROM ($lexicalNeighborsSql)),
+       |f AS (SELECT COALESCE(sem.q_id, lex.q_id) AS q_id,
+       |  COALESCE(sem.n_id, lex.n_id) AS n_id,
+       |  CAST(COALESCE(sem_rnk, 0) AS BIGINT) AS sem_rnk,
+       |  CAST(COALESCE(lex_rnk, 0) AS BIGINT) AS lex_rnk
+       |  FROM sem FULL OUTER JOIN lex ON sem.q_id = lex.q_id AND sem.n_id = lex.n_id),
+       |r AS (SELECT *, CAST(
+       |  (CASE WHEN sem_rnk > 0 THEN $scale // ($k0 + sem_rnk) ELSE 0 END)
+       |  + (CASE WHEN lex_rnk > 0 THEN $scale // ($k0 + lex_rnk) ELSE 0 END)
+       |  AS BIGINT) AS rrf_e6 FROM f),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, n_id) AS BIGINT) AS rnk FROM r)
+       |SELECT q_id, n_id, rrf_e6, sem_rnk, lex_rnk, rnk FROM rk WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** mmr_diversify twin — the hybrid pool wrapped as a subquery (pinning
     * the pool to that key's definition), the kept-token Jaccard
     * redundancy matrix from the shared lexical CTE chain, and the greedy
@@ -1863,11 +1919,16 @@ object OracleSql {
          |base AS (SELECT cv.vec_id, cv.cluster AS cell, CAST($err AS BIGINT) AS err
          |  FROM cvaf cv $joins),
          |cells AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(err) AS BIGINT) AS err_sum FROM base GROUP BY cell),
-         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells)
-         |SELECT cell, n, CAST(n AS DOUBLE)/CAST(n_total AS DOUBLE) AS share,
-         |  CAST(err_sum AS DOUBLE)/CAST(n AS DOUBLE) AS err_mean
-         |FROM cells, tot ORDER BY cell""".stripMargin
+         |  CAST(SUM(err) AS BIGINT) AS err_sum FROM base GROUP BY cell)
+         |SELECT * FROM (
+         |  SELECT CAST(-1 AS BIGINT) AS cell, CAST(0 AS BIGINT) AS n,
+         |    0.0 AS share, CAST(NULL AS DOUBLE) AS err_mean
+         |  UNION ALL
+         |  SELECT cell, n,
+         |    CAST(n AS DOUBLE)/CAST((SELECT SUM(n) FROM cells) AS DOUBLE) AS share,
+         |    CAST(err_sum AS DOUBLE)/CAST(n AS DOUBLE) AS err_mean
+         |  FROM cells
+         |) ORDER BY cell""".stripMargin
     },
 
     "ann_index_probe_admitted" ->
@@ -2388,6 +2449,8 @@ object OracleSql {
     "lexical_neighbors" -> lexicalNeighborsSql,
 
     "hybrid_retrieval" -> hybridRetrievalSql,
+    "hybrid_retrieval_ivf" -> hybridRetrievalIvfSql,
+    "zorder_geometry" -> zorderGeometrySql,
     "mmr_diversify" -> mmrDiversifySql,
 
     "retrieval_index_probe" -> hybridRetrievalSql,
@@ -2412,6 +2475,12 @@ object OracleSql {
       // what a from-scratch build+admit produces
       val split = graft.operators.DedupOps.IncrementalSplit
       val scale = graft.operators.RetrievalOps.RrfScale
+      // the adaptive plane RULE mirrored in SQL (TextOps.adaptivePlanes:
+      // smallest p with target·2^p ≥ built vectors, floored at the keyed
+      // plane count) — hash equality proves the landed meta/ artifact is
+      // exactly what the rule computes for the corpus slice
+      val tgt = graft.operators.TextOps.DocBucketTarget
+      val minPlanes = graft.operators.TextOps.DocPlanes
       s"""WITH ${lexicalBaseCtes(s"doc_id < $split")},
          |adm AS (SELECT doc_id, tok FROM ltk WHERE doc_id >= $split),
          |admo AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
@@ -2419,7 +2488,8 @@ object OracleSql {
          |  FROM adm LEFT JOIN lkept k ON adm.tok = k.tok),
          |vstats AS (SELECT * FROM (WITH $docVecCtes
          |  SELECT CAST(COUNT(*) AS BIGINT) AS all_docs,
-         |    CAST(COALESCE(SUM(CASE WHEN doc_id >= $split THEN 1 ELSE 0 END), 0) AS BIGINT) AS adm_docs
+         |    CAST(COALESCE(SUM(CASE WHEN doc_id >= $split THEN 1 ELSE 0 END), 0) AS BIGINT) AS adm_docs,
+         |    CAST(COALESCE(SUM(CASE WHEN doc_id < $split THEN 1 ELSE 0 END), 0) AS BIGINT) AS built
          |  FROM nrm WHERE n2 > 0))
          |SELECT metric, value FROM (
          |  SELECT 'admitted_docs_dense' AS metric, (SELECT adm_docs FROM vstats) AS value
@@ -2428,6 +2498,12 @@ object OracleSql {
          |  UNION ALL SELECT 'admitted_pairs_oov', (SELECT o FROM admo)
          |  UNION ALL SELECT 'admitted_pairs_total', (SELECT t FROM admo)
          |  UNION ALL SELECT 'buckets_docs', (SELECT all_docs FROM vstats)
+         |  UNION ALL SELECT 'built_docs', (SELECT built FROM vstats)
+         |  UNION ALL SELECT 'planes',
+         |    (SELECT GREATEST(CAST($minPlanes AS BIGINT), COALESCE(
+         |      (SELECT CAST(MIN(range) AS BIGINT) FROM range(0, 48)
+         |       WHERE $tgt * (CAST(1 AS BIGINT) << range) >= (SELECT built FROM vstats)),
+         |      CAST(48 AS BIGINT))))
          |  UNION ALL SELECT 'doclens_docs', (SELECT CAST(COUNT(*) AS BIGINT) FROM lsz)
          |  UNION ALL SELECT 'kept_vocab_size', (SELECT CAST(COUNT(*) AS BIGINT) FROM lkept)
          |  UNION ALL SELECT 'oov_e6',

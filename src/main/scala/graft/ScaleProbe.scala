@@ -356,10 +356,73 @@ object ScaleProbe {
       val td = System.nanoTime()
       legs._1.write.format("noop").mode("overwrite").save()
       val denseSec = (System.nanoTime() - td) / 1e9
+      // `planes` is the landed meta/ count — the build sizes it from the
+      // corpus (adaptivePlanes, round 11), so this probe's dense_sec now
+      // tracks the ADAPTIVE curve (per-bucket occupancy held flat), not
+      // the fixed-6 curve whose candidate volume grows linearly
+      val (planes, builtDocs) =
+        graft.operators.RetrievalIndexOps.readMeta(spark, dir)
       println(s"""{"probe":"retrieval_index_probe","scale":$k,"build_sec":${f"$build%.2f"},""" +
         s""""probe_sec":${f"$wall%.2f"},"lex_sec":${f"$lexSec%.2f"},""" +
-        s""""dense_sec":${f"$denseSec%.2f"},"lex_candidates":$cand,"rows":$rows}""")
+        s""""dense_sec":${f"$denseSec%.2f"},"lex_candidates":$cand,"rows":$rows,""" +
+        s""""planes":$planes,"built_docs":$builtDocs}""")
       d.unpersist()
+      spark.catalog.clearCache()
+    }
+    // ---- docv IVF: the text-side IVF leg under corpus growth ----
+    // The keyed doc_neighbors_ivf pins cells=16 (right for 500 docs);
+    // the production rule is cells ≈ √corpus, so the probed fraction
+    // nprobe/cells SHRINKS with growth — the property fixed LSH planes
+    // lack. Disjoint token namespaces per replica (suffix "·i") keep
+    // the hashed-vector geometry per replica comparable while the
+    // corpus grows k×. Recall is measured on the FIRST replica's query
+    // subset against an inline brute top-k over the whole grown corpus
+    // (|Q₀|·n exact integer dots — cheap at probe scale), isolating the
+    // question that matters: does the √n cell rule hold the operating
+    // point as the corpus grows 16×?
+    for (k <- Seq(1, 4, factor) if only.forall(_.contains("docv_ivf"))) {
+      val d = (0 until k).map { i =>
+          if (i == 0) docsBase
+          else docsBase.select(
+            (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1·$i").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+      val fv = graft.operators.TextOps.docNeighborVectorsOf(d)
+        .select(col("doc_id").as("vec_id"), col("v"), col("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = fv.count()
+      val cells = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+      val ivf = graft.operators.TextOps.docNeighborsIvfFrom(fv, 5, cells, 2, 2)
+      val t0 = System.nanoTime()
+      val ivfRows = ivf.collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val q0 = (id: Long) => id < maxDoc &&
+        id % graft.operators.SimilarityOps.QueryModulus == 0
+      val got = ivfRows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .filter(p => q0(p._1)).toSet
+      // inline brute top-5 (exact integer dot + the same tie-break)
+      val brute = {
+        import org.apache.spark.sql.expressions.Window
+        val q = fv.filter(graft.operators.SimilarityOps.isQuery(col("vec_id")))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+        fv.join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            (dot.cast("double") / (sqrt(col("qn").cast("double")) *
+              sqrt(col("nrm").cast("double")))).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+          .filter(p => q0(p._1)).toSet
+      }
+      val recall = (got & brute).size.toDouble / brute.size
+      println(s"""{"probe":"docv_ivf","scale":$k,"wall_sec":${f"$wall%.2f"},""" +
+        s""""rows":${ivfRows.length},"corpus":$n,"cells":$cells,""" +
+        s""""recall":${f"$recall%.3f"}}""")
+      fv.unpersist()
       spark.catalog.clearCache()
     }
     // MMR at PRODUCTION pool sizes: the keyed mmr_diversify pins

@@ -205,19 +205,55 @@ object AnnIndexOps {
     * left the corpus keeps its membership row and contributes no err). */
   def annIndexStats(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureIndex(s, dir, "full")(identity)
+    annIndexStatsOf(s, idx, Tables.embeddings(s, dir))
+  }
+
+  /** Panel core over any landed index + corpus pair. The `cell = -1`
+    * SENTINEL row counts corpus vectors NOT YET in `codes/` (embeddings
+    * anti-join codes, share = fraction of the corpus invisible to the
+    * panel): drifted vectors that were never admitted contribute neither
+    * membership nor reconstruction error, so without this row a grown
+    * corpus dulls the rebuild-trigger signal precisely when it matters —
+    * rising unindexed share IS the admission-backlog alarm. Always 0 for
+    * the keyed full variant (codes == corpus), nonzero on any sliced
+    * index (spec-pinned). */
+  private[graft] def annIndexStatsOf(s: SparkSession, idx: String,
+      corpus: DataFrame): DataFrame = {
     val codes = readCodes(s, idx, PqM).select("vec_id", "cell")
-    val errOf = assignToIndex(s, idx, Tables.embeddings(s, dir))
-      .select("vec_id", "err")
+    val errOf = assignToIndex(s, idx, corpus).select("vec_id", "err")
     val cells = codes.join(errOf, Seq("vec_id"), "left")
       .groupBy("cell")
       .agg(count(lit(1)).as("n"), sum(col("err")).as("err_sum"))
     val tot = cells.agg(sum(col("n")).as("n_total"))
-    cells.crossJoin(broadcast(tot))
+    val perCell = cells.crossJoin(broadcast(tot))
       .select(col("cell"), col("n"),
         (col("n").cast("double") / col("n_total")).as("share"),
         (col("err_sum").cast("double") / col("n")).as("err_mean"))
-      .orderBy("cell")
+    val corpusN = corpus.agg(count(lit(1)).as("corpus_n"))
+    val unidx = corpus.select("vec_id")
+      .join(codes.select("vec_id"), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val sentinel = unidx.crossJoin(broadcast(corpusN))
+      .select(lit(-1L).as("cell"), col("n"),
+        (col("n").cast("double") / col("corpus_n")).as("share"),
+        lit(null).cast("double").as("err_mean"))
+    sentinel.unionByName(perCell).orderBy("cell")
   }
+
+  /** Per-JVM memo of COMPLETED admissions, keyed by index dir — the
+    * [[RetrievalIndexOps]] convention: admission is replay-idempotent
+    * (AnnIndexSpec pins it), so later keyed calls skip the anti-join +
+    * count pass once a batch has landed; a FAILED admission un-memoizes
+    * so the next call replays and heals. */
+  private val admittedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureAdmitted(s: SparkSession, idx: String)(
+      batch: => DataFrame): Unit =
+    if (admittedOnce.add(idx)) {
+      try admitToIndex(s, idx, batch)
+      catch { case e: Throwable => admittedOnce.remove(idx); throw e }
+    }
 
   /** ann_index_probe_admitted — the GROW-THEN-SEARCH loop end to end:
     * the index artifacts froze on the corpus slice (vec_id < SemSplit),
@@ -230,7 +266,7 @@ object AnnIndexOps {
   def annIndexProbeAdmitted(s: SparkSession, dir: String): DataFrame = {
     val split = ClusterOps.SemSplit
     val idx = ensureIndex(s, dir, "grown")(_.filter(col("vec_id") < split))
-    admitToIndex(s, idx,
+    ensureAdmitted(s, idx)(
       Tables.embeddings(s, dir).filter(col("vec_id") >= split))
     probeAnnIndex(s, idx, Tables.embeddings(s, dir))
   }
@@ -246,13 +282,15 @@ object AnnIndexOps {
     * equality), touches only leaves that actually fragmented (≤1-file
     * cells skip — so re-running after a quiet day is a no-op), and
     * leaves the cell partitioning intact (DPP pruning unaffected).
-    * SINGLE-WRITER maintenance: the per-leaf read-then-rename swap
-    * silently discards any file appended between the read and the
-    * swap, so STOP admission (batch [[admitToIndex]] or the streaming
-    * twin) while compaction runs — the standard maintenance-window
-    * contract for file-granularity rewrites without a table format's
-    * optimistic-concurrency log. Returns the number of leaves
-    * rewritten. */
+    * Concurrent-append GUARD (round 11): the per-leaf read-then-rename
+    * swap no longer discards files appended between the scan and the
+    * swap — [[graft.Jobs.compactLeaf]] diffs the swapped-out directory
+    * against the exact file set the scan captured and moves any
+    * concurrently appended files into the rewritten leaf (spec-raced in
+    * Round11OpsSpec). Admission during compaction now costs only an
+    * unfolded file until the next pass; stopping admission remains the
+    * tidy choice, not a correctness requirement. Returns the number of
+    * leaves rewritten. */
   def compactAnnIndex(s: SparkSession, indexDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     import java.nio.file.{Files, Path, Paths}
@@ -281,7 +319,7 @@ object AnnIndexOps {
   def annIndexProbeCompacted(s: SparkSession, dir: String): DataFrame = {
     val split = ClusterOps.SemSplit
     val idx = ensureIndex(s, dir, "grown_compact")(_.filter(col("vec_id") < split))
-    admitToIndex(s, idx,
+    ensureAdmitted(s, idx)(
       Tables.embeddings(s, dir).filter(col("vec_id") >= split))
     compactAnnIndex(s, idx)
     probeAnnIndex(s, idx, Tables.embeddings(s, dir))

@@ -73,6 +73,42 @@ object LayoutOps {
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))): _*)
 
+  /** `zorder_geometry` — the ORACLE-CHECKED twin of the z-layout math:
+    * the pruning geometry an idealized rank-balanced z-order layout
+    * produces, computed WITHOUT writing. Same normalize + bit-interleave
+    * as [[zorderWrite]] (shared code), files assigned by exact z-RANK
+    * octile (ntile over (_z, event_id) — the unique tiebreak makes the
+    * assignment total-ordered, so DuckDB's ntile reproduces it
+    * bit-for-bit), then per-octile bounding boxes. This is precisely the
+    * geometry [[zorderLayout]]'s landed files approximate: the write
+    * path balances rank ranges by SAMPLING (RangePartitioner), which is
+    * the one non-ANSI-reproducible step — so the layout key stays
+    * rows-only while every deterministic stage of its math is
+    * hash-checked here. Scale note: the ntile window is a global sort —
+    * acceptable for a DIAGNOSTIC twin (it exists to oracle-pin the
+    * z-math); the production layout path remains [[zorderWrite]]'s
+    * sampled range exchange, which sorts distributed. */
+  def zorderGeometry(s: org.apache.spark.sql.SparkSession, dir: String,
+      files: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.eventsUs(s, dir)
+      .select(col("event_id"), col("user_id"), col("us"))
+    val agg = ev.agg(
+      min(col("user_id")).as("_mn_u"), max(col("user_id")).as("_mx_u"),
+      min(col("us")).as("_mn_t"), max(col("us")).as("_mx_t"))
+    ev.join(broadcast(agg))
+      .withColumn("_z", zValue(Seq(
+        normalize(col("user_id"), col("_mn_u"), col("_mx_u")),
+        normalize(col("us"), col("_mn_t"), col("_mx_t")))))
+      .withColumn("octile",
+        ntile(files).over(Window.orderBy(col("_z"), col("event_id"))).cast("long"))
+      .groupBy("octile")
+      .agg(count(lit(1)).as("rows"),
+        min(col("user_id")).as("mn_user_id"), max(col("user_id")).as("mx_user_id"),
+        min(col("us")).as("mn_us"), max(col("us")).as("mx_us"))
+      .orderBy("octile")
+  }
+
   /** `zorder_layout` query entry (*rows-only* — a layout/write operator):
     * z-order the events table on (user_id, event-time) into 8 files, read
     * the landing back and emit each file's bounding box (filename dropped —

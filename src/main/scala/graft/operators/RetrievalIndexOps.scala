@@ -49,7 +49,20 @@ import graft.Tables
 object RetrievalIndexOps {
 
   /** Land the retrieval artifacts for `docs` under `baseDir` — the
-    * one-off build job. */
+    * one-off build job. The dense leg's LSH plane count is SIZED FROM
+    * THE CORPUS at build time ([[TextOps.adaptivePlanes]]: smallest p
+    * with target·2^p ≥ vectors, floored at the keyed
+    * [[TextOps.DocPlanes]]) and landed as `meta/` alongside the data
+    * artifacts — the probe, admission, and the health panel all read the
+    * landed count, never re-derive it (a probe masking 6 planes against
+    * a 10-plane index would search the wrong buckets by construction).
+    * At the test corpora the rule yields exactly [[TextOps.DocPlanes]],
+    * so the landed probe stays bit-identical to the inline fused keys;
+    * at 10⁹ docs it yields ~23 planes, keeping per-bucket occupancy —
+    * and with it the probe's candidate-join volume — flat instead of
+    * growing linearly with the corpus (measured in ScaleProbe's
+    * dense_lsh_candidates probe: 25.2M→6.7M candidate pairs at 16×
+    * growth). */
   def buildRetrievalIndex(s: SparkSession, docs: DataFrame, baseDir: String): Unit = {
     val sh = RetrievalOps.lexicalPostings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -63,11 +76,31 @@ object RetrievalIndexOps {
     val vecs = TextOps.docNeighborVectorsOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     vecs.write.mode("overwrite").parquet(s"$baseDir/vectors")
-    vecs.withColumn("bucket", TextOps.docLshBucket(col("v")))
+    val builtDocs = vecs.count()
+    val planes = TextOps.adaptivePlanes(builtDocs)
+    vecs.withColumn("bucket", TextOps.docLshBucketN(col("v"), planes))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$baseDir/buckets")
     vecs.unpersist()
+    // load-bearing metadata, landed LAST: planes decides which buckets a
+    // probe masks and which bucket admission appends into
+    s.range(1).select(lit(planes.toLong).as("planes"),
+        lit(builtDocs).as("built_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$baseDir/meta")
   }
+
+  /** The landed (planes, built_docs) metadata. Indexes landed before the
+    * meta artifact existed were built at the then-fixed
+    * [[TextOps.DocPlanes]] — that fallback is correct by construction,
+    * not a guess. */
+  private[graft] def readMeta(s: SparkSession, indexDir: String): (Int, Long) =
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$indexDir/meta")))
+      (TextOps.DocPlanes, -1L)
+    else {
+      val r = s.read.parquet(s"$indexDir/meta").head()
+      (r.getAs[Long]("planes").toInt, r.getAs[Long]("built_docs"))
+    }
 
   /** The bucket-partitioned dense corpus side, with the partition column
     * normalized back to its build-time long type (partition values
@@ -89,7 +122,8 @@ object RetrievalIndexOps {
     val sz = s.read.parquet(s"$indexDir/doclens")
     RetrievalOps.fuseRrf(
       TextOps.docNeighborsLshCore(readBuckets(s, indexDir),
-        RetrievalOps.PoolK, TextOps.DocProbeBits),
+        RetrievalOps.PoolK, TextOps.DocProbeBits,
+        readMeta(s, indexDir)._1),
       RetrievalOps.lexicalFromPostings(sh, sz, RetrievalOps.PoolK), k)
   }
 
@@ -101,7 +135,7 @@ object RetrievalIndexOps {
   def probeLegs(s: SparkSession, indexDir: String,
       k: Int = RetrievalOps.PoolK): (DataFrame, DataFrame) =
     (TextOps.docNeighborsLshCore(readBuckets(s, indexDir), k,
-        TextOps.DocProbeBits),
+        TextOps.DocProbeBits, readMeta(s, indexDir)._1),
       RetrievalOps.lexicalFromPostings(s.read.parquet(s"$indexDir/postings"),
         s.read.parquet(s"$indexDir/doclens"), k))
 
@@ -162,9 +196,17 @@ object RetrievalIndexOps {
     val batchVecs = TextOps.docNeighborVectorsOf(batch)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freshVecs = freshIds("vectors", batchVecs)
+    // buckets derive from the LANDED plane count — appending a 6-plane
+    // bucket id into a 10-plane index would put the doc where no probe
+    // ever looks
     val freshBkts = freshIds("buckets",
-      batchVecs.withColumn("bucket", TextOps.docLshBucket(col("v"))))
-    val n = freshPost.select("doc_id").union(freshVecs.select("doc_id"))
+      batchVecs.withColumn("bucket",
+        TextOps.docLshBucketN(col("v"), readMeta(s, indexDir)._1)))
+    // the distinct union of ALL FOUR artifacts' fresh contributors, so a
+    // crash-heal replay that only completes doclens or buckets rows still
+    // reports the docs it healed (the docstring's contract)
+    val n = Seq(freshPost, freshLens, freshVecs, freshBkts)
+      .map(_.select("doc_id")).reduce(_ unionByName _)
       .distinct().count()
     if (!freshPost.isEmpty)
       freshPost.select("doc_id", "tok")
@@ -181,6 +223,25 @@ object RetrievalIndexOps {
     n
   }
 
+  /** Per-JVM memo of COMPLETED admissions, keyed by index dir: admission
+    * is replay-idempotent (RetrievalIndexSpec pins it), so once a keyed
+    * call has admitted the growth batch into an index, later calls skip
+    * the four per-artifact anti-join passes and isEmpty probes entirely —
+    * the admitted probe's warm cost becomes probe cost plus nothing (the
+    * r10 driver bench showed the no-op admission re-running at 27.9 s
+    * under box contention). A FAILED admission un-memoizes itself, so
+    * the next keyed call replays and heals — exactly the at-least-once
+    * contract the per-artifact anti-joins exist for. */
+  private val admittedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureAdmitted(s: SparkSession, idx: String)(
+      batch: => DataFrame): Unit =
+    if (admittedOnce.add(idx)) {
+      try admitToRetrievalIndex(s, idx, batch)
+      catch { case e: Throwable => admittedOnce.remove(idx); throw e }
+    }
+
   /** retrieval_index_probe_admitted — the grow-then-search loop for
     * text: artifacts frozen on the corpus slice (doc_id <
     * [[DedupOps.IncrementalSplit]], the shared admission convention),
@@ -196,7 +257,7 @@ object RetrievalIndexOps {
   def retrievalIndexProbeAdmitted(s: SparkSession, dir: String): DataFrame = {
     val split = DedupOps.IncrementalSplit
     val idx = ensureIndex(s, dir, "grown")(_.filter(col("doc_id") < split))
-    admitToRetrievalIndex(s, idx,
+    ensureAdmitted(s, idx)(
       Tables.documents(s, dir).filter(col("doc_id") >= split))
     probeRetrievalIndex(s, idx)
   }
@@ -224,7 +285,7 @@ object RetrievalIndexOps {
     val split = DedupOps.IncrementalSplit
     val idx = ensureIndex(s, dir, "grown")(_.filter(col("doc_id") < split))
     val batch = Tables.documents(s, dir).filter(col("doc_id") >= split)
-    admitToRetrievalIndex(s, idx, batch)
+    ensureAdmitted(s, idx)(batch)
     retrievalIndexStatsOf(s, idx, batch)
   }
 
@@ -234,6 +295,12 @@ object RetrievalIndexOps {
     * shape) — no driver-side action anywhere. */
   private[graft] def retrievalIndexStatsOf(s: SparkSession, indexDir: String,
       admitted: DataFrame): DataFrame = {
+    // the landed sizing metadata joins the panel: `planes` (the adaptive
+    // build-time LSH plane count the probes mask against) and
+    // `built_docs` (the vector count the sizing saw) — the oracle twin
+    // RE-DERIVES both from the documents table and the adaptivePlanes
+    // rule, so the rule itself is hash-checked, not just recorded
+    val (metaPlanes, metaBuilt) = readMeta(s, indexDir)
     val post = s.read.parquet(s"$indexDir/postings")
     val lens = s.read.parquet(s"$indexDir/doclens")
     val vecs = s.read.parquet(s"$indexDir/vectors")
@@ -263,15 +330,17 @@ object RetrievalIndexOps {
       .withColumn("oov_e6", expr(
         "CASE WHEN admitted_pairs_total = 0 THEN 0L " +
           s"ELSE (admitted_pairs_oov * ${RetrievalOps.RrfScale}) div admitted_pairs_total END"))
-      .select(expr("""stack(11,
+      .select(expr(s"""stack(13,
           'admitted_docs_dense', admitted_docs_dense,
           'admitted_docs_sparse', admitted_docs_sparse,
           'admitted_pairs_oov', admitted_pairs_oov,
           'admitted_pairs_total', admitted_pairs_total,
           'buckets_docs', buckets_docs,
+          'built_docs', ${metaBuilt}L,
           'doclens_docs', doclens_docs,
           'kept_vocab_size', kept_vocab_size,
           'oov_e6', oov_e6,
+          'planes', ${metaPlanes}L,
           'postings_docs', postings_docs,
           'postings_rows', postings_rows,
           'vectors_docs', vectors_docs) as (metric, value)"""))
@@ -284,10 +353,12 @@ object RetrievalIndexOps {
     * (the [[AnnIndexOps.compactAnnIndex]] pattern — partitioning, and
     * with it the probe's file pruning, is untouched). Directories that
     * never fragmented (≤1 parquet file) are skipped, so a quiet-day run
-    * is a no-op. SINGLE-WRITER maintenance: compaction's read-then-swap
-    * discards files appended between the read and the rename — stop
-    * admission (batch or streaming) while it runs, exactly like the ANN
-    * side. Returns the number of artifact directories rewritten
+    * is a no-op. Concurrent-append GUARD (round 11): the read-then-swap
+    * heals instead of discards — [[graft.Jobs.compactLeaf]] moves any
+    * file appended between the scan and the rename into the rewritten
+    * directory (spec-raced in Round11OpsSpec), so admission during
+    * compaction loses nothing; it just stays unfolded until the next
+    * pass. Returns the number of artifact directories rewritten
     * (buckets counts once however many leaves folded). */
   def compactRetrievalIndex(s: SparkSession, indexDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
@@ -304,12 +375,17 @@ object RetrievalIndexOps {
         graft.Jobs.compactLeaf(s, d.toString, targetFileBytes); true
       } else false
     }
+    // indexes landed before the buckets artifact existed have only the
+    // flat layout — treat the absent directory as "nothing to fold"
+    // instead of throwing NoSuchFileException mid-maintenance
     val bdir = Paths.get(s"$indexDir/buckets")
-    val st = Files.list(bdir)
-    val leaves = try st.toArray.map(_.asInstanceOf[Path]).toSeq
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("bucket="))
-      finally st.close()
+    val leaves = if (!Files.isDirectory(bdir)) Seq.empty[Path] else {
+      val st = Files.list(bdir)
+      try st.toArray.map(_.asInstanceOf[Path]).toSeq
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("bucket="))
+        finally st.close()
+    }
     val folded = leaves.count { leaf =>
       if (parquetCount(leaf) > 1) {
         graft.Jobs.compactLeaf(s, leaf.toString, targetFileBytes); true
@@ -325,7 +401,7 @@ object RetrievalIndexOps {
   def retrievalIndexProbeCompacted(s: SparkSession, dir: String): DataFrame = {
     val split = DedupOps.IncrementalSplit
     val idx = ensureIndex(s, dir, "grown_compact")(_.filter(col("doc_id") < split))
-    admitToRetrievalIndex(s, idx,
+    ensureAdmitted(s, idx)(
       Tables.documents(s, dir).filter(col("doc_id") >= split))
     compactRetrievalIndex(s, idx)
     probeRetrievalIndex(s, idx)

@@ -161,6 +161,20 @@ object RetrievalOps {
     fuseRrf(TextOps.docNeighborsLsh(s, dir, PoolK),
       lexicalNeighbors(s, dir, PoolK), k)
 
+  /** hybrid_retrieval_ivf — the fused key on the ALTERNATE dense leg:
+    * [[TextOps.docNeighborsIvf]] (coarse-quantizer cell probing) replaces
+    * the LSH leg inside the same RRF fusion, completing the two-lever
+    * story: LSH planes and IVF cells are the two candidate-source
+    * levers a production retrieval stack chooses between (planes grow
+    * with log₂(corpus) holding bucket occupancy flat; cells grow with
+    * √corpus so the probed FRACTION shrinks). Sparse leg and fusion
+    * arithmetic are shared verbatim with [[hybridRetrieval]]; the
+    * oracle pins the IVF leg per [[graft.OracleSql]]'s unrolled-kmeans
+    * twin, so each leg's fused behavior is independently hash-checked. */
+  def hybridRetrievalIvf(s: SparkSession, dir: String, k: Int = PoolK): DataFrame =
+    fuseRrf(TextOps.docNeighborsIvf(s, dir, PoolK),
+      lexicalNeighbors(s, dir, PoolK), k)
+
   /** RRF fusion core over any two ranked legs (each (q_id, n_id, rnk))
     * — shared by the inline key and the landed-index probe. */
   private[operators] def fuseRrf(semRanked: DataFrame, lexRanked: DataFrame,

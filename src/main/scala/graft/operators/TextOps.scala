@@ -278,6 +278,29 @@ object TextOps {
     * lever either way. */
   val DocPlanes = 6
 
+  /** Target per-bucket occupancy for the LANDED index's adaptive plane
+    * sizing ([[adaptivePlanes]]): 2^planes buckets sized to hold ~this
+    * many vectors each. 128 keeps every test corpus (500–5000 docs) at
+    * the keyed [[DocPlanes]] = 6 — so the landed probe stays
+    * bit-identical to the inline fused keys — while a 10⁹-doc corpus
+    * sizes to ~23 planes (~8M buckets, ~120 docs each) instead of
+    * 6 planes' ~10⁷ docs per bucket, which would degrade the probe's
+    * candidate join toward a corpus scan. */
+  val DocBucketTarget = 128L
+
+  /** Production plane count for a corpus of `n` vectors: the smallest p
+    * with [[DocBucketTarget]]·2^p ≥ n (exact integer ceil-log₂ — no
+    * floating point near the boundary), floored at the keyed
+    * [[DocPlanes]]. The [[docPlaneWeightsN]] seed family is
+    * PREFIX-stable, so a rebuild at a grown plane count refines the old
+    * buckets (each added plane splits every bucket in two) rather than
+    * reshuffling them. */
+  def adaptivePlanes(n: Long): Int = {
+    var p = 0
+    while ((DocBucketTarget << p) < n && p < 48) p += 1
+    math.max(DocPlanes, p)
+  }
+
   /** Multi-probe radius for the hashed-vector LSH family: all buckets
     * within hamming-2 of the query's (1 + 6 + 15 = 22 of 64 masks) —
     * the recall lever shared by every doc/chunk LSH key and the landed
