@@ -48,7 +48,7 @@ object Bench {
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "span_scrub", "dedup_clusters",
       "dedup_survivors", "hybrid_retrieval", "hybrid_retrieval_ivf",
-      "mmr_diversify", "retrieval_index_probe",
+      "mmr_diversify", "maxsim_retrieval", "retrieval_index_probe",
       "retrieval_index_probe_admitted", "retrieval_index_probe_compacted",
       "retrieval_index_stats", "doc_neighbors_ivf",
       "ann_index_probe_compacted", "bigram_lm_score",

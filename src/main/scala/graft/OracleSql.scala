@@ -693,12 +693,39 @@ object OracleSql {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
-  /** chunk_neighbors_lsh twin — the same bucket/probe chain at chunk
-    * grain over the shared chunkHashCtes vectors; same-doc chunks
-    * excluded at the candidate join exactly as in Spark. */
-  private def chunkNeighborsLshSql: String = {
+  /** Scored cross-doc chunk pairs (CTE chain ending in `sc`): long-form
+    * chunk vectors (absent dims implicit 0 — the dim-join dot is exact),
+    * LEFT JOIN + coalesce as in doc_neighbors, keyed by (doc, chunk),
+    * same-doc chunks excluded, zero-norm chunks excluded. Shared by
+    * chunk_neighbors (rank tail) and maxsim_retrieval (max/sum tail). */
+  private def chunkScoredCtes: String = {
     val qm = graft.operators.SimilarityOps.QueryModulus
-    s"""WITH $chunkHashCtes,
+    s"""$chunkHashCtes,
+       |f AS (SELECT doc_id, chunk_id, dim, CAST(SUM(sg) AS BIGINT) AS fv
+       |  FROM v GROUP BY 1, 2, 3),
+       |nrm AS (SELECT doc_id, chunk_id, CAST(SUM(fv*fv) AS BIGINT) AS n2
+       |  FROM f GROUP BY 1, 2),
+       |pr AS (SELECT qa.doc_id AS q_doc, qa.chunk_id AS q_chunk,
+       |    nb.doc_id AS n_doc, nb.chunk_id AS n_chunk, qa.n2 AS qn, nb.n2 AS nn
+       |  FROM nrm qa JOIN nrm nb ON qa.doc_id <> nb.doc_id
+       |  WHERE qa.doc_id % $qm = 0 AND qa.n2 > 0 AND nb.n2 > 0),
+       |dt AS (SELECT a.doc_id AS q_doc, a.chunk_id AS q_chunk,
+       |    b.doc_id AS n_doc, b.chunk_id AS n_chunk,
+       |    CAST(SUM(a.fv*b.fv) AS BIGINT) AS dt
+       |  FROM f a JOIN f b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % $qm = 0 GROUP BY 1, 2, 3, 4),
+       |sc AS (SELECT pr.q_doc, pr.q_chunk, pr.n_doc, pr.n_chunk,
+       |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
+       |  FROM pr LEFT JOIN dt ON dt.q_doc = pr.q_doc AND dt.q_chunk = pr.q_chunk
+       |    AND dt.n_doc = pr.n_doc AND dt.n_chunk = pr.n_chunk)""".stripMargin
+  }
+
+  /** The BUCKETED twin of [[chunkScoredCtes]] (ends in the same-shaped
+    * `sc`, restricted to multi-probe LSH bucket collisions) — shared by
+    * chunk_neighbors_lsh and maxsim_retrieval_lsh. */
+  private def chunkLshScoredCtes: String = {
+    val qm = graft.operators.SimilarityOps.QueryModulus
+    s"""$chunkHashCtes,
        |f AS (SELECT doc_id, chunk_id, dim, CAST(SUM(sg) AS BIGINT) AS fv
        |  FROM v GROUP BY 1, 2, 3),
        |nrm AS (SELECT doc_id, chunk_id, CAST(SUM(fv*fv) AS BIGINT) AS n2
@@ -723,12 +750,35 @@ object OracleSql {
        |sc AS (SELECT pr.q_doc, pr.q_chunk, pr.n_doc, pr.n_chunk,
        |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
        |  FROM pr LEFT JOIN dt ON dt.q_doc = pr.q_doc AND dt.q_chunk = pr.q_chunk
-       |    AND dt.n_doc = pr.n_doc AND dt.n_chunk = pr.n_chunk),
+       |    AND dt.n_doc = pr.n_doc AND dt.n_chunk = pr.n_chunk)""".stripMargin
+  }
+
+  /** chunk_neighbors_lsh twin — the same bucket/probe chain at chunk
+    * grain over the shared chunkHashCtes vectors; same-doc chunks
+    * excluded at the candidate join exactly as in Spark. */
+  private def chunkNeighborsLshSql: String =
+    s"""WITH $chunkLshScoredCtes,
        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc, q_chunk
        |  ORDER BY cos_sim DESC, n_doc, n_chunk) AS BIGINT) AS rnk FROM sc)
        |SELECT q_doc, q_chunk, n_doc, n_chunk, cos_sim, rnk FROM rk WHERE rnk <= 5
        |ORDER BY q_doc, q_chunk, rnk""".stripMargin
-  }
+
+  /** The MaxSim (late-interaction) reduction over a scored chunk-pair
+    * chain: floor each pair cosine to an e6 long, MAX per (query chunk,
+    * candidate doc), SUM per (query doc, candidate doc), rank top-5 —
+    * RetrievalOps.maxsimRank's twin, shared by both maxsim keys. */
+  private def maxsimTail(scoredCtes: String): String =
+    s"""WITH $scoredCtes,
+       |mx AS (SELECT q_doc, q_chunk, n_doc,
+       |    MAX(CAST(FLOOR(cos_sim*1000000.0+0.5) AS BIGINT)) AS best_e6
+       |  FROM sc GROUP BY 1, 2, 3),
+       |sm AS (SELECT q_doc, n_doc, CAST(SUM(best_e6) AS BIGINT) AS maxsim_e6,
+       |    CAST(COUNT(*) AS BIGINT) AS n_q_chunks
+       |  FROM mx GROUP BY 1, 2),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc
+       |  ORDER BY maxsim_e6 DESC, n_doc) AS BIGINT) AS rnk FROM sm)
+       |SELECT q_doc, n_doc, maxsim_e6, n_q_chunks, rnk FROM rk WHERE rnk <= 5
+       |ORDER BY q_doc, rnk""".stripMargin
 
   /** hybrid_retrieval twin — ALSO retrieval_index_probe's oracle: the
     * landed-index probe runs the same leg + fusion cores over the same
@@ -1338,6 +1388,29 @@ object OracleSql {
         |  valid_to_us IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
 
+    "merge_upsert" ->
+      """WITH latest AS (SELECT * FROM (SELECT o_custkey, o_orderkey, o_orderstatus,
+        |    o_totalprice, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1),
+        |ch AS (SELECT
+        |    CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey + 1000000
+        |      ELSE o_custkey END AS BIGINT) AS key,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D'
+        |      WHEN o_orderpriority = '1-URGENT' THEN 'I' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal
+        |  FROM latest),
+        |b AS (SELECT CAST(c_custkey AS BIGINT) AS key, c_name, c_acctbal FROM customer),
+        |m AS (SELECT COALESCE(b.key, ch.key) AS key, b.c_name, b.c_acctbal, ch.op, ch.new_bal
+        |  FROM b FULL OUTER JOIN ch ON b.key = ch.key)
+        |SELECT key,
+        |  COALESCE(c_name, 'cust#' || CAST(key AS VARCHAR)) AS name,
+        |  CASE WHEN op IS NOT NULL THEN new_bal ELSE c_acctbal END AS acctbal,
+        |  CASE WHEN op IS NULL THEN 'unchanged'
+        |    WHEN c_name IS NULL THEN 'inserted' ELSE 'updated' END AS src
+        |FROM m WHERE op IS NULL OR op <> 'D' ORDER BY key""".stripMargin,
+
     "gap_fill" ->
       s"""WITH $gapFillCtes
          |SELECT priority, day, n_orders, revenue FROM filled
@@ -1794,6 +1867,63 @@ object OracleSql {
          |  FROM q JOIN n c ON q.vec_id <> c.vec_id),
          |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM p)
          |SELECT q_id, n_id, cos_sim, rnk FROM k WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "embedding_sq8" -> {
+      import graft.operators.QuantOps.{SqDims, SqLevels}
+      val mnl = (1 to SqDims).map(i => s"MIN(CAST(embedding[$i] AS DOUBLE))")
+        .mkString("list_value(", ", ", ")")
+      val mxl = (1 to SqDims).map(i => s"MAX(CAST(embedding[$i] AS DOUBLE))")
+        .mkString("list_value(", ", ", ")")
+      // QuantOps mirror: per-dim 8-bit level floor((x-mn)/(mx-mn)*255+0.5)
+      // (0 on a constant dim), reconstruction mn + q/255*(mx-mn), every
+      // double chain associated identically, floored to longs BEFORE the
+      // list_sum reductions — exact integer outputs
+      s"""WITH st AS (SELECT $mnl AS mn, $mxl AS mx FROM embeddings),
+         |qc AS (SELECT vec_id, embedding, mn, mx,
+         |  list_transform(generate_series(1,$SqDims), i -> CASE WHEN mx[i] > mn[i]
+         |    THEN CAST(FLOOR((CAST(embedding[i] AS DOUBLE)-mn[i])/(mx[i]-mn[i])*$SqLevels.0+0.5) AS BIGINT)
+         |    ELSE 0 END) AS q
+         |  FROM embeddings CROSS JOIN st),
+         |rc AS (SELECT vec_id, embedding, q,
+         |  list_transform(generate_series(1,$SqDims), i -> CASE WHEN mx[i] > mn[i]
+         |    THEN mn[i] + CAST(q[i] AS DOUBLE)/$SqLevels.0*(mx[i]-mn[i]) ELSE mn[i] END) AS r
+         |  FROM qc)
+         |SELECT vec_id,
+         |  CAST(list_sum(q) AS BIGINT) AS code_sum,
+         |  CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS code_sqsum,
+         |  CAST(list_sum(list_transform(generate_series(1,$SqDims), i ->
+         |    CAST(FLOOR((CAST(embedding[i] AS DOUBLE)-r[i])*(CAST(embedding[i] AS DOUBLE)-r[i])*1000000000000.0+0.5) AS BIGINT))) AS BIGINT) AS err_e12
+         |FROM rc ORDER BY vec_id""".stripMargin
+    },
+
+    "ann_sq_topk" -> {
+      import graft.operators.QuantOps.{SqDims, SqLevels}
+      val qm = graft.operators.SimilarityOps.QueryModulus
+      val mnl = (1 to SqDims).map(i => s"MIN(CAST(embedding[$i] AS DOUBLE))")
+        .mkString("list_value(", ", ", ")")
+      val mxl = (1 to SqDims).map(i => s"MAX(CAST(embedding[$i] AS DOUBLE))")
+        .mkString("list_value(", ", ", ")")
+      // full-precision query (native dotE12 norm) vs on-the-fly-decoded
+      // SQ8 corpus, same e12 cosine kernel as ann_cosine_topk
+      s"""WITH st AS (SELECT $mnl AS mn, $mxl AS mx FROM embeddings),
+         |rc AS (SELECT vec_id,
+         |  list_transform(generate_series(1,$SqDims), i -> CASE WHEN mx[i] > mn[i]
+         |    THEN mn[i] + CAST(CAST(FLOOR((CAST(embedding[i] AS DOUBLE)-mn[i])/(mx[i]-mn[i])*$SqLevels.0+0.5) AS BIGINT) AS DOUBLE)/$SqLevels.0*(mx[i]-mn[i])
+         |    ELSE mn[i] END) AS r
+         |  FROM embeddings CROSS JOIN st),
+         |rn AS (SELECT vec_id, r, CAST(list_sum(list_transform(generate_series(1,$SqDims), i ->
+         |    CAST(FLOOR(r[i]*r[i]*1000000000000.0+0.5) AS BIGINT))) AS BIGINT) AS rn2 FROM rc),
+         |q AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS qn
+         |  FROM embeddings WHERE vec_id % $qm = 0),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  CAST(list_sum(list_transform(generate_series(1,$SqDims), i ->
+         |    CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)*c.r[i]*1000000000000.0+0.5) AS BIGINT))) AS BIGINT) AS dt,
+         |  q.qn, c.rn2
+         |  FROM q JOIN rn c ON q.vec_id <> c.vec_id),
+         |s AS (SELECT q_id, n_id, ${cosSim("dt", "qn", "rn2")} AS cos_sim FROM p),
+         |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM s)
+         |SELECT q_id, n_id, cos_sim, rnk FROM k WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
 
     "hard_negatives" ->
       s"""WITH n AS (SELECT vec_id, embedding, label, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
@@ -2390,34 +2520,16 @@ object OracleSql {
          |FROM v GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
     },
 
-    "chunk_neighbors" -> {
-      val qm = graft.operators.SimilarityOps.QueryModulus
-      // long-form chunk vectors (absent dims implicit 0 — the dim-join
-      // dot is exact); same LEFT JOIN + coalesce shape as doc_neighbors,
-      // keyed by (doc, chunk); same-doc chunks excluded
-      s"""WITH $chunkHashCtes,
-         |f AS (SELECT doc_id, chunk_id, dim, CAST(SUM(sg) AS BIGINT) AS fv
-         |  FROM v GROUP BY 1, 2, 3),
-         |nrm AS (SELECT doc_id, chunk_id, CAST(SUM(fv*fv) AS BIGINT) AS n2
-         |  FROM f GROUP BY 1, 2),
-         |pr AS (SELECT qa.doc_id AS q_doc, qa.chunk_id AS q_chunk,
-         |    nb.doc_id AS n_doc, nb.chunk_id AS n_chunk, qa.n2 AS qn, nb.n2 AS nn
-         |  FROM nrm qa JOIN nrm nb ON qa.doc_id <> nb.doc_id
-         |  WHERE qa.doc_id % $qm = 0 AND qa.n2 > 0 AND nb.n2 > 0),
-         |dt AS (SELECT a.doc_id AS q_doc, a.chunk_id AS q_chunk,
-         |    b.doc_id AS n_doc, b.chunk_id AS n_chunk,
-         |    CAST(SUM(a.fv*b.fv) AS BIGINT) AS dt
-         |  FROM f a JOIN f b ON a.dim = b.dim AND a.doc_id <> b.doc_id
-         |  WHERE a.doc_id % $qm = 0 GROUP BY 1, 2, 3, 4),
-         |sc AS (SELECT pr.q_doc, pr.q_chunk, pr.n_doc, pr.n_chunk,
-         |  CAST(COALESCE(dt.dt, 0) AS DOUBLE)/(sqrt(CAST(pr.qn AS DOUBLE))*sqrt(CAST(pr.nn AS DOUBLE))) AS cos_sim
-         |  FROM pr LEFT JOIN dt ON dt.q_doc = pr.q_doc AND dt.q_chunk = pr.q_chunk
-         |    AND dt.n_doc = pr.n_doc AND dt.n_chunk = pr.n_chunk),
+    "chunk_neighbors" ->
+      s"""WITH $chunkScoredCtes,
          |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc, q_chunk
          |  ORDER BY cos_sim DESC, n_doc, n_chunk) AS BIGINT) AS rnk FROM sc)
          |SELECT q_doc, q_chunk, n_doc, n_chunk, cos_sim, rnk FROM rk WHERE rnk <= 5
-         |ORDER BY q_doc, q_chunk, rnk""".stripMargin
-    },
+         |ORDER BY q_doc, q_chunk, rnk""".stripMargin,
+
+    "maxsim_retrieval" -> maxsimTail(chunkScoredCtes),
+
+    "maxsim_retrieval_lsh" -> maxsimTail(chunkLshScoredCtes),
 
     "doc_neighbors" -> docNeighborsSql,
 

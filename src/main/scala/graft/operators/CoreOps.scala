@@ -865,4 +865,49 @@ object CoreOps {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("bucket")
   }
+
+  /** #23l merge_upsert — CDC MERGE semantics (the Delta/Iceberg `MERGE
+    * INTO` kernel) expressed as ONE latest-wins changeset reduction plus
+    * ONE full-outer join: the changeset (derived here from orders —
+    * latest order per custkey, tie-broken on orderkey) collapses to a
+    * single row per target key (`WHEN MATCHED UPDATE` → new balance,
+    * `'F'`-status → `WHEN MATCHED DELETE`, urgent-priority → `WHEN NOT
+    * MATCHED INSERT` under an offset key), then applies onto the
+    * customer base: deletes drop, updates overwrite, inserts append,
+    * untouched base rows pass through.
+    *
+    * Scale design: the latest-wins reduction is a partial-agg-friendly
+    * window on the change key (at 100 TB the changeset is the SMALL side
+    * — a day's CDC feed vs the full table, so AQE broadcasts it and the
+    * base never shuffles); when both sides are large the full-outer
+    * sort-merge join shuffles each side once on the key, and a base
+    * table BUCKETED on the key makes the merge shuffle-free on the base
+    * side — the exact layout Delta's MERGE optimizes toward. No
+    * driver-side state; every MERGE branch is one codegen'd CASE. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val changes = Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        when(col("o_orderpriority") === "1-URGENT",
+          col("o_custkey") + lit(1000000L)).otherwise(col("o_custkey")).as("key"),
+        when(col("o_orderstatus") === "F", lit("D"))
+          .when(col("o_orderpriority") === "1-URGENT", lit("I"))
+          .otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("new_bal"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_name"), col("c_acctbal"))
+      .join(changes, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("c_name"), concat(lit("cust#"), col("key"))).as("name"),
+        when(col("op").isNotNull, col("new_bal")).otherwise(col("c_acctbal"))
+          .as("acctbal"),
+        when(col("op").isNull, lit("unchanged"))
+          .when(col("c_name").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("src"))
+      .orderBy("key")
+  }
 }

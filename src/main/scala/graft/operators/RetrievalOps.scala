@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -311,5 +311,90 @@ object RetrievalOps {
         .localCheckpoint(false)
     }
     selected.orderBy("q_id", "rnk")
+  }
+
+  /** maxsim_retrieval — LATE-INTERACTION document retrieval (the
+    * ColBERT scoring rule, Khattab & Zaharia 2020, re-expressed as
+    * relational algebra): score(Q, D) = Σ over Q's chunks of the MAX
+    * cosine against any chunk of D, over the [[TextOps.chunkEmbed]]
+    * chunk vectors. Where doc_neighbors compares one pooled vector per
+    * document (fine-grained matches wash out in the mean), MaxSim lets
+    * EACH query passage pick its best-matching passage in the candidate
+    * doc — the retrieval quality step between single-vector ANN and a
+    * cross-encoder.
+    *
+    * Exactness: each pair cosine collapses to an e6 integer
+    * (floor(cos·10⁶+0.5)) BEFORE the max/sum reductions, so the
+    * per-doc score is an exact long — accumulation order can't perturb
+    * the ranking, and the DuckDB twin reproduces it bit-for-bit.
+    *
+    * Shape: chunk pairs → max per (q_chunk, n_doc) → sum per (q_doc,
+    * n_doc) — two partial-agg groupBys on top of the same broadcast-
+    * queries × corpus-chunk scan as chunk_neighbors. This brute form is
+    * the correctness baseline; [[maxsimRetrievalLsh]] is the 100×
+    * candidate-bounded path. */
+  def maxsimRetrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cv = TextOps.chunkVectors(s, dir)
+    val q = cv.filter(col("doc_id") % SimilarityOps.QueryModulus === 0)
+      .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = cv.join(broadcast(q), col("q_doc") =!= col("doc_id"))
+      .select(col("q_doc"), col("q_chunk"), col("doc_id").as("n_doc"),
+        chunkSimE6.as("sim_e6"))
+    maxsimRank(pairs, k)
+  }
+
+  /** maxsim_retrieval_lsh — MaxSim over BUCKETED candidates: the same
+    * [[TextOps.docLshBucket]] hyperplane family + multi-probe masks as
+    * chunk_neighbors_lsh gates which chunk pairs are scored, max/sum
+    * run over surviving pairs only (a query chunk with no collision in
+    * a doc contributes 0 — the standard approximate-MaxSim pruning).
+    * Candidate volume is bucket-density-bounded instead of |Q-chunks| ·
+    * corpus-chunks — the production leg at 10⁹ docs, with recall
+    * measurable against [[maxsimRetrieval]] since both rank with the
+    * identical e6 kernel. */
+  def maxsimRetrievalLsh(s: SparkSession, dir: String, k: Int = 5,
+      probeBits: Int = 2): DataFrame = {
+    val e = TextOps.chunkVectors(s, dir)
+      .withColumn("bucket", TextOps.docLshBucket(col("v")))
+    val probes = array(
+      SimilarityOps.probeMasks(probeBits, TextOps.DocPlanes).map(lit): _*)
+    val q = e.filter(col("doc_id") % SimilarityOps.QueryModulus === 0)
+      .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    // no pair-grain dedup needed: an n_chunk has ONE bucket and a query
+    // chunk's probe buckets are pairwise-distinct values, so a
+    // (q_chunk, n_chunk) pair collides in at most one probed bucket
+    val pairs = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_doc") =!= col("doc_id"))
+      .select(col("q_doc"), col("q_chunk"), col("doc_id").as("n_doc"),
+        chunkSimE6.as("sim_e6"))
+    maxsimRank(pairs, k)
+  }
+
+  /** Exact-integer e6 chunk-pair cosine (the chunk_neighbors kernel with
+    * the floor-to-e6 edge): long dot over the hashed int vectors, ONE
+    * double division, floored before any reduction. */
+  private def chunkSimE6: Column = {
+    val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    floor(dot.cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double")))
+      * lit(1e6) + lit(0.5))
+  }
+
+  /** Shared MaxSim reduction: max per (q_chunk, n_doc) → sum per (q_doc,
+    * n_doc) → top-k docs per query. */
+  private def maxsimRank(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_doc").orderBy(col("maxsim_e6").desc, col("n_doc"))
+    pairs
+      .groupBy("q_doc", "q_chunk", "n_doc").agg(max("sim_e6").as("best_e6"))
+      .groupBy("q_doc", "n_doc")
+      .agg(sum("best_e6").as("maxsim_e6"), count(lit(1)).as("n_q_chunks"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_doc", "n_doc", "maxsim_e6", "n_q_chunks", "rnk")
+      .orderBy("q_doc", "rnk")
   }
 }
