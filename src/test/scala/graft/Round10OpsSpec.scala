@@ -185,7 +185,11 @@ class Round10OpsSpec extends AnyFunSuite {
     val out = RetrievalIndexOps.retrievalIndexStats(s, sf).collect()
     s.catalog.clearCache()
     val m = out.map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
-    assert(m.size == 11)
+    // 13 rows since the adaptive-planes landing: the 11 consistency/
+    // drift metrics + the landed (planes, built_docs) index metadata
+    assert(m.size == 13)
+    assert(m("planes") == TextOps.adaptivePlanes(m("built_docs")),
+      "panel must surface the landed adaptive plane count")
     assert(m("doclens_docs") == m("postings_docs"),
       "every postings doc must have its doclens row (admission healed)")
     assert(m("buckets_docs") == m("vectors_docs"),
