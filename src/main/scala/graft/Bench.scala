@@ -50,7 +50,7 @@ object Bench {
       "dedup_survivors", "hybrid_retrieval", "hybrid_retrieval_ivf",
       "mmr_diversify", "maxsim_retrieval", "retrieval_index_probe",
       "retrieval_index_probe_admitted", "retrieval_index_probe_compacted",
-      "retrieval_index_stats", "doc_neighbors_ivf",
+      "retrieval_index_stats", "retrieval_index_probe_maxsim", "doc_neighbors_ivf",
       "ann_index_probe_compacted", "bigram_lm_score",
       "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
       "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text", "dedup_report",

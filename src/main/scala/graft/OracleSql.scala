@@ -2531,6 +2531,12 @@ object OracleSql {
 
     "maxsim_retrieval_lsh" -> maxsimTail(chunkLshScoredCtes),
 
+    // landed-chunk-artifact probe — bit-identical to the inline bucketed
+    // MaxSim (bucket assignment is a pure function of the chunk vector;
+    // the artifact just materializes it), so the twin is shared verbatim
+    // (the retrieval_index_probe convention)
+    "retrieval_index_probe_maxsim" -> maxsimTail(chunkLshScoredCtes),
+
     "doc_neighbors" -> docNeighborsSql,
 
     "doc_neighbors_lsh" -> docNeighborsLshSql,
@@ -2616,6 +2622,13 @@ object OracleSql {
          |      (SELECT CAST(MIN(range) AS BIGINT) FROM range(0, 48)
          |       WHERE $tgt * (CAST(1 AS BIGINT) << range) >= (SELECT built FROM vstats)),
          |      CAST(48 AS BIGINT))))
+         |  UNION ALL SELECT 'chunks_docs', (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+         |    FROM (WITH $chunkHashCtes,
+         |      cf AS (SELECT doc_id, chunk_id, dim, CAST(SUM(sg) AS BIGINT) AS fv
+         |        FROM v GROUP BY 1, 2, 3),
+         |      cn AS (SELECT doc_id, chunk_id, CAST(SUM(fv*fv) AS BIGINT) AS n2
+         |        FROM cf GROUP BY 1, 2)
+         |      SELECT doc_id FROM cn WHERE n2 > 0))
          |  UNION ALL SELECT 'doclens_docs', (SELECT CAST(COUNT(*) AS BIGINT) FROM lsz)
          |  UNION ALL SELECT 'kept_vocab_size', (SELECT CAST(COUNT(*) AS BIGINT) FROM lkept)
          |  UNION ALL SELECT 'oov_e6',

@@ -505,6 +505,80 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // SQ8 growth: quantize wall is linear (two scans, one broadcast
+    // stats row), and the ADC probe keeps its recall as the corpus and
+    // its min/max ranges grow — the training-free compression leg's
+    // 100× evidence. Queries grow with the corpus (vec_id % modulus);
+    // recall is judged on BASE queries (the ann_ivf convention).
+    val sqProbes = Set("embedding_sq8", "ann_sq_topk")
+    for (k <- Seq(1, 4, factor) if only.forall(_.exists(sqProbes))) {
+      val e = grownEmb(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = e.count()
+      time("embedding_sq8", k, graft.operators.QuantOps.embeddingSq8From(e))
+      val t0 = System.nanoTime()
+      val sqRows = graft.operators.QuantOps.annSqTopkFrom(e).collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val q0 = (id: Long) => id < maxVec &&
+        id % graft.operators.SimilarityOps.QueryModulus == 0
+      val got = sqRows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .filter(p => q0(p._1)).toSet
+      val brute = graft.operators.SimilarityOps.annCosineTopKFrom(e).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .filter(p => q0(p._1)).toSet
+      val recall = (got & brute).size.toDouble / brute.size
+      println(s"""{"probe":"ann_sq_topk","scale":$k,"wall_sec":${f"$wall%.2f"},""" +
+        s""""corpus":$n,"recall":${f"$recall%.3f"}}""")
+      e.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    // MaxSim at growth: fixed 6 planes vs log₂-adaptive planes on the
+    // chunk grain (the dense_lsh probe's story applied to late
+    // interaction — per-bucket CHUNK occupancy is what the plane count
+    // must hold flat). Disjoint token namespace per replica as in the
+    // lsh/mmr probes; recall vs the brute MaxSim on BASE queries only
+    // (the brute side is |Q₀-chunks|·corpus-chunks — bounded).
+    val msProbes = Set("maxsim_lsh_fixed", "maxsim_lsh_adaptive",
+      "maxsim_lsh_adaptive_b3", "maxsim_recall")
+    for (k <- Seq(1, 4, factor) if only.forall(_.exists(msProbes))) {
+      val d = (0 until k).map { i =>
+          if (i == 0) docsBase
+          else docsBase.select(
+            (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1·$i").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+      val cv = graft.operators.TextOps.chunkVectorsOf(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cv.count()
+      val planes = 6 + (math.log(k.toDouble) / math.log(2.0)).round.toInt
+      time("maxsim_lsh_fixed", k,
+        graft.operators.RetrievalOps.maxsimLshFromChunks(cv))
+      time("maxsim_lsh_adaptive", k,
+        graft.operators.RetrievalOps.maxsimLshFromChunks(cv, 5, 2, planes))
+      // radius grows WITH planes (the dense_lsh lesson: hamming-R of p
+      // planes covers a shrinking bucket fraction as p grows, so
+      // production tuning moves both together) — the b3 variant shows
+      // recall recovering while the candidate volume stays bounded
+      time("maxsim_lsh_adaptive_b3", k,
+        graft.operators.RetrievalOps.maxsimLshFromChunks(cv, 5, 3, planes))
+      val qm = graft.operators.SimilarityOps.QueryModulus
+      val basePred = col("doc_id") % qm === 0 && col("doc_id") < maxDoc
+      val brute = graft.operators.RetrievalOps.maxsimFromChunks(cv, 5, basePred)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def rec(p: Int, bits: Int): Double = {
+        val got = graft.operators.RetrievalOps
+          .maxsimLshFromChunks(cv, 5, bits, p, basePred)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got & brute).size.toDouble / brute.size
+      }
+      println(s"""{"probe":"maxsim_recall","scale":$k,"planes":$planes,""" +
+        s""""recall_fixed6":${f"${rec(6, 2)}%.3f"},"recall_adaptive":${f"${rec(planes, 2)}%.3f"},""" +
+        s""""recall_adaptive_b3":${f"${rec(planes, 3)}%.3f"}}""")
+      cv.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // ---- connector-fed dedup: generated corpora through MinHash-LSH ----
     // The DSv2 source generates rows in-task (no I/O), so this measures
     // the OPERATOR pipeline itself — native signature expression + banded

@@ -80,7 +80,12 @@ object QuantOps {
     * checksums pin every one of the 64 codes bit-exactly without
     * emitting a 64-wide frame. */
   def embeddingSq8(s: SparkSession, dir: String): DataFrame =
-    withStats(Tables.embeddings(s, dir))
+    embeddingSq8From(Tables.embeddings(s, dir))
+
+  /** Core on any (vec_id, embedding) frame (ScaleProbe drives grown
+    * corpora through the same code path). */
+  def embeddingSq8From(e: DataFrame): DataFrame =
+    withStats(e)
       .select(col("vec_id"), qArr.as("q"), col("mna"), col("mxa"), col("embedding"))
       .select(col("vec_id"),
         lsum(col("q")).as("code_sum"),
@@ -100,8 +105,12 @@ object QuantOps {
     * IO at 100 TB), and the recall/compression trade is measurable
     * against the exact key because both rank with the identical e12
     * kernel. */
-  def annSqTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  def annSqTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    annSqTopkFrom(Tables.embeddings(s, dir), k)
+
+  /** Core on any (vec_id, embedding) frame (ScaleProbe's grown-corpus
+    * recall/wall probe). */
+  def annSqTopkFrom(e: DataFrame, k: Int = 5): DataFrame = {
     val decoded = withStats(e)
       .select(col("vec_id"), rArr(qArr).as("r"))
       .select(col("vec_id"), col("r"),

@@ -82,6 +82,18 @@ object RetrievalIndexOps {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$baseDir/buckets")
     vecs.unpersist()
+    // CHUNK-grain vectors under the SAME plane family (round 11): the
+    // late-interaction (MaxSim) probe's corpus side — one more one-off
+    // corpus pass at build time buys passage-level retrieval with zero
+    // read-time hashing. One plane count governs the whole index (docs
+    // and chunks share the hashed space; per-bucket chunk occupancy is
+    // chunks-per-doc × doc occupancy, the same flat-at-scale story).
+    // Column order pinned to the admission append's.
+    TextOps.chunkVectorsOf(docs)
+      .withColumn("bucket", TextOps.docLshBucketN(col("v"), planes))
+      .select("doc_id", "chunk_id", "v", "nrm", "bucket")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$baseDir/chunks")
     // load-bearing metadata, landed LAST: planes decides which buckets a
     // probe masks and which bucket admission appends into
     s.range(1).select(lit(planes.toLong).as("planes"),
@@ -109,6 +121,21 @@ object RetrievalIndexOps {
     s.read.parquet(s"$indexDir/buckets")
       .select(col("doc_id"), col("v"), col("nrm"),
         col("bucket").cast("long").as("bucket"))
+
+  private def readChunks(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/chunks")
+      .select(col("doc_id"), col("chunk_id"), col("v"), col("nrm"),
+        col("bucket").cast("long").as("bucket"))
+
+  /** MaxSim (late-interaction) top-k against the LANDED chunk artifact —
+    * the passage-grain sibling of [[probeRetrievalIndex]]: bucket-gated
+    * chunk pairs through the identical e6 kernel as the inline
+    * maxsim_retrieval_lsh (shared oracle), masks sized from the landed
+    * plane count, zero read-time hashing. */
+  def probeRetrievalIndexMaxsim(s: SparkSession, indexDir: String,
+      k: Int = 5): DataFrame =
+    RetrievalOps.maxsimFromBucketedChunks(readChunks(s, indexDir), k,
+      TextOps.DocProbeBits, readMeta(s, indexDir)._1)
 
   /** Hybrid RRF top-k against the LANDED index — zero corpus passes
     * beyond the artifact reads; every arithmetic step mirrors the
@@ -161,6 +188,13 @@ object RetrievalIndexOps {
   def retrievalIndexProbe(s: SparkSession, dir: String): DataFrame =
     probeRetrievalIndex(s, ensureIndex(s, dir, "full")(identity))
 
+  /** retrieval_index_probe_maxsim — late-interaction retrieval over the
+    * SAME landed index (shared "full" build memo with
+    * retrieval_index_probe — one build serves both probes). Bit-identical
+    * to maxsim_retrieval_lsh (shared oracle). */
+  def retrievalIndexProbeMaxsim(s: SparkSession, dir: String): DataFrame =
+    probeRetrievalIndexMaxsim(s, ensureIndex(s, dir, "full")(identity))
+
   /** Idempotent index admission: append a batch of NEW documents
     * against the FROZEN artifacts — postings filtered to the frozen
     * kept-token vocabulary (build-time df decides membership; a fixed
@@ -196,16 +230,25 @@ object RetrievalIndexOps {
     val batchVecs = TextOps.docNeighborVectorsOf(batch)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freshVecs = freshIds("vectors", batchVecs)
-    // buckets derive from the LANDED plane count — appending a 6-plane
-    // bucket id into a 10-plane index would put the doc where no probe
-    // ever looks
+    // buckets (and chunks) derive from the LANDED plane count —
+    // appending a 6-plane bucket id into a 10-plane index would put the
+    // doc where no probe ever looks
+    val landedPlanes = readMeta(s, indexDir)._1
     val freshBkts = freshIds("buckets",
       batchVecs.withColumn("bucket",
-        TextOps.docLshBucketN(col("v"), readMeta(s, indexDir)._1)))
-    // the distinct union of ALL FOUR artifacts' fresh contributors, so a
+        TextOps.docLshBucketN(col("v"), landedPlanes)))
+    // chunk-grain leg: indexes landed before the chunks artifact existed
+    // keep their flat surface (the compaction pre-buckets convention) —
+    // admission never invents a chunks/ dir holding only batch docs
+    val freshChunks =
+      if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$indexDir/chunks"))) None
+      else Some(freshIds("chunks", TextOps.chunkVectorsOf(batch)
+        .withColumn("bucket", TextOps.docLshBucketN(col("v"), landedPlanes))))
+    // the distinct union of ALL artifacts' fresh contributors, so a
     // crash-heal replay that only completes doclens or buckets rows still
     // reports the docs it healed (the docstring's contract)
-    val n = Seq(freshPost, freshLens, freshVecs, freshBkts)
+    val n = (Seq(freshPost, freshLens, freshVecs, freshBkts) ++ freshChunks)
       .map(_.select("doc_id")).reduce(_ unionByName _)
       .distinct().count()
     if (!freshPost.isEmpty)
@@ -218,8 +261,12 @@ object RetrievalIndexOps {
     if (!freshBkts.isEmpty)
       freshBkts.write.mode("append").partitionBy("bucket")
         .parquet(s"$indexDir/buckets")
-    Seq(batchTok, freshPost, freshLens, batchVecs, freshVecs, freshBkts)
-      .foreach(_.unpersist())
+    freshChunks.filter(!_.isEmpty).foreach(
+      _.select("doc_id", "chunk_id", "v", "nrm", "bucket")
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$indexDir/chunks"))
+    (Seq(batchTok, freshPost, freshLens, batchVecs, freshVecs, freshBkts)
+      ++ freshChunks).foreach(_.unpersist())
     n
   }
 
@@ -317,6 +364,13 @@ object RetrievalIndexOps {
     val l = lens.agg(count(lit(1)).as("doclens_docs"))
     val v = vecs.agg(count(lit(1)).as("vectors_docs"))
     val b = bkts.agg(count(lit(1)).as("buckets_docs"))
+    // docs with at least one landed chunk vector (0 for a pre-chunks
+    // index — the panel shows the late-interaction leg is absent)
+    val c = (if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$indexDir/chunks")))
+        s.read.parquet(s"$indexDir/chunks")
+          .agg(countDistinct(col("doc_id")).as("chunks_docs"))
+      else s.range(1).select(lit(0L).as("chunks_docs")))
     val ls = lens.join(admIds, Seq("doc_id"), "left_semi")
       .agg(count(lit(1)).as("admitted_docs_sparse"))
     val vs = vecs.join(admIds, Seq("doc_id"), "left_semi")
@@ -326,17 +380,19 @@ object RetrievalIndexOps {
         coalesce(sum(when(col("known").isNull, 1L).otherwise(0L)), lit(0L))
           .as("admitted_pairs_oov"))
     p.crossJoin(broadcast(l)).crossJoin(broadcast(v)).crossJoin(broadcast(b))
+      .crossJoin(broadcast(c))
       .crossJoin(broadcast(ls)).crossJoin(broadcast(vs)).crossJoin(broadcast(ao))
       .withColumn("oov_e6", expr(
         "CASE WHEN admitted_pairs_total = 0 THEN 0L " +
           s"ELSE (admitted_pairs_oov * ${RetrievalOps.RrfScale}) div admitted_pairs_total END"))
-      .select(expr(s"""stack(13,
+      .select(expr(s"""stack(14,
           'admitted_docs_dense', admitted_docs_dense,
           'admitted_docs_sparse', admitted_docs_sparse,
           'admitted_pairs_oov', admitted_pairs_oov,
           'admitted_pairs_total', admitted_pairs_total,
           'buckets_docs', buckets_docs,
           'built_docs', ${metaBuilt}L,
+          'chunks_docs', chunks_docs,
           'doclens_docs', doclens_docs,
           'kept_vocab_size', kept_vocab_size,
           'oov_e6', oov_e6,
@@ -375,23 +431,26 @@ object RetrievalIndexOps {
         graft.Jobs.compactLeaf(s, d.toString, targetFileBytes); true
       } else false
     }
-    // indexes landed before the buckets artifact existed have only the
-    // flat layout — treat the absent directory as "nothing to fold"
-    // instead of throwing NoSuchFileException mid-maintenance
-    val bdir = Paths.get(s"$indexDir/buckets")
-    val leaves = if (!Files.isDirectory(bdir)) Seq.empty[Path] else {
-      val st = Files.list(bdir)
-      try st.toArray.map(_.asInstanceOf[Path]).toSeq
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("bucket="))
-        finally st.close()
+    // indexes landed before the buckets/chunks artifacts existed have
+    // only the flat layout — treat an absent directory as "nothing to
+    // fold" instead of throwing NoSuchFileException mid-maintenance
+    def foldLeaves(artifact: String): Int = {
+      val bdir = Paths.get(s"$indexDir/$artifact")
+      val leaves = if (!Files.isDirectory(bdir)) Seq.empty[Path] else {
+        val st = Files.list(bdir)
+        try st.toArray.map(_.asInstanceOf[Path]).toSeq
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("bucket="))
+          finally st.close()
+      }
+      val folded = leaves.count { leaf =>
+        if (parquetCount(leaf) > 1) {
+          graft.Jobs.compactLeaf(s, leaf.toString, targetFileBytes); true
+        } else false
+      }
+      if (folded > 0) 1 else 0
     }
-    val folded = leaves.count { leaf =>
-      if (parquetCount(leaf) > 1) {
-        graft.Jobs.compactLeaf(s, leaf.toString, targetFileBytes); true
-      } else false
-    }
-    flat + (if (folded > 0) 1 else 0)
+    flat + foldLeaves("buckets") + foldLeaves("chunks")
   }
 
   /** retrieval_index_probe_compacted — the text-index LIFECYCLE in one

@@ -333,9 +333,15 @@ object RetrievalOps {
     * queries × corpus-chunk scan as chunk_neighbors. This brute form is
     * the correctness baseline; [[maxsimRetrievalLsh]] is the 100×
     * candidate-bounded path. */
-  def maxsimRetrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val cv = TextOps.chunkVectors(s, dir)
-    val q = cv.filter(col("doc_id") % SimilarityOps.QueryModulus === 0)
+  def maxsimRetrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    maxsimFromChunks(TextOps.chunkVectors(s, dir), k)
+
+  /** Brute core on any (doc_id, chunk_id, v, nrm) chunk-vector frame;
+    * `qPred` picks the query docs (ScaleProbe restricts recall baselines
+    * to base-corpus queries so the brute side stays bounded). */
+  private[graft] def maxsimFromChunks(cv: DataFrame, k: Int = 5,
+      qPred: Column = col("doc_id") % SimilarityOps.QueryModulus === 0): DataFrame = {
+    val q = cv.filter(qPred)
       .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
         col("v").as("qv"), col("nrm").as("qn"))
     val pairs = cv.join(broadcast(q), col("q_doc") =!= col("doc_id"))
@@ -354,12 +360,31 @@ object RetrievalOps {
     * measurable against [[maxsimRetrieval]] since both rank with the
     * identical e6 kernel. */
   def maxsimRetrievalLsh(s: SparkSession, dir: String, k: Int = 5,
-      probeBits: Int = 2): DataFrame = {
-    val e = TextOps.chunkVectors(s, dir)
-      .withColumn("bucket", TextOps.docLshBucket(col("v")))
+      probeBits: Int = 2): DataFrame =
+    maxsimLshFromChunks(TextOps.chunkVectors(s, dir), k, probeBits)
+
+  /** Bucketed core on any chunk-vector frame; `planes` parameterizes the
+    * hyperplane count (the keyed query pins [[TextOps.DocPlanes]]; at a
+    * grown corpus ScaleProbe sizes planes by log₂ growth, holding
+    * per-bucket chunk occupancy — and so candidate volume per query —
+    * flat, the adaptive rule the doc-level leg already lands). */
+  private[graft] def maxsimLshFromChunks(cv: DataFrame, k: Int = 5,
+      probeBits: Int = 2, planes: Int = TextOps.DocPlanes,
+      qPred: Column = col("doc_id") % SimilarityOps.QueryModulus === 0): DataFrame =
+    maxsimFromBucketedChunks(
+      cv.withColumn("bucket", TextOps.docLshBucketN(col("v"), planes)),
+      k, probeBits, planes, qPred)
+
+  /** Same core over an ALREADY-BUCKETED chunk frame — the landed-index
+    * probe path (bucket assignment is a pure function of v, so landed
+    * and inline buckets are bit-identical; the landed artifact exists
+    * to skip the re-hash and to prune file reads by bucket). */
+  private[graft] def maxsimFromBucketedChunks(e: DataFrame, k: Int = 5,
+      probeBits: Int = 2, planes: Int = TextOps.DocPlanes,
+      qPred: Column = col("doc_id") % SimilarityOps.QueryModulus === 0): DataFrame = {
     val probes = array(
-      SimilarityOps.probeMasks(probeBits, TextOps.DocPlanes).map(lit): _*)
-    val q = e.filter(col("doc_id") % SimilarityOps.QueryModulus === 0)
+      SimilarityOps.probeMasks(probeBits, planes).map(lit): _*)
+    val q = e.filter(qPred)
       .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
         col("v").as("qv"), col("nrm").as("qn"),
         explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))

@@ -148,18 +148,21 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** Multi-probe masks for a hyperplane bucket code: identity, single-bit
-    * flips, and (at probeBits=2) two-bit flips — every bucket within
-    * hamming `probeBits` of the base code. Shared by [[annLsh]] and
+  /** Multi-probe masks for a hyperplane bucket code: every bucket within
+    * hamming `probeBits` of the base code (identity, then 1-bit flips,
+    * then 2-bit flips, …). The radius is the recall lever that must grow
+    * WITH the plane count at scale (hamming-R of p planes covers a
+    * shrinking bucket fraction as p grows — measured in ScaleProbe's
+    * maxsim_recall lines). Shared by [[annLsh]] and
     * [[graft.operators.DedupOps.embeddingLshPairs]]. */
   def probeMasks(probeBits: Int, planes: Int = NumPlanes): Seq[Long] = {
-    require(probeBits >= 0 && probeBits <= 2, "probeBits must be 0, 1, or 2")
-    (0L +:
-      (if (probeBits < 1) Seq.empty[Long]
-       else (0 until planes).map(p => 1L << p))) ++
-      (if (probeBits < 2) Seq.empty[Long]
-       else for { i <- 0 until planes; j <- i + 1 until planes }
-         yield (1L << i) | (1L << j))
+    require(probeBits >= 0 && probeBits <= planes,
+      "probeBits must be in [0, planes]")
+    def choose(start: Int, r: Int): Seq[Long] =
+      if (r == 0) Seq(0L)
+      else (start until planes).flatMap(i =>
+        choose(i + 1, r - 1).map(m => m | (1L << i)))
+    (0 to probeBits).flatMap(r => choose(0, r))
   }
 
   /** #30 ann_lsh (rows-only) — bucketed ANN: queries probe only their own

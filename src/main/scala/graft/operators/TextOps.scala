@@ -504,9 +504,12 @@ object TextOps {
   /** The (doc_id, chunk_id, v, nrm) hashed CHUNK vectors [[chunkNeighbors]]
     * and [[chunkNeighborsLsh]] search — zero-norm chunks excluded (cosine
     * undefined), the docNeighborVectors convention at chunk grain. */
-  private[operators] def chunkVectors(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def chunkVectors(s: SparkSession, dir: String): DataFrame =
+    chunkVectorsOf(Tables.documents(s, dir))
+
+  private[graft] def chunkVectorsOf(docs: DataFrame): DataFrame = {
     val v = array((0 until EmbedDims).map(i => col(s"f$i")): _*)
-    chunkEmbed(s, dir)
+    chunkEmbedOf(docs)
       .select(col("doc_id"), col("chunk_id"), v.as("v"))
       .withColumn("nrm", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
       .filter(col("nrm") > 0L)
@@ -951,9 +954,14 @@ object TextOps {
     * twin is fully oracle-checked. Plan: per-row chunk explode → token
     * explode → ONE (doc_id, chunk_id)-keyed partial-agg shuffle; shuffle
     * bytes ≈ chunks × dims longs thanks to map-side combine. */
-  def chunkEmbed(s: SparkSession, dir: String): DataFrame = {
+  def chunkEmbed(s: SparkSession, dir: String): DataFrame =
+    chunkEmbedOf(Tables.documents(s, dir))
+
+  /** Core on any documents-shaped frame (ScaleProbe drives grown
+    * corpora through the same chunk→hash path). */
+  private[operators] def chunkEmbedOf(docs: DataFrame): DataFrame = {
     val h = xxhash64(col("tok"))
-    val tok = Tables.documents(s, dir)
+    val tok = docs
       .withColumn("start", explode(sequence(lit(0L),
         greatest(length(col("text")).cast("long") - 1, lit(0L)), lit(ChunkStride.toLong))))
       .select(col("doc_id"), (col("start") / ChunkStride).cast("long").as("chunk_id"),

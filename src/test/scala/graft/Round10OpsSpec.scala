@@ -185,11 +185,13 @@ class Round10OpsSpec extends AnyFunSuite {
     val out = RetrievalIndexOps.retrievalIndexStats(s, sf).collect()
     s.catalog.clearCache()
     val m = out.map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
-    // 13 rows since the adaptive-planes landing: the 11 consistency/
-    // drift metrics + the landed (planes, built_docs) index metadata
-    assert(m.size == 13)
+    // 14 rows: the 11 consistency/drift metrics + the landed
+    // (planes, built_docs) index metadata + the chunk-artifact count
+    assert(m.size == 14)
     assert(m("planes") == TextOps.adaptivePlanes(m("built_docs")),
       "panel must surface the landed adaptive plane count")
+    assert(m("chunks_docs") > 0L,
+      "the late-interaction leg must be present in a fresh index")
     assert(m("doclens_docs") == m("postings_docs"),
       "every postings doc must have its doclens row (admission healed)")
     assert(m("buckets_docs") == m("vectors_docs"),
@@ -255,15 +257,20 @@ class Round10OpsSpec extends AnyFunSuite {
     RetrievalIndexOps.buildRetrievalIndex(s, docs.filter(col("doc_id") < split), twin)
     RetrievalIndexOps.admitToRetrievalIndex(s, twin,
       docs.filter(col("doc_id") >= split))
-    for (a <- Seq("postings", "doclens", "vectors", "buckets")) {
+    for (a <- Seq("postings", "doclens", "vectors", "buckets", "chunks")) {
       val sa = s.read.parquet(s"$dir/$a").collect().map(_.toString).sorted.toSeq
       val sb = s.read.parquet(s"$twin/$a").collect().map(_.toString).sorted.toSeq
       assert(sa == sb, s"streamed $a diverged from batch admission")
     }
-    // and the probe serves streamed docs
+    // and both probes serve streamed docs — the RRF one and the
+    // late-interaction one (streamed chunk rows are immediately
+    // passage-retrievable)
     val out = RetrievalIndexOps.probeRetrievalIndex(s, dir).collect()
-    s.catalog.clearCache()
     assert(out.exists(_.getAs[Long]("q_id") >= split))
+    val ms = RetrievalIndexOps.probeRetrievalIndexMaxsim(s, dir).collect()
+    s.catalog.clearCache()
+    assert(ms.exists(r => r.getAs[Long]("q_doc") >= split ||
+      r.getAs[Long]("n_doc") >= split))
   }
 
   test("hard_negatives_lsh (sf0.1): labels differ, scores exact, recall vs brute recorded") {

@@ -156,6 +156,52 @@ class Round11bOpsSpec extends AnyFunSuite {
     assert(got === expectTop)
   }
 
+  test("retrieval_index_probe_maxsim: landed chunk artifact == inline; admission grows it") {
+    import graft.operators.RetrievalIndexOps
+    import s.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // keyed query: the landed probe is frame-identical to the inline
+    // bucketed MaxSim (bucket assignment is a pure function of v)
+    val landed = RetrievalIndexOps.retrievalIndexProbeMaxsim(s, sf).collect().map(key)
+    s.catalog.clearCache()
+    val inline = RetrievalOps.maxsimRetrievalLsh(s, sf).collect().map(key)
+    s.catalog.clearCache()
+    assert(landed.toSeq === inline.toSeq)
+
+    // lifecycle on a crafted corpus: what admission lands is immediately
+    // probe-visible, and a replay appends nothing
+    val idx = java.nio.file.Files.createTempDirectory("graft_maxsim_idx").toString
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta"), (1L, "alpha beta zeta"),
+      (2L, "epsilon zeta eta"), (3L, "theta iota kappa"))
+      .toDF("doc_id", "text")
+    RetrievalIndexOps.buildRetrievalIndex(s, corpus, idx)
+    s.catalog.clearCache()
+    val before = RetrievalIndexOps.probeRetrievalIndexMaxsim(s, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty && before.forall(_._1 == 100L))
+    val batch = Seq((10L, "alpha beta gamma"), (11L, "mu nu xi")).toDF("doc_id", "text")
+    assert(RetrievalIndexOps.admitToRetrievalIndex(s, idx, batch) === 2L)
+    s.catalog.clearCache()
+    val after = RetrievalIndexOps.probeRetrievalIndexMaxsim(s, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.contains((100L, 10L)),
+      "the admitted near-duplicate of the query doc must be retrievable")
+    // full replay: chunks (and every other artifact) already hold the batch
+    assert(RetrievalIndexOps.admitToRetrievalIndex(s, idx, batch) === 0L)
+    s.catalog.clearCache()
+    // a pre-chunks index admits WITHOUT inventing a partial chunks dir
+    val legacy = java.nio.file.Files.createTempDirectory("graft_maxsim_legacy").toString
+    RetrievalIndexOps.buildRetrievalIndex(s, corpus, legacy)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(s"$legacy/chunks").toFile)
+    s.catalog.clearCache()
+    assert(RetrievalIndexOps.admitToRetrievalIndex(s, legacy, batch) === 2L)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$legacy/chunks")))
+  }
+
   test("maxsim_retrieval_lsh scores only bucket collisions, same kernel") {
     val brute = maxsimMirror()
     val lsh = RetrievalOps.maxsimRetrievalLsh(s, sf).collect()

@@ -54,7 +54,7 @@ BTOTALS=""
 for P in $(seq 1 "$BPASSES"); do
   echo "-- Bench sf0.1 (pass $P/$BPASSES)"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-    SPARK_GRAFT_BENCH_BUDGET="${SPARK_GRAFT_BENCH_BUDGET:-900}" \
+    SPARK_GRAFT_BENCH_BUDGET="${SPARK_GRAFT_BENCH_BUDGET:-1200}" \
     sbt -batch "runMain graft.Bench" \
     >"$OUT/bench$P.out" 2>"$OUT/bench$P.err" || FAIL="$FAIL bench$P"
   BENCH=$(grep -o '{"metric".*' "$OUT/bench$P.out" | tail -1)
