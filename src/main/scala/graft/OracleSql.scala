@@ -2031,6 +2031,46 @@ object OracleSql {
          |ORDER BY q_id, rnk""".stripMargin
     },
 
+    "ann_ivf_sq" -> {
+      // literal composition of the ann_ivf twin (unrolled coarse kmeans,
+      // exact-L2 probe choice with the (distance, cell) tie-break) and
+      // the ann_sq_topk twin (on-the-fly SQ8 decode, per-term-floored
+      // e12 cosine) — candidates restricted to the probed cells
+      import graft.operators.QuantOps.{SqDims, SqLevels}
+      val qm = graft.operators.SimilarityOps.QueryModulus
+      val km = kmeansCtes(16, 2, "TRUE", 1, 64, "iv")
+      val mnl = (1 to SqDims).map(i => s"MIN(CAST(embedding[$i] AS DOUBLE))")
+        .mkString("list_value(", ", ", ")")
+      val mxl = (1 to SqDims).map(i => s"MAX(CAST(embedding[$i] AS DOUBLE))")
+        .mkString("list_value(", ", ", ")")
+      s"""WITH $km,
+         |st AS (SELECT $mnl AS mn, $mxl AS mx FROM embeddings),
+         |rc AS (SELECT vec_id,
+         |  list_transform(generate_series(1,$SqDims), i -> CASE WHEN mx[i] > mn[i]
+         |    THEN mn[i] + CAST(CAST(FLOOR((CAST(embedding[i] AS DOUBLE)-mn[i])/(mx[i]-mn[i])*$SqLevels.0+0.5) AS BIGINT) AS DOUBLE)/$SqLevels.0*(mx[i]-mn[i])
+         |    ELSE mn[i] END) AS r
+         |  FROM embeddings CROSS JOIN st),
+         |rcn AS (SELECT vec_id, r, CAST(list_sum(list_transform(generate_series(1,$SqDims), i ->
+         |    CAST(FLOOR(r[i]*r[i]*1000000000000.0+0.5) AS BIGINT))) AS BIGINT) AS rn2 FROM rc),
+         |q AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS qn
+         |  FROM embeddings WHERE vec_id % $qm = 0),
+         |pc AS (SELECT e.vec_id AS q_id, p.cluster AS cell, ${kmDist("e.v", "p.c")} AS cd
+         |  FROM ive e CROSS JOIN ivc2 p WHERE e.vec_id % $qm = 0),
+         |probed AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY cd, cell) AS rn FROM pc) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id AS n_id FROM probed p
+         |  JOIN ivaf a ON a.cluster = p.cell AND a.vec_id <> p.q_id),
+         |pd AS (SELECT c.q_id, c.n_id,
+         |  CAST(list_sum(list_transform(generate_series(1,$SqDims), i ->
+         |    CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)*nn.r[i]*1000000000000.0+0.5) AS BIGINT))) AS BIGINT) AS dt,
+         |  q.qn, nn.rn2
+         |  FROM cand c JOIN q ON q.vec_id = c.q_id JOIN rcn nn ON nn.vec_id = c.n_id),
+         |sc AS (SELECT q_id, n_id, ${cosSim("dt", "qn", "rn2")} AS cos_sim FROM pd),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk FROM sc)
+         |SELECT q_id, n_id, cos_sim, rnk FROM rk WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
     "ann_index_stats" -> {
       // full-corpus index twin (same unrolled trainers as ann_ivf_pq),
       // aggregated to the per-cell health panel
@@ -2413,6 +2453,77 @@ object OracleSql {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
          |  node // 2 AS key, pr AS rank_e12
          |FROM r${graft.operators.GraphOps.PRIterations} ORDER BY node_id""".stripMargin
+    },
+
+    // min-label closure as a recursive CTE: min reachable id over the
+    // symmetric edge set == the component min that Spark's pointer-
+    // jumping converges to (a min is iteration-order-free, so the two
+    // very different algorithms share one fixed point). The CTE is
+    // O(component²) pairs — fine at the check SFs, which is exactly why
+    // the Spark side is the 100 TB path and this is only the oracle.
+    "graph_components" ->
+      """WITH RECURSIVE p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+        |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+        |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+        |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
+        |  FROM comp GROUP BY 1)
+        |SELECT c.node AS node_id,
+        |  CASE WHEN c.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |  c.node // 2 AS key, c.component, s.component_size
+        |FROM comp c JOIN sz s USING (component) ORDER BY node_id""".stripMargin,
+
+    // textbook id-canonical 3-way self-join (each triangle a<b<c found
+    // once) — no orientation needed here; hash equality against the
+    // degree-oriented Spark plan is the point of the twin
+    "graph_triangles" -> {
+      val m = graft.operators.GraphOps.SuppMinCoOrders
+      s"""WITH os AS (SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a.sk AS u, b.sk AS v FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $m),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+         |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+         |  JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM
+         |  (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+         |  GROUP BY 1)
+         |SELECT d.node AS suppkey, d.degree,
+         |  COALESCE(pn.triangles, 0) AS triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN (2 * COALESCE(pn.triangles, 0) * 1000000) // (d.degree * (d.degree - 1))
+         |    ELSE 0 END AS clustering_e6
+         |FROM deg d LEFT JOIN pn ON pn.node = d.node ORDER BY suppkey""".stripMargin
+    },
+
+    // synchronous LPA unrolled (the graph_pagerank trick): per round,
+    // neighbor-label votes -> (votes DESC, label ASC) argmax per node —
+    // both total-ordered, so the rounds are hash-exact cross-engine
+    "graph_label_prop" -> {
+      val m = graft.operators.GraphOps.SuppMinCoOrders
+      val rounds = graft.operators.GraphOps.LpaRounds
+      val steps = (1 to rounds).map { k =>
+        s"""v$k AS (SELECT e.src AS node, r.lbl, CAST(COUNT(*) AS BIGINT) AS votes
+           |  FROM r${k - 1} r JOIN edges e ON r.node = e.dst GROUP BY 1, 2),
+           |r$k AS (SELECT node, lbl FROM (SELECT *, row_number() OVER
+           |  (PARTITION BY node ORDER BY votes DESC, lbl) AS rn FROM v$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH os AS (SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |pr AS (SELECT a.sk AS u, b.sk AS v FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $m),
+         |edges AS (SELECT u AS src, v AS dst FROM pr UNION ALL SELECT v, u FROM pr),
+         |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |$steps,
+         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+         |  FROM r$rounds GROUP BY 1)
+         |SELECT r.node AS suppkey, r.lbl AS community, s.community_size
+         |FROM r$rounds r JOIN sz s USING (lbl) ORDER BY suppkey""".stripMargin
     },
 
     "target_affinity" -> {

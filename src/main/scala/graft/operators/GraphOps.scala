@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -92,6 +93,189 @@ object GraphOps {
         expr("node div 2").as("key"),
         col("pr").cast("long").as("rank_e12"))
       .orderBy("node_id")
+  }
+
+  /** graph_components — connected components over the same customer–
+    * supplier co-purchase graph as [[graphPagerank]] (node packing 2c /
+    * 2s+1 mirrored in the oracle). The label algorithm is the shared
+    * [[DedupOps.connectedComponents]] pointer-jumping min-label closure —
+    * the EXACT machinery dedup_clusters runs over near-dup pairs, here
+    * exposed as a first-class graph key so entity-graph partitioning
+    * (shard-by-component, the GraphFrames/ConnectedComponents production
+    * use) is oracle-checkable: labels converge to the component MIN id,
+    * which a DuckDB recursive CTE (min reachable id over the symmetric
+    * edge set) reproduces exactly — iteration order cannot perturb a min.
+    *
+    * Scale shape: edge generation is one equi-join + one DISTINCT (same
+    * persisted frame as pagerank); CC is O(log diameter) rounds of
+    * join+groupBy with per-round localCheckpoint; the size annotation is
+    * ONE window over the component key. Nothing is O(component²) — the
+    * recursive oracle is, which is exactly why the oracle stays at the
+    * check SFs while this plan is the 100 TB path. */
+  def graphComponents(s: SparkSession, dir: String): DataFrame =
+    graphComponentsFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Core on any lineitem/orders-shaped frames (ScaleProbe entry point). */
+  def graphComponentsFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_suppkey")
+    val ord = orders.select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey") * 2).as("doc_a"),
+        (col("l_suppkey") * 2 + 1).as("doc_b"))
+      .distinct()
+    val labels = DedupOps.connectedComponents(pairs)
+    labels
+      .select(col("id").as("node_id"), col("label").as("component"))
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .select(col("node_id"),
+        when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node_id div 2").as("key"),
+        col("component"), col("component_size"))
+      .orderBy("node_id")
+  }
+
+  /** Supplier co-supply graph shared by [[graphTriangles]] and
+    * [[graphLabelProp]]: an undirected edge links two suppliers that
+    * appear together on at least this many orders. The threshold is a
+    * backbone filter — raw co-occurrence on a hub-heavy fact table
+    * densifies toward a complete graph, and thresholding by tie strength
+    * is how production entity graphs (co-citation, co-purchase) keep the
+    * edge set proportional to genuine affinity rather than corpus size. */
+  val SuppMinCoOrders = 3
+
+  /** Canonical (u < v) thresholded supplier co-order edges with their
+    * co-order count. ONE self-equi-join on the order key (bucketable)
+    * followed by one partial-agg shuffle on the pair — never a supplier×
+    * supplier cross. */
+  private[operators] def supplierEdges(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val os = lineitem.select("l_orderkey", "l_suppkey")
+      .join(orders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    os.as("a").join(os.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("n_coorders"))
+      .filter(col("n_coorders") >= SuppMinCoOrders)
+      .select("u", "v")
+  }
+
+  /** graph_triangles — per-node triangle count + local clustering
+    * coefficient over the thresholded supplier co-supply graph, by
+    * DEGREE-ORIENTED wedge counting (Cohen / Suri–Vassilvitskii): orient
+    * every edge from its (degree, id)-smaller endpoint to the larger,
+    * enumerate wedges only at each edge's SOURCE, and close them against
+    * the oriented edge set. Orientation is the whole scale story: raw
+    * wedge counting pays Σ deg(v)² — quadratic in the hub degree — while
+    * oriented out-degrees are bounded by O(√m), so wedge volume is
+    * O(m^1.5) worst-case and each triangle is found exactly once. The
+    * oracle needs no orientation (id-canonical 3-way self-join finds the
+    * same set once), so hash equality checks the optimized plan against
+    * the textbook definition cross-engine.
+    *
+    * clustering_e6 = (2·T·1e6) div (d·(d−1)) — exact integer arithmetic,
+    * no float accumulation anywhere in the key. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graphTrianglesFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Core on any lineitem/orders-shaped frames (ScaleProbe entry point). */
+  def graphTrianglesFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val e = supplierEdges(lineitem, orders)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): the total order every endpoint agrees on;
+    // dord carries the DESTINATION's rank so the wedge join can demand
+    // ord(b) < ord(c) without re-joining degrees
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), Seq("v"))
+    val aLtB = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val eo = withDeg.select(
+        when(aLtB, col("u")).otherwise(col("v")).as("src"),
+        when(aLtB, col("v")).otherwise(col("u")).as("dst"),
+        when(aLtB, struct(col("dv").as("d"), col("v").as("n")))
+          .otherwise(struct(col("du").as("d"), col("u").as("n"))).as("dord"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = eo.as("x").join(eo.as("y"),
+        col("x.src") === col("y.src") && col("x.dord") < col("y.dord"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges.join(
+        eo.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("suppkey"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_e6",
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy("suppkey")
+  }
+
+  /** Synchronous label-propagation rounds — fixed count, part of the
+    * operator contract exactly like [[PRIterations]]: the oracle unrolls
+    * the same rounds, so community labels are hash-exact cross-engine. */
+  val LpaRounds = 3
+
+  /** graph_label_prop — community detection by synchronous label
+    * propagation over the thresholded supplier co-supply graph: every
+    * node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by MIN label — both choices total-ordered, so
+    * the rounds are deterministic (asynchronous LPA is famously not; the
+    * synchronous min-tie-break variant is the one a reproducible pipeline
+    * can ship). After [[LpaRounds]] rounds the label is the community id.
+    *
+    * Scale shape per round: one edges⋈labels equi-join, one (node, label)
+    * partial-agg, one node-keyed window for the (count desc, label asc)
+    * argmax — all shuffles on the node id, label state O(nodes), frame
+    * localCheckpointed per round (the [[pagerankOnEdges]] lineage
+    * lesson). */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame =
+    graphLabelPropFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Core on any lineitem/orders-shaped frames (ScaleProbe entry point). */
+  def graphLabelPropFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val e = supplierEdges(lineitem, orders)
+    labelPropOnEdges(e, LpaRounds)
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("community")))
+      .select(col("node").as("suppkey"), col("community"), col("community_size"))
+      .orderBy("suppkey")
+  }
+
+  /** Synchronous LPA core over canonical (u, v) undirected edges; returns
+    * (node, community). Exposed for spec-level planted-community graphs. */
+  def labelPropOnEdges(edges: DataFrame, rounds: Int): DataFrame = {
+    val adj = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    val w = Window.partitionBy("node")
+      .orderBy(col("votes").desc, col("label"))
+    var i = 0
+    while (i < rounds) {
+      val next = adj
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+      labels = if (i == rounds - 1) next else next.localCheckpoint()
+      i += 1
+    }
+    adj.unpersist()
+    labels.withColumnRenamed("label", "community")
   }
 
   /** Power iteration in e12 fixed point over an explicit (src, dst) edge

@@ -110,12 +110,19 @@ object QuantOps {
 
   /** Core on any (vec_id, embedding) frame (ScaleProbe's grown-corpus
     * recall/wall probe). */
-  def annSqTopkFrom(e: DataFrame, k: Int = 5): DataFrame = {
-    val decoded = withStats(e)
+  /** Decoded SQ8 corpus — (vec_id, r, rn2): reconstruction vector plus
+    * its exact-integer e12 norm. Decode happens ONCE per corpus vector
+    * (O(corpus), never O(corpus × queries)); shared by [[annSqTopkFrom]]
+    * and the IVF-SQ composition [[annIvfSqFrom]]. */
+  private[operators] def decodedCorpus(e: DataFrame): DataFrame =
+    withStats(e)
       .select(col("vec_id"), rArr(qArr).as("r"))
       .select(col("vec_id"), col("r"),
         lsum(transform(col("r"), v =>
           floor(v * v * lit(1e12) + lit(0.5)))).as("rn2"))
+
+  def annSqTopkFrom(e: DataFrame, k: Int = 5): DataFrame = {
+    val decoded = decodedCorpus(e)
     val q = e.filter(SimilarityOps.isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normE12(col("embedding")).as("qn"))
@@ -124,6 +131,64 @@ object QuantOps {
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     decoded
       .join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot.cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("rn2").cast("double"))))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** #30z ann_ivf_sq — the production composition that completes the
+    * quantization matrix (flat SQ8 = ann_sq_topk, trained PQ = ann_pq,
+    * IVF+PQ = ann_ivf_pq): an IVF coarse quantizer restricts each query
+    * to its nprobe nearest cells, and INSIDE the probed cells the corpus
+    * side is the SQ8-decoded reconstruction, not the raw floats — the
+    * cell join prunes candidates (cells ≈ √corpus at scale, the ann_ivf
+    * sizing rule) while SQ8 cuts the per-candidate read to 8-bit codes
+    * (4× less IO than float32). Training cost is the coarse quantizer
+    * only — no PQ codebooks — which is why IVF-SQ is what stores ship
+    * when recall at 8-bit resolution suffices (ann_sq_topk's ScaleProbe
+    * measured 0.98–1.00 vs exact at 64 dims).
+    *
+    * Determinism: the cell path is ann_ivf's exact-integer kmeans +
+    * (distance, cell) probe tie-break; the scoring kernel is
+    * ann_sq_topk's per-term-floored e12 cosine — both already
+    * oracle-twinned, so this key's twin is their literal composition. */
+  def annIvfSq(s: SparkSession, dir: String, k: Int = 5, cells: Int = 16,
+      nprobe: Int = 2, rounds: Int = 2): DataFrame =
+    annIvfSqFrom(Tables.embeddings(s, dir), k, cells, nprobe, rounds)
+
+  /** Core on any (vec_id, embedding) frame (ScaleProbe entry point).
+    * Cache contract: persists the quantized training frame until the
+    * result is consumed (callers clearCache() per query, as Verify/Bench
+    * do). */
+  def annIvfSqFrom(emb: DataFrame, k: Int = 5, cells: Int = 16,
+      nprobe: Int = 2, rounds: Int = 2): DataFrame = {
+    val q = ClusterOps.quantized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = ClusterOps.kmeansCentroids(q, cells, rounds).localCheckpoint()
+    val cellOf = ClusterOps.assign(q, cent)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val corpus = decodedCorpus(emb).join(cellOf, "vec_id")
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
+    val probes = q.filter(SimilarityOps.isQuery(col("vec_id")))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
+        ClusterOps.dist2(col("v"), col("c")).as("cd"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "cell")
+    val qe = emb.filter(SimilarityOps.isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normE12(col("embedding")).as("qn"))
+      .join(probes, "q_id")
+    val dot = lsum(zip_with(col("q_emb"), col("r"), (a, b) =>
+      floor(a.cast("double") * b * lit(1e12) + lit(0.5))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.join(broadcast(qe), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot.cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("rn2").cast("double"))))
