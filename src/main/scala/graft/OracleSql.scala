@@ -1288,6 +1288,35 @@ object OracleSql {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
 
+    // one-pass pairwise Pearson matrix: every sum/square/cross moment in
+    // ONE aggregate row (HUGEINT vs Spark's decimal(38,0) — both exact),
+    // then a C(C,2)-branch union over that single row
+    "corr_matrix" -> {
+      val ms = graft.operators.CoreOps.CorrMeasures
+      val sums = ms.map { case (n, c) =>
+        s"SUM(CAST(${e2(c)} AS HUGEINT)) AS s_$n,\n  SUM(CAST(${e2(c)} AS HUGEINT)*${e2(c)}) AS ss_$n"
+      }.mkString(",\n  ")
+      val pairs = for {
+        (i, (nx, cx)) <- ms.zipWithIndex.map(_.swap)
+        (ny, cy) <- ms.drop(i + 1)
+      } yield (nx, cx, ny, cy)
+      val crosses = pairs.map { case (nx, cx, ny, cy) =>
+        s"SUM(CAST(${e2(cx)} AS HUGEINT)*${e2(cy)}) AS sp_${nx}_$ny"
+      }.mkString(",\n  ")
+      val branches = pairs.map { case (nx, _, ny, _) =>
+        s"""SELECT '$nx' AS x, '$ny' AS y, n,
+           |  CAST(n*sp_${nx}_$ny - s_$nx*s_$ny AS DOUBLE) /
+           |  (sqrt(CAST(n*ss_$nx - s_$nx*s_$nx AS DOUBLE)) * sqrt(CAST(n*ss_$ny - s_$ny*s_$ny AS DOUBLE))) AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  $sums,
+         |  $crosses
+         |FROM lineitem)
+         |$branches
+         |ORDER BY x, y""".stripMargin
+    },
+
     "corr_agg" -> {
       val xc = e2("l_quantity")
       val yc = e2("l_extendedprice")
@@ -2524,6 +2553,25 @@ object OracleSql {
          |  FROM r$rounds GROUP BY 1)
          |SELECT r.node AS suppkey, r.lbl AS community, s.community_size
          |FROM r$rounds r JOIN sz s USING (lbl) ORDER BY suppkey""".stripMargin
+    },
+
+    // recursive BFS walk from the min node id, UNION-distinct on
+    // (node, d) and depth-capped at the SAME BfsMaxDepth constant the
+    // Spark loop stops at — min over the walk == frontier BFS level
+    "graph_bfs" -> {
+      val cap = graft.operators.GraphOps.BfsMaxDepth
+      s"""WITH RECURSIVE p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+         |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+         |walk(node, d) AS (
+         |  SELECT MIN(src), 0 FROM edges
+         |  UNION
+         |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON w.node = e.src
+         |  WHERE w.d < $cap)
+         |SELECT node AS node_id,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |  node // 2 AS key, CAST(MIN(d) AS BIGINT) AS dist
+         |FROM walk GROUP BY node ORDER BY node_id""".stripMargin
     },
 
     "target_affinity" -> {

@@ -211,7 +211,16 @@ object ScaleProbe {
     val maxOrd = ordBase.agg(max("o_orderkey")).head().getLong(0) + 1
     val maxCust = ordBase.agg(max("o_custkey")).head().getLong(0) + 1
     val maxSupp = liBase.agg(max("l_suppkey")).head().getLong(0) + 1
-    for (k <- Seq(1, 4, factor) if only.forall(_.contains("graph_pagerank"))) {
+    // The whole graph family rides the same disjoint growth: components/
+    // LPA/triangle structure repeats per replica, so output rows must grow
+    // EXACTLY kx and CC/LPA round counts stay constant (diameter is
+    // per-replica). graph_bfs is the exception BY DESIGN: its output is
+    // the SOURCE's component only, so rows must stay ~FLAT while the
+    // corpus grows kx — BFS cost is component-bounded, not corpus-bounded
+    // (only the one-off edge build scans the grown fact).
+    val graphProbes = Set("graph_pagerank", "graph_components",
+      "graph_triangles", "graph_label_prop", "graph_bfs")
+    for (k <- Seq(1, 4, factor) if only.forall(_.exists(graphProbes))) {
       val li = (0 until k).map(i => liBase
         .withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrd))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * maxSupp)))
@@ -221,6 +230,14 @@ object ScaleProbe {
         .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust)))
         .reduce(_ unionByName _)
       time("graph_pagerank", k, graft.operators.GraphOps.graphPagerankFrames(li, ord))
+      spark.catalog.clearCache()
+      time("graph_components", k, graft.operators.GraphOps.graphComponentsFrames(li, ord))
+      spark.catalog.clearCache()
+      time("graph_triangles", k, graft.operators.GraphOps.graphTrianglesFrames(li, ord))
+      spark.catalog.clearCache()
+      time("graph_label_prop", k, graft.operators.GraphOps.graphLabelPropFrames(li, ord))
+      spark.catalog.clearCache()
+      time("graph_bfs", k, graft.operators.GraphOps.graphBfsFrames(li, ord))
       spark.catalog.clearCache()
     }
 

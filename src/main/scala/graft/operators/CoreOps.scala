@@ -285,6 +285,54 @@ object CoreOps {
       .orderBy("l_returnflag")
   }
 
+  /** #19d2 corr_matrix — the FULL pairwise Pearson matrix over the
+    * lineitem measures in ONE scan: every per-column sum, square-sum,
+    * and cross-sum rides a single partial aggregate (map-side combine →
+    * one 1-row reduce), so profiling C columns costs one pass regardless
+    * of C(C,2) pairs — the feature-correlation panel a 100 TB training
+    * pipeline runs before feature selection, where "one pass" vs "one
+    * pass per pair" is the whole game. Moments are exact integers on
+    * cents ([[corrAgg]]'s determinism recipe, decimal(38,0) against the
+    * oracle's HUGEINT); the pair explosion afterwards is a union of
+    * selects over the single aggregate row — free. */
+  /** The profiled measure columns (name → lineitem column) — OracleSql
+    * interpolates this list so the twin can't drift from the operator. */
+  val CorrMeasures: Seq[(String, String)] = Seq(
+    "quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+    "discount" -> "l_discount", "tax" -> "l_tax")
+
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cents = CorrMeasures.map { case (n, c) =>
+      n -> Det.e2(col(c)).cast("decimal(38,0)") }
+    val pairCols = for {
+      (i, (nx, cx)) <- cents.zipWithIndex.map(_.swap)
+      (ny, cy) <- cents.drop(i + 1)
+    } yield (nx, ny)
+    val aggs =
+      cents.map { case (n, c) => sum(c).as(s"s_$n") } ++
+      cents.map { case (n, c) => sum(c * c).as(s"ss_$n") } ++
+      (for {
+        (i, (nx, cx)) <- cents.zipWithIndex.map(_.swap)
+        (ny, cy) <- cents.drop(i + 1)
+      } yield sum(cx * cy).as(s"sp_${nx}_$ny"))
+    // materialize the 1-row moment frame ONCE — the pair branches below
+    // each select from it, and without this the union would re-run the
+    // full scan per branch
+    val m = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .localCheckpoint()
+    pairCols.map { case (nx, ny) =>
+      m.select(lit(nx).as("x"), lit(ny).as("y"), col("n"),
+        ((col("n") * col(s"sp_${nx}_$ny") - col(s"s_$nx") * col(s"s_$ny"))
+          .cast("double") /
+          (sqrt((col("n") * col(s"ss_$nx") - col(s"s_$nx") * col(s"s_$nx"))
+            .cast("double")) *
+            sqrt((col("n") * col(s"ss_$ny") - col(s"s_$ny") * col(s"s_$ny"))
+              .cast("double")))).as("corr"))
+    }.reduce(_ unionByName _)
+      .orderBy("x", "y")
+  }
+
   /** #19e2 outliers — per-group z-score outlier detection (|z| > 3 order
     * totals within their priority class): group moments come from exact
     * integer sums (as in [[corrAgg]]) broadcast back onto the fact rows,

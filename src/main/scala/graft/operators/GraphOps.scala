@@ -220,6 +220,78 @@ object GraphOps {
       .orderBy("suppkey")
   }
 
+  /** BFS depth cap — part of the operator contract (the oracle's
+    * recursive walk caps at the same depth, so both sides compute
+    * "dist ≤ BfsMaxDepth over the source's component"). Co-occurrence
+    * graphs have tiny diameters (hub suppliers keep it ≤ ~6); the cap
+    * exists so a pathological chain can't run the loop unbounded. */
+  val BfsMaxDepth = 32
+
+  /** graph_bfs — single-source shortest hop distances over the
+    * co-purchase graph, source = the MIN node id (deterministic, derived
+    * from the data — no parameter to drift between engines). The output
+    * is the source's component annotated with BFS level: the
+    * "distance-from-seed" primitive crawl frontiers and influence
+    * propagation use. Min-distance is iteration-order-free, so the
+    * frontier-at-a-time Spark loop and the oracle's recursive walk
+    * (UNION-distinct on (node, d), depth-capped) share one fixed point.
+    *
+    * Scale shape per round: frontier ⋈ adjacency equi-join + DISTINCT +
+    * anti-join against visited — all keyed on the node id, frontier
+    * state O(component width), rounds = component diameter. The visited
+    * frame localCheckpoints per round (iterated-lineage lesson); the
+    * empty-frontier test is `isEmpty` (a limit-1 job, never a collect). */
+  def graphBfs(s: SparkSession, dir: String): DataFrame =
+    graphBfsFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Core on any lineitem/orders-shaped frames (ScaleProbe entry point). */
+  def graphBfsFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_suppkey")
+    val ord = orders.select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    bfsOnEdges(edges)
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("key"),
+        col("dist"))
+      .orderBy("node_id")
+  }
+
+  /** Frontier-at-a-time BFS from the min node id over a symmetric
+    * (src, dst) edge frame; returns (node, dist) for the source's
+    * component up to [[BfsMaxDepth]]. */
+  def bfsOnEdges(edges: DataFrame): DataFrame = {
+    val adj = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val src0 = adj.agg(min("src")).head().getLong(0)
+    val sp = adj.sparkSession
+    import sp.implicits._
+    var visited = Seq((src0, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = visited.select("node")
+    var d = 0L
+    var done = false
+    while (!done && d < BfsMaxDepth) {
+      val next = adj.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d + 1L))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next.select("node")
+        d += 1
+      }
+    }
+    adj.unpersist()
+    visited
+  }
+
   /** Synchronous label-propagation rounds — fixed count, part of the
     * operator contract exactly like [[PRIterations]]: the oracle unrolls
     * the same rounds, so community labels are hash-exact cross-engine. */

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{GraphOps, QuantOps}
+import graft.operators.{CoreOps, GraphOps, QuantOps}
 
 /** Round 11 graph-analytics family (components / triangles / label
   * propagation) + the IVF-SQ quantization composition. Planted-graph
@@ -141,6 +141,97 @@ class Round11cOpsSpec extends AnyFunSuite {
     out.groupBy(_._2).foreach { case (comm, members) =>
       assert(nodes.contains(comm)) // labels propagate only existing node ids
       assert(members.forall(_._3 === members.size))
+    }
+  }
+
+  test("graph_triangles: a 5000-leaf star cannot trigger the hub wedge blowup") {
+    // unoriented wedge counting at the hub would enumerate C(5000,2) ≈
+    // 12.5M wedges; degree orientation sources every edge at a LEAF
+    // (out-degree 1) and the hub sources none — the op must return
+    // instantly with zero triangles and the hub's full degree
+    val spark = s; import spark.implicits._
+    val n = 5000
+    // leaves co-occur with the hub supplier on SuppMinCoOrders orders each
+    val ord = (1L to (n.toLong * GraphOps.SuppMinCoOrders))
+      .map(k => (k, 1L)).toDF("o_orderkey", "o_custkey")
+    val li = (0 until n).flatMap { leaf =>
+      (1 to GraphOps.SuppMinCoOrders).map { r =>
+        val ok = (leaf * GraphOps.SuppMinCoOrders + r).toLong
+        Seq((ok, 0L), (ok, (leaf + 1).toLong))
+      }.flatten
+    }.toDF("l_orderkey", "l_suppkey")
+    val t0 = System.nanoTime()
+    val out = GraphOps.graphTrianglesFrames(li, ord).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val hub = out.find(_.getLong(0) == 0L).get
+    assert(hub.getLong(1) === n.toLong) // hub degree = all leaves
+    assert(out.forall(_.getLong(2) === 0L)) // zero triangles anywhere
+    assert(out.length === n + 1)
+    assert(wall < 60.0, s"star graph took $wall s — hub wedge blowup?")
+  }
+
+  test("graph_bfs: planted path graph gets exact levels from the min node") {
+    // chain c1(2)–s1(3)–c2(4)–s2(5)–c3(6): BFS from node 2
+    val ord = ordersOf(Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L)))
+    val li = lineitemOf(Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)))
+    val out = GraphOps.graphBfsFrames(li, ord).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L))
+  }
+
+  test("graph_bfs keyed run matches a driver-side BFS replay") {
+    val out = GraphOps.graphBfs(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.nonEmpty)
+    val li = Tables.lineitem(s, sf).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, sf).select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    val src = adj.keys.min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = List(src)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+      val d = dist.values.max + 1
+      frontier.foreach(n => dist(n) = d)
+    }
+    assert(out === dist.toMap)
+  }
+
+  test("corr_matrix: one row per ordered pair, values match an exact-integer replay") {
+    val out = CoreOps.corrMatrix(s, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val names = CoreOps.CorrMeasures.map(_._1)
+    val expectedPairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    assert(out.keySet === expectedPairs.toSet)
+    // exact-integer replay on collected cents
+    val rows = Tables.lineitem(s, sf)
+      .select(CoreOps.CorrMeasures.map { case (_, c) =>
+        (col(c) * 100).cast("long").as(c) }: _*)
+      .collect()
+    val cols = names.indices.map(i => rows.map(r => BigInt(r.getLong(i))))
+    val n = BigInt(rows.length)
+    out.foreach { case ((x, y), (cnt, corr)) =>
+      assert(cnt === rows.length.toLong)
+      val (ix, iy) = (names.indexOf(x), names.indexOf(y))
+      val (sx, sy) = (cols(ix).sum, cols(iy).sum)
+      val sxx = cols(ix).map(v => v * v).sum
+      val syy = cols(iy).map(v => v * v).sum
+      val sxy = cols(ix).zip(cols(iy)).map { case (a, b) => a * b }.sum
+      val expected = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      // decimal(38,0)→double happens at a different point than
+      // BigInt→double here; 1e-6 on a [-1,1] scale pins the replay while
+      // the DuckDB twin (HUGEINT, same association) pins bit-exactness
+      assert(math.abs(corr - expected) < 1e-6, s"corr($x,$y)")
+      assert(math.abs(corr) <= 1.0 + 1e-12)
     }
   }
 
