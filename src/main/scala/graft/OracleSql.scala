@@ -453,6 +453,26 @@ object OracleSql {
     sb.toString
   }
 
+  /** Full-recompute CC twin (recursive min-label closure over the
+    * symmetric co-purchase edges) — shared verbatim by `graph_components`
+    * and `graph_components_incremental`: the incremental path's contract
+    * is "equals a full rebuild". */
+  private val graphComponentsSql =
+    """WITH RECURSIVE p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+      |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+      |reach(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+      |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+      |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
+      |  FROM comp GROUP BY 1)
+      |SELECT c.node AS node_id,
+      |  CASE WHEN c.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+      |  c.node // 2 AS key, c.component, s.component_size
+      |FROM comp c JOIN sz s USING (component) ORDER BY node_id""".stripMargin
+
   /** The unrolled IVF-PQ twin (coarse + M subspace kmeans instances in
     * one WITH) — shared verbatim by `ann_ivf_pq` (in-query training) and
     * `ann_index_probe` (the landed-index read path): the two Spark
@@ -2490,21 +2510,14 @@ object OracleSql {
     // very different algorithms share one fixed point). The CTE is
     // O(component²) pairs — fine at the check SFs, which is exactly why
     // the Spark side is the 100 TB path and this is only the oracle.
-    "graph_components" ->
-      """WITH RECURSIVE p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
-        |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
-        |reach(node, lbl) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
-        |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
-        |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
-        |  FROM comp GROUP BY 1)
-        |SELECT c.node AS node_id,
-        |  CASE WHEN c.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
-        |  c.node // 2 AS key, c.component, s.component_size
-        |FROM comp c JOIN sz s USING (component) ORDER BY node_id""".stripMargin,
+    "graph_components" -> graphComponentsSql,
+
+    // the incremental key's contract IS "equals a full rebuild": landed
+    // labels are component minima, so contracting a batch against them
+    // and re-labeling only the touched components reaches the same
+    // min-id fixed point — one oracle covers both paths verbatim (the
+    // ann_index_probe / annIvfPqSql sharing pattern)
+    "graph_components_incremental" -> graphComponentsSql,
 
     // textbook id-canonical 3-way self-join (each triangle a<b<c found
     // once) — no orientation needed here; hash equality against the

@@ -437,6 +437,55 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming GRAPH-LABEL ingestion — the stream twin of
+    * [[graft.operators.GraphOps.incrementalComponents]], extending the
+    * streaming-admission family to graph state: each micro-batch of
+    * (doc_a, doc_b) edges folds into the landed (id, label) table by
+    * CONTRACTION — batch endpoints map to their landed labels, CC runs
+    * only on that batch-bounded contracted graph, and the merge mapping
+    * rewrites just the touched components. The landed labels stay equal
+    * to a full CC over every edge ever delivered (labels are component
+    * minima, an iteration-order-free fixed point), so replaying a batch
+    * is a no-op BY CONSTRUCTION: its edges contract to equal labels and
+    * vanish — idempotence from the fixed point, not bookkeeping.
+    * Stream state: zero; store state: O(nodes), rewritten via the
+    * write-tmp-then-swap of compactLeaf (SINGLE WRITER during the swap,
+    * same contract as compaction). */
+  def landGraphAdmissionStream(edges: DataFrame, baseDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitGraphBatch(batch, batchId, baseDir)
+      }
+      .start()
+
+  /** One micro-batch of [[landGraphAdmissionStream]], exposed so the
+    * replay contract is directly testable. */
+  def admitGraphBatch(batch: DataFrame, batchId: Long, baseDir: String): Unit = {
+    val s = batch.sparkSession
+    val labelsPath = s"$baseDir/labels"
+    val labels0 =
+      if (new java.io.File(labelsPath).exists()) s.read.parquet(labelsPath)
+      else s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, label BIGINT"))
+    // materialize the fold fully BEFORE touching the store (the result
+    // reads labelsPath — an in-place overwrite would read-under-write)
+    val next = graft.operators.GraphOps
+      .foldIntoLabels(labels0, batch.select("doc_a", "doc_b"))
+      .localCheckpoint()
+    val tmp = s"$baseDir/labels_tmp_$batchId"
+    next.write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(labelsPath)
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new IllegalStateException(s"label swap failed: $tmp -> $labelsPath")
+    s.catalog.clearCache()
+  }
+
   /** Streaming heavy hitters, landing side: each micro-batch lands its
     * own Misra–Gries candidate summary as (tok, w) rows plus the batch
     * token count. Soundness of the union: a token with global frequency

@@ -144,6 +144,58 @@ class Round11cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental components: batch bridges corpus components and adds a new island") {
+    val spark = s; import spark.implicits._
+    val corpus = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val batch = Seq((2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = GraphOps.incrementalComponents(corpus, batch).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // contract: equals a full rebuild over corpus ∪ batch
+    val full = graft.operators.DedupOps
+      .connectedComponents(corpus.unionByName(batch)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === full)
+  }
+
+  test("graph_components_incremental keyed run equals the full-rebuild key row for row") {
+    val incr = GraphOps.graphComponentsIncremental(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val full = GraphOps.graphComponents(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(incr.nonEmpty)
+    assert(incr.toSeq === full.toSeq)
+  }
+
+  test("graph admission stream: batches fold into landed labels; replay is a no-op") {
+    val spark = s; import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graph_admit").toString
+    val input = MemoryStream[(Long, Long)](s)
+    val q = graft.streaming.EventStreams.landGraphAdmissionStream(
+      input.toDF().toDF("doc_a", "doc_b"), dir)
+    // batch 0 bootstraps an empty store; batch 1 bridges + adds an island
+    input.addData((1L, 2L), (3L, 4L)); q.processAllAvailable()
+    input.addData((2L, 3L), (10L, 11L)); q.processAllAvailable()
+    val landed = s.read.parquet(s"$dir/labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(landed === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    q.stop()
+    // replaying an already-folded batch must change nothing
+    graft.streaming.EventStreams.admitGraphBatch(
+      Seq((2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"), 99L, dir)
+    val replayed = s.read.parquet(s"$dir/labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed === landed)
+    // and the landed table equals a full CC over every edge ever delivered
+    val full = graft.operators.DedupOps.connectedComponents(
+      Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed === full)
+  }
+
   test("graph_triangles: a 5000-leaf star cannot trigger the hub wedge blowup") {
     // unoriented wedge counting at the hub would enumerate C(5000,2) ≈
     // 12.5M wedges; degree orientation sources every edge at a LEAF
