@@ -54,7 +54,7 @@ object Bench {
       "retrieval_index_probe_admitted", "retrieval_index_probe_compacted",
       "retrieval_index_stats", "retrieval_index_probe_maxsim", "doc_neighbors_ivf",
       "ann_index_probe_compacted", "bigram_lm_score",
-      "bpe_tokens", "bpe_merges", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
+      "bpe_tokens", "bpe_merges", "wordpiece_tokens", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
       "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text", "dedup_report",
       "embedding_pq", "ann_pq", "ann_ivf_pq",
       "repeated_spans", "steam_pipeline", "zorder_layout", "dedup_minhash_verified",

@@ -2874,6 +2874,52 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // Greedy MaxMatch vs the BPE fold under one learned vocabulary. The
+    // greedy step table `stp` is precomputed OUTSIDE the recursion — per
+    // (word, position), the cursor advance = length of the LONGEST vocab
+    // token matching there (MAX over a plain LEFT JOIN; equal-length
+    // matches are the same substring, so the max is unique), falling
+    // back to 1 char. A matched token can never overshoot the word
+    // (substr(w,pos,len)=t forces t to fit the remainder), so the walk
+    // terminates at exactly pos = length(w)+1, which has no step row.
+    // The recursion itself is join-only: a correlated aggregate inside a
+    // recursive CTE mis-evaluates in DuckDB (observed nondeterministic),
+    // the same reason graphComponentsSql recurses over joins.
+    "wordpiece_tokens" -> {
+      val n = graft.operators.TokenizerOps.NumMerges
+      val mu = (0 until n).map(r => s"SELECT l, r2 FROM m$r")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH RECURSIVE ${bpeCtes(n)},
+         |vocab AS MATERIALIZED (
+         |  SELECT DISTINCT l || r2 AS t FROM ($mu)
+         |  UNION
+         |  SELECT DISTINCT w[ci] AS t FROM wf,
+         |    UNNEST(range(1, length(w)+1)) AS u(ci)),
+         |stp AS MATERIALIZED (SELECT p.w, p.pos,
+         |  COALESCE(MAX(length(v.t)), 1) AS adv
+         |  FROM (SELECT w, ci AS pos FROM wf,
+         |    UNNEST(range(1, length(w)+1)) AS u(ci)) p
+         |  LEFT JOIN vocab v ON v.t = substr(p.w, CAST(p.pos AS INT), length(v.t))
+         |  GROUP BY p.w, p.pos),
+         |walk(w, pos, ntok) AS (
+         |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wf
+         |  UNION ALL
+         |  SELECT s.w, s.pos + st.adv, s.ntok + 1
+         |  FROM walk s JOIN stp st ON st.w = s.w AND st.pos = s.pos),
+         |wp AS (SELECT w, ntok AS w_wp FROM walk WHERE pos = length(w) + 1),
+         |bt AS (SELECT w, CAST(len(syms) AS BIGINT) AS w_bpe FROM seg$n),
+         |wd AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(w_wp) AS BIGINT) AS n_wp_tokens,
+         |  CAST(SUM(w_bpe) AS BIGINT) AS n_bpe_tokens
+         |  FROM wd JOIN wp USING (w) JOIN bt USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_wp_tokens, n_bpe_tokens,
+         |  (n_wp_tokens * 1000000) // n_bpe_tokens AS wp_vs_bpe_e6
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
     "bpe_fertility" -> {
       val n = graft.operators.TokenizerOps.NumMerges
       s"""WITH ${bpeCtes(n)},

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match-first ("MaxMatch") subword segmentation — the
+  * WordPiece inference rule (Wu et al. 2016 §3.1; the segmenter BERT
+  * ships) over a FLAT vocabulary, continuation markers omitted: at each
+  * cursor position emit the longest vocabulary token that prefixes the
+  * remaining word; an uncovered character falls back to itself (an
+  * identity "[UNK]" that keeps the fold total and, unlike an opaque UNK
+  * id, cross-engine reproducible).
+  *
+  * This is a genuinely different segmenter from [[Bpe.encodeWord]]'s
+  * merge-rank fold — greedy can undercut BPE (vocab {a,b,ab,ba}, merges
+  * [(b,a),(a,b)]: BPE("abab") = [a,ba,b], greedy = [ab,ab]) — which is
+  * exactly what the wordpiece_tokens panel measures corpus-wide.
+  *
+  * The hot loop is a native codegen kernel: vocabulary tokens ride the
+  * expression as literals (≤ merges + alphabet entries, the
+  * broadcast-for-free shape [[BpeEncode]] uses), bucketed by length so a
+  * position probes one hash set per candidate length, longest first.
+  */
+object Wordpiece {
+
+  /** Greedy longest-match segmentation of one word. `vocabByLen(k)` holds
+    * the vocab tokens of length k+1 (index 0 = single chars). */
+  def segment(word: String, vocabByLen: Array[java.util.HashSet[String]]): Array[String] = {
+    val n = word.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](n)
+    var i = 0
+    while (i < n) {
+      var len = math.min(vocabByLen.length, n - i)
+      var hit: String = null
+      while (hit == null && len >= 1) {
+        val cand = word.substring(i, i + len)
+        if (vocabByLen(len - 1).contains(cand)) hit = cand
+        else len -= 1
+      }
+      if (hit == null) { out += word.substring(i, i + 1); i += 1 }
+      else { out += hit; i += hit.length }
+    }
+    out.toArray
+  }
+
+  def wordpieceEncode(word: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(WordpieceEncode(ColumnBridge.expression(word), vocab))
+}
+
+/** Segmentation under a learned flat vocabulary, baked into the plan as
+  * literals. */
+case class WordpieceEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string word, got ${other.simpleString}")
+    }
+
+  @transient private lazy val vocabByLen: Array[java.util.HashSet[String]] = {
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val buckets = Array.fill(maxLen)(new java.util.HashSet[String]())
+    vocab.foreach(t => if (t.nonEmpty) buckets(t.length - 1).add(t))
+    buckets
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      Wordpiece.segment(v.asInstanceOf[UTF8String].toString, vocabByLen)
+        .map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpEnc", this, classOf[WordpieceEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = " +
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

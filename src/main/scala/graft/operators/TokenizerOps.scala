@@ -3,8 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.Tables
-import graft.functions.Bpe
+import graft.functions.{Bpe, Wordpiece}
 
 /** Trained byte-pair encoding over the documents corpus — the brief's
   * "token counting (whitespace + a BPE-ish regex)" upgraded to an actual
@@ -131,6 +133,58 @@ object TokenizerOps {
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** wordpiece_tokens — greedy longest-match (WordPiece-inference)
+    * segmentation under the SAME learned vocabulary the BPE trainer
+    * produces (merge tokens + the corpus alphabet), side by side with the
+    * BPE merge-rank fold: per doc, word count, both token counts, and
+    * the exact-integer ratio `wp_vs_bpe_e6` — the panel that tells you
+    * whether switching segmenter (BERT-style MaxMatch vs GPT-style BPE
+    * fold) changes sequence lengths on this corpus. The two segmenters
+    * genuinely diverge (see [[graft.functions.Wordpiece]]'s planted
+    * counter-example, spec-pinned); equality on a given corpus is a
+    * finding, not a tautology.
+    *
+    * Scale shape: identical to [[bpeTokens]] — training iterates the
+    * vocabulary-bounded word-frequency table, BOTH encoders run once per
+    * DISTINCT word as native kernels with the vocab/merges baked into
+    * the plan, and token counts join back to occurrences. The one
+    * driver-side collect is the corpus ALPHABET (distinct single
+    * characters — bounded by the writing system, not the corpus), the
+    * same O(1)-rows justification as bpeTrain's per-round argmax.
+    *
+    * Oracle: the bpeCtes training twin extended with a recursive greedy
+    * walk — per distinct word, a cursor advances by the LONGEST vocab
+    * token matching at the cursor (MAX(length) over a correlated vocab
+    * probe; ties impossible since equal-length matches are the same
+    * substring), falling back to one character — unrolled against the
+    * same m0..mN merge tables. */
+  def wordpieceTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = bpeTrain(docs, NumMerges).map { case (_, l, r, _) => (l, r) }
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val distinctWords = words.select("w").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val alphabet = distinctWords
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) > 0).distinct()
+      .collect().map(_.getString(0))
+    val vocab = (alphabet ++ merges.map { case (l, r) => l + r }).distinct.toSeq
+    val wordToks = distinctWords.select(col("w"),
+      size(Wordpiece.wordpieceEncode(col("w"), vocab)).cast("long").as("w_wp"),
+      size(Bpe.bpeEncode(col("w"), merges)).cast("long").as("w_bpe"))
+    words.join(wordToks, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_wp")).as("n_wp_tokens"),
+        sum(col("w_bpe")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_wp_tokens"),
+        col("n_bpe_tokens"),
+        expr("(n_wp_tokens * 1000000) div n_bpe_tokens").as("wp_vs_bpe_e6"))
       .orderBy("doc_id")
   }
 }
