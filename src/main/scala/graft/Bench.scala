@@ -48,7 +48,8 @@ object Bench {
     // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
     val heavyFirst = Seq("graph_pagerank", "graph_components",
       "graph_components_incremental", "graph_triangles",
-      "graph_label_prop", "graph_bfs", "ann_ivf_sq", "span_scrub", "dedup_clusters",
+      "graph_label_prop", "graph_bfs", "graph_label_probe", "link_prediction",
+      "ann_ivf_sq", "span_scrub", "dedup_clusters",
       "dedup_survivors", "hybrid_retrieval", "hybrid_retrieval_ivf",
       "mmr_diversify", "maxsim_retrieval", "retrieval_index_probe",
       "retrieval_index_probe_admitted", "retrieval_index_probe_compacted",

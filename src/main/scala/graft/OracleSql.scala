@@ -2512,6 +2512,44 @@ object OracleSql {
     // the Spark side is the 100 TB path and this is only the oracle.
     "graph_components" -> graphComponentsSql,
 
+    // The landed label store serves the SAME fixed point a full rebuild
+    // computes (labels are component minima, order-free), so the probe
+    // key shares the full-recompute twin verbatim — hash equality checks
+    // the store-read path against the from-scratch definition.
+    "graph_label_probe" -> graphComponentsSql,
+
+    // NN-Descent-style candidate generation over the exact cosine kNN
+    // graph: topk per vector (same dot/cos idiom as ann_cosine_topk, no
+    // query modulus — every vector is a node), symmetrized canonical
+    // edges, then wedge counting with RA = Σ 1e6 // deg(z) computed at
+    // the wedge and Jaccard from endpoint degrees — integer divisions
+    // only, both sides.
+    "link_prediction" -> {
+      val k = graft.operators.GraphOps.KnnK
+      val mc = graft.operators.GraphOps.LpMinCommon
+      s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT a.vec_id AS src, b.vec_id AS nb,
+         |  ${cosSim(dotE12("a.embedding", "b.embedding"), "a.nrm", "b.nrm")} AS cs
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |topk AS (SELECT src, nb FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY src ORDER BY cs DESC, nb) rn FROM p) WHERE rn <= $k),
+         |e AS (SELECT DISTINCT least(src,nb) AS u, greatest(src,nb) AS v FROM topk),
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a),
+         |wedge AS (SELECT x.b AS u, y.b AS v, x.a AS z FROM adj x
+         |  JOIN adj y ON x.a = y.a AND x.b < y.b),
+         |cn AS (SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         |  CAST(SUM(1000000 // d.d) AS BIGINT) AS ra_e6
+         |  FROM wedge w JOIN deg d ON d.node = w.z GROUP BY w.u, w.v),
+         |ne AS (SELECT cn.* FROM cn LEFT JOIN e ON cn.u = e.u AND cn.v = e.v
+         |  WHERE e.u IS NULL)
+         |SELECT ne.u, ne.v, common_neighbors, ra_e6,
+         |  (common_neighbors * 1000000) // (du.d + dv.d - common_neighbors) AS jaccard_e6
+         |FROM ne JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v
+         |WHERE common_neighbors >= $mc
+         |ORDER BY u, v""".stripMargin
+    },
+
     // the incremental key's contract IS "equals a full rebuild": landed
     // labels are component minima, so contracting a batch against them
     // and re-labeling only the touched components reaches the same

@@ -241,6 +241,30 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- link_prediction: disjoint kNN-graph growth ----
+    // The operator's scale claim is about the SCORING side (wedges +
+    // partial agg + anti-join are degree-bounded, O(n·K²)); the brute kNN
+    // build is the documented ann_cosine_topk-precedent baseline, so the
+    // probe grows disjoint replicas of the 1× kNN edge set — candidates
+    // and wall must grow EXACTLY kx (structure repeats per replica; any
+    // super-linear wall means the wedge join is amplifying)
+    if (only.forall(_.contains("link_prediction"))) {
+      // localCheckpoint (not persist): the per-k clearCache must not evict
+      // the shared 1x edge set and silently re-run the brute build
+      val e1 = graft.operators.GraphOps
+        .knnEdges(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+        .localCheckpoint()
+      val maxNode = e1.agg(greatest(max("u"), max("v"))).head().getLong(0) + 1
+      for (k <- Seq(1, 4, factor)) {
+        val e = (0 until k).map(i => e1
+          .withColumn("u", col("u") + lit(i * maxNode))
+          .withColumn("v", col("v") + lit(i * maxNode)))
+          .reduce(_ unionByName _)
+        time("link_prediction", k, graft.operators.GraphOps.linkPredictOnEdges(e))
+        spark.catalog.clearCache()
+      }
+    }
+
     // ---- ann_ivf: corpus growth with cells following √corpus ----
     // Replicas shift vec_id into disjoint ranges AND jitter each
     // component with a replica-dependent wobble (exact clones would give
