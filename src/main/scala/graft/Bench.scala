@@ -49,13 +49,14 @@ object Bench {
     val heavyFirst = Seq("graph_pagerank", "graph_components",
       "graph_components_incremental", "graph_triangles",
       "graph_label_prop", "graph_bfs", "graph_label_probe", "link_prediction",
+      "graph_ppr", "graph_random_walks",
       "ann_ivf_sq", "span_scrub", "dedup_clusters",
       "dedup_survivors", "hybrid_retrieval", "hybrid_retrieval_ivf",
       "mmr_diversify", "maxsim_retrieval", "retrieval_index_probe",
       "retrieval_index_probe_admitted", "retrieval_index_probe_compacted",
       "retrieval_index_stats", "retrieval_index_probe_maxsim", "doc_neighbors_ivf",
       "ann_index_probe_compacted", "bigram_lm_score",
-      "bpe_tokens", "bpe_merges", "wordpiece_tokens", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
+      "bpe_tokens", "bpe_merges", "wordpiece_tokens", "optimal_segment", "pack_sequences_bpe", "bpe_fertility", "embedding_kmeans", "semantic_dedup",
       "semantic_dedup_incremental", "semantic_clusters", "semantic_dedup_text", "dedup_report",
       "embedding_pq", "ann_pq", "ann_ivf_pq",
       "repeated_spans", "steam_pipeline", "zorder_layout", "dedup_minhash_verified",

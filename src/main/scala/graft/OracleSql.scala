@@ -2512,6 +2512,62 @@ object OracleSql {
     // the Spark side is the 100 TB path and this is only the oracle.
     "graph_components" -> graphComponentsSql,
 
+    // Personalized PageRank: the global twin with a seeded CASE teleport
+    // (r0 = 1e12 on the BUILDING-segment customers, 0 elsewhere; per
+    // round teleport 0.15e12 only on seeds). Same unrolled rounds, same
+    // integer recurrence.
+    "graph_ppr" -> {
+      val t = graft.operators.GraphOps.TeleportE12
+      val steps = (1 to graft.operators.GraphOps.PRIterations).map { k =>
+        s"""r$k AS (SELECT e.dst AS node,
+           |  (CASE WHEN sd.node IS NOT NULL THEN $t ELSE 0 END) +
+           |  CAST(SUM((85 * (r.pr // d.deg)) // 100) AS BIGINT) AS pr
+           |  FROM r${k - 1} r JOIN deg d ON r.node = d.node
+           |  JOIN edges e ON r.node = e.src
+           |  LEFT JOIN sd ON sd.node = e.dst
+           |  GROUP BY e.dst, sd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+         |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |sd AS (SELECT DISTINCT c_custkey*2 AS node FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'),
+         |r0 AS (SELECT d.node,
+         |  CAST(CASE WHEN sd.node IS NOT NULL THEN 1000000000000 ELSE 0 END AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN sd ON sd.node = d.node),
+         |$steps
+         |SELECT node AS node_id,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |  node // 2 AS key, pr AS ppr_e12
+         |FROM r${graft.operators.GraphOps.PRIterations} ORDER BY node_id""".stripMargin
+    },
+
+    // Deterministic hash-seeded walks: neighbor ranks from one window,
+    // each step unrolled as an equi-join on (node, rank) where rank =
+    // ((node mod 1000003)*2654435761 + step*40503) mod deg — bounded
+    // BIGINT operands, no wrap on either engine.
+    "graph_random_walks" -> {
+      val steps = (1 to graft.operators.GraphOps.RwSteps).map { k =>
+        s"""w$k AS (SELECT w.start, a.dst AS node, CAST($k AS BIGINT) AS step
+           |  FROM w${k - 1} w JOIN adj a ON a.src = w.node
+           |  AND a.nb_rank = ((w.node % 1000003) * 2654435761 + $k * 40503) % a.deg)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to graft.operators.GraphOps.RwSteps)
+        .map(k => s"SELECT * FROM w$k").mkString("\n|UNION ALL ")
+      s"""WITH p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+         |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+         |adj AS (SELECT src, dst,
+         |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS nb_rank,
+         |  CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+         |  FROM edges),
+         |w0 AS (SELECT DISTINCT src AS start, src AS node, CAST(0 AS BIGINT) AS step FROM adj),
+         |$steps
+         |SELECT start, node, step FROM ($union)
+         |ORDER BY start, step""".stripMargin
+    },
+
     // The landed label store serves the SAME fixed point a full rebuild
     // computes (labels are component minima, order-free), so the probe
     // key shares the full-recompute twin verbatim — hash equality checks
@@ -2955,6 +3011,58 @@ object OracleSql {
          |  FROM wd JOIN wp USING (w) JOIN bt USING (w) GROUP BY doc_id)
          |SELECT doc_id, n_words, n_wp_tokens, n_bpe_tokens,
          |  (n_wp_tokens * 1000000) // n_bpe_tokens AS wp_vs_bpe_e6
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    // Shortest tokenization vs greedy under one learned vocabulary. The
+    // step table generalizes wordpiece's max-advance to ALL matching
+    // advances (plus the 1-char fallback, UNION-dedup'd); the reach
+    // recursion enumerates (pos, ntok) STATES with UNION dedup (state
+    // space <= len^2 per word), and MIN(ntok) at pos = len+1 is the DP
+    // optimum. Join-only recursion (the wordpiece_tokens lesson); the
+    // greedy walk reuses the same table via its MAX(adv) projection.
+    "optimal_segment" -> {
+      val n = graft.operators.TokenizerOps.NumMerges
+      val mu = (0 until n).map(r => s"SELECT l, r2 FROM m$r")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH RECURSIVE ${bpeCtes(n)},
+         |vocab AS MATERIALIZED (
+         |  SELECT DISTINCT l || r2 AS t FROM ($mu)
+         |  UNION
+         |  SELECT DISTINCT w[ci] AS t FROM wf,
+         |    UNNEST(range(1, length(w)+1)) AS u(ci)),
+         |stp AS MATERIALIZED (
+         |  SELECT p.w, p.pos, CAST(length(v.t) AS BIGINT) AS adv
+         |  FROM (SELECT w, ci AS pos FROM wf,
+         |    UNNEST(range(1, length(w)+1)) AS u(ci)) p
+         |  JOIN vocab v ON v.t = substr(p.w, CAST(p.pos AS INT), length(v.t))
+         |  UNION
+         |  SELECT w, ci AS pos, CAST(1 AS BIGINT) FROM wf,
+         |    UNNEST(range(1, length(w)+1)) AS u(ci)),
+         |reach(w, pos, ntok) AS (
+         |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wf
+         |  UNION
+         |  SELECT s.w, s.pos + st.adv, s.ntok + 1
+         |  FROM reach s JOIN stp st ON st.w = s.w AND st.pos = s.pos),
+         |opt AS (SELECT w, MIN(ntok) AS w_opt FROM reach
+         |  WHERE pos = length(w) + 1 GROUP BY w),
+         |gst AS MATERIALIZED (SELECT w, pos, MAX(adv) AS adv FROM stp
+         |  GROUP BY w, pos),
+         |walk(w, pos, ntok) AS (
+         |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wf
+         |  UNION ALL
+         |  SELECT s.w, s.pos + st.adv, s.ntok + 1
+         |  FROM walk s JOIN gst st ON st.w = s.w AND st.pos = s.pos),
+         |wp AS (SELECT w, ntok AS w_wp FROM walk WHERE pos = length(w) + 1),
+         |wd AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(w_opt) AS BIGINT) AS n_opt_tokens,
+         |  CAST(SUM(w_wp) AS BIGINT) AS n_wp_tokens
+         |  FROM wd JOIN opt USING (w) JOIN wp USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_opt_tokens, n_wp_tokens,
+         |  (n_wp_tokens * 1000000) // n_opt_tokens AS greedy_overhead_e6
          |FROM agg ORDER BY doc_id""".stripMargin
     },
 

@@ -50,6 +50,72 @@ object Wordpiece {
 
   def wordpieceEncode(word: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(WordpieceEncode(ColumnBridge.expression(word), vocab))
+
+  /** Minimum number of tokens over ALL segmentations of `word` under the
+    * vocabulary (single-char fallback always available, mirroring
+    * [[segment]]): the shortest-tokenization DP — best(i) = min over
+    * tokens t ending at i of best(i−|t|) + 1. The lower bound greedy
+    * MaxMatch is measured against. */
+  def minTokens(word: String, vocabByLen: Array[java.util.HashSet[String]]): Long = {
+    val n = word.length
+    if (n == 0) return 0L
+    val best = Array.fill(n + 1)(Long.MaxValue)
+    best(0) = 0L
+    var i = 0
+    while (i < n) {
+      if (best(i) != Long.MaxValue) {
+        // single-char fallback keeps the DP total even off-vocabulary
+        if (best(i) + 1 < best(i + 1)) best(i + 1) = best(i) + 1
+        var len = math.min(vocabByLen.length, n - i)
+        while (len >= 1) {
+          if (vocabByLen(len - 1).contains(word.substring(i, i + len))
+              && best(i) + 1 < best(i + len)) best(i + len) = best(i) + 1
+          len -= 1
+        }
+      }
+      i += 1
+    }
+    best(n)
+  }
+
+  def minTokensEncode(word: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(MinTokensEncode(ColumnBridge.expression(word), vocab))
+}
+
+/** Shortest-tokenization token COUNT under a learned flat vocabulary —
+  * the optimum [[WordpieceEncode]]'s greedy walk is compared against. */
+case class MinTokensEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_min_tokens"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string word, got ${other.simpleString}")
+    }
+
+  @transient private lazy val vocabByLen: Array[java.util.HashSet[String]] = {
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val buckets = Array.fill(maxLen)(new java.util.HashSet[String]())
+    vocab.foreach(t => if (t.nonEmpty) buckets(t.length - 1).add(t))
+    buckets
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Wordpiece.minTokens(v.asInstanceOf[UTF8String].toString, vocabByLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mtEnc", this, classOf[MinTokensEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = " +
+      s"(java.lang.Long) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Segmentation under a learned flat vocabulary, baked into the plan as

@@ -458,6 +458,146 @@ object GraphOps {
     labels.withColumnRenamed("label", "community")
   }
 
+  /** graph_ppr — PERSONALIZED PageRank over the co-purchase graph: the
+    * teleport mass lands only on a seed set (customers in the BUILDING
+    * market segment — TPC-H Q3's segment, the "rank suppliers by
+    * relevance to one audience" recommendation/trust primitive: Haveliwala
+    * 2002 topic-sensitive PageRank). Recurrence per round, same e12
+    * fixed-point arithmetic as [[graphPagerank]]:
+    *   r'(n) = (n ∈ S ? 0.15e12 : 0) + Σ_{m→n} (85·(r(m) div d(m))) div 100
+    * seeded r0 = 1e12 on S, 0 elsewhere. Deterministic, oracle unrolled
+    * exactly like the global twin with a CASE teleport.
+    *
+    * Scale shape: identical to pagerank — per round one keyed join + one
+    * partial agg over the once-persisted degree-annotated edges — plus
+    * ONE broadcast join per round against the seed dim (bounded by the
+    * segment's customer count). Rank state stays O(nodes). */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((col("c_custkey") * 2).as("node"))
+    graphPprFrames(Tables.lineitem(s, dir), Tables.orders(s, dir), seeds)
+  }
+
+  /** Core on any lineitem/orders-shaped frames + a (node) seed frame. */
+  def graphPprFrames(lineitem: DataFrame, orders: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_suppkey")
+    val ord = orders.select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    pprOnEdges(edges, seeds, PRIterations)
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("key"),
+        col("pr").cast("long").as("ppr_e12"))
+      .orderBy("node_id")
+  }
+
+  /** [[pagerankOnEdges]] with a seeded teleport: the seed flag frame is
+    * tiny (broadcast), annotated once onto the node set and carried
+    * through the rounds as a column — no per-round seed join. */
+  def pprOnEdges(edges: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
+    val e = edges
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(deg.withColumnRenamed("node", "src"), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedFlag = broadcast(seeds.select(col("node")).distinct()
+      .withColumn("tele", lit(TeleportE12)))
+    // nodes carry their teleport quantum as a column: seed nodes 0.15e12,
+    // the rest 0 — the per-round agg re-attaches it via the SAME
+    // node-keyed join the rank state already pays
+    val nodes = eDeg.select(col("src").as("node")).distinct()
+      .join(seedFlag, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tele"), lit(0L)).as("tele"))
+      .localCheckpoint()
+    var ranks = nodes
+      .select(col("node"), col("tele"),
+        when(col("tele") =!= 0L, lit(1000000000000L)).otherwise(lit(0L))
+          .cast("decimal(38,0)").as("pr"))
+    val broadcastRanks = nodes.count() <= BroadcastNodesMax
+    var i = 0
+    while (i < iterations) {
+      val ranksSide = ranks.select(col("node").as("src"), col("pr"))
+      val contrib = eDeg.join(
+          if (broadcastRanks) broadcast(ranksSide) else ranksSide, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(85 * (pr div deg)) div 100").cast("decimal(38,0)"))
+          .as("flow"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("tele"),
+          (col("tele") + coalesce(col("flow"), lit(0).cast("decimal(38,0)")))
+            .cast("decimal(38,0)").as("pr"))
+      ranks = if (i % 2 == 1 && i != iterations - 1) next.localCheckpoint()
+        else next
+      i += 1
+    }
+    ranks.select("node", "pr")
+  }
+
+  /** Walk length of [[graphRandomWalks]] — part of the operator contract
+    * (the oracle unrolls exactly this many steps). */
+  val RwSteps = 3
+
+  /** graph_random_walks — DETERMINISTIC hash-seeded uniform walks over
+    * the co-purchase graph, one walk per node: the DeepWalk/node2vec
+    * (Perozzi 2014 / Grover–Leskovec 2016, p=q=1) corpus-generation
+    * primitive made reproducible. Step i from node m moves to the
+    * neighbor with rank ((m mod 1000003)·2654435761 + i·40503) mod
+    * deg(m) over the (dst-ordered) adjacency — a Knuth multiplicative
+    * mix, fully cross-engine (bounded operands, no 64-bit wrap: both
+    * engines compute the identical BIGINT), seeded by (node, step) so
+    * the draw is i.i.d.-looking yet replayable. Output: (start, step,
+    * node) for steps 0..RwSteps.
+    *
+    * Scale shape: one row_number window ranks each node's neighbors
+    * once; each step is ONE equi-join of the O(nodes) frontier against
+    * the rank-annotated adjacency on the node key (the rank equality
+    * rides the join as a residual filter over that node's deg rows) —
+    * O(edges) scanned per step, frontier state O(nodes), exactly the
+    * per-round cost of one pagerank iteration. */
+  def graphRandomWalks(s: SparkSession, dir: String): DataFrame =
+    graphRandomWalksFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Core on any lineitem/orders-shaped frames. */
+  def graphRandomWalksFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_suppkey")
+    val ord = orders.select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val wAdj = Window.partitionBy("src").orderBy("dst")
+    val adj = edges
+      .withColumn("nb_rank", (row_number().over(wAdj) - 1).cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var walk = adj.select(col("src").as("start")).distinct()
+      .select(col("start"), col("start").as("node"), lit(0L).as("step"))
+    var out = walk
+    var i = 1
+    while (i <= RwSteps) {
+      val next = walk.join(adj,
+          walk("node") === adj("src") &&
+          adj("nb_rank") === pmod(
+            (walk("node") % 1000003L) * 2654435761L + lit(i.toLong * 40503L),
+            adj("deg")))
+        .select(col("start"), col("dst").as("node"), lit(i.toLong).as("step"))
+      out = out.union(next)
+      walk = next
+      i += 1
+    }
+    out.orderBy("start", "step")
+  }
+
   /** Power iteration in e12 fixed point over an explicit (src, dst) edge
     * frame. Every node must appear as a src (symmetrize first): the
     * node set, degrees, and seed ranks all derive from the edge list.

@@ -162,6 +162,28 @@ object TokenizerOps {
     * substring), falling back to one character — unrolled against the
     * same m0..mN merge tables. */
   def wordpieceTokens(s: SparkSession, dir: String): DataFrame = {
+    val (merges, vocab, words, distinctWords) = learnedVocab(s, dir)
+    val wordToks = distinctWords.select(col("w"),
+      size(Wordpiece.wordpieceEncode(col("w"), vocab)).cast("long").as("w_wp"),
+      size(Bpe.bpeEncode(col("w"), merges)).cast("long").as("w_bpe"))
+    words.join(wordToks, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_wp")).as("n_wp_tokens"),
+        sum(col("w_bpe")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_wp_tokens"),
+        col("n_bpe_tokens"),
+        expr("(n_wp_tokens * 1000000) div n_bpe_tokens").as("wp_vs_bpe_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared derivation for the segmenter-comparison keys: BPE merges,
+    * the flat vocabulary (merge tokens + corpus alphabet), the word
+    * occurrences and the persisted distinct-word frame. The one
+    * driver-side collect is the ALPHABET (bounded by the writing system,
+    * not the corpus — the bpeTrain argmax justification). */
+  private def learnedVocab(s: SparkSession, dir: String)
+      : (Seq[(String, String)], Seq[String], DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     val merges = bpeTrain(docs, NumMerges).map { case (_, l, r, _) => (l, r) }
     val words = docs
@@ -174,17 +196,43 @@ object TokenizerOps {
       .filter(length(col("c")) > 0).distinct()
       .collect().map(_.getString(0))
     val vocab = (alphabet ++ merges.map { case (l, r) => l + r }).distinct.toSeq
+    (merges, vocab, words, distinctWords)
+  }
+
+  /** optimal_segment — the third segmenter panel: SHORTEST tokenization
+    * (minimum token count over all segmentations, the dynamic program
+    * `best(i) = min over tokens ending at i of best(i-|t|)+1`) under the
+    * same learned vocabulary, against greedy MaxMatch.
+    * `greedy_overhead_e6` = n_wp·1e6 div n_opt ≥ 1e6 measures exactly
+    * how much sequence length the greedy rule costs vs the optimum —
+    * the published "optimal BPE / shortest tokenization" question
+    * (greedy is not optimal in general: vocab {a,b,c,d,ab,bcd},
+    * "abcd" → greedy ab|c|d = 3 vs optimal a|bcd = 2, spec-planted).
+    *
+    * Scale shape: identical to [[wordpieceTokens]] — one vocab-bounded
+    * training pass, both encoders once per DISTINCT word as native
+    * kernels, counts joined back to occurrences.
+    *
+    * Oracle: the step table generalizes from max-length to ALL matching
+    * advances per (word, pos) (plus the 1-char fallback), and the
+    * recursion enumerates reachable (pos, ntok) STATES with UNION
+    * dedup — state space ≤ len² per word — then MIN(ntok) at
+    * pos = len+1 is the DP optimum. Join-only recursion throughout
+    * (the wordpiece_tokens DuckDB lesson). */
+  def optimalSegment(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab, words, distinctWords) = learnedVocab(s, dir)
     val wordToks = distinctWords.select(col("w"),
-      size(Wordpiece.wordpieceEncode(col("w"), vocab)).cast("long").as("w_wp"),
-      size(Bpe.bpeEncode(col("w"), merges)).cast("long").as("w_bpe"))
+      Wordpiece.minTokensEncode(col("w"), vocab).as("w_opt"),
+      size(Wordpiece.wordpieceEncode(col("w"), vocab)).cast("long").as("w_wp"))
     words.join(wordToks, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        sum(col("w_wp")).as("n_wp_tokens"),
-        sum(col("w_bpe")).as("n_bpe_tokens"))
-      .select(col("doc_id"), col("n_words"), col("n_wp_tokens"),
-        col("n_bpe_tokens"),
-        expr("(n_wp_tokens * 1000000) div n_bpe_tokens").as("wp_vs_bpe_e6"))
+        sum(col("w_opt")).as("n_opt_tokens"),
+        sum(col("w_wp")).as("n_wp_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_opt_tokens"),
+        col("n_wp_tokens"),
+        expr("(n_wp_tokens * 1000000) div n_opt_tokens")
+          .as("greedy_overhead_e6"))
       .orderBy("doc_id")
   }
 }
