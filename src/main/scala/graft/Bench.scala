@@ -89,7 +89,25 @@ object Bench {
     // these as upper bounds, not steady-state
     val cold = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold":$cold,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold":$cold,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full line above is ~8 kB at the current 195-key surface — longer
+    // than a log-tail capture window, so a consumer that only keeps the
+    // last few kB of stdout sees a truncated JSON fragment (observed two
+    // rounds running: BENCH parse came back null). Two mitigations:
+    // (1) the full line is also written to a file (SPARK_GRAFT_BENCH_OUT,
+    //     default bench_full.json in cwd) for artifact landing;
+    // (2) the LAST stdout line is a compact summary — same metric/value/
+    //     failed/cold/sf plus only the top-20 slowest queries at 3 decimals
+    //     — small enough (<1.5 kB) to survive any tail window intact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v, _) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":$top,"failed":$failed,"cold":$cold,"sf":"$sfDir","note":"top-20 slowest; full per-query map in $outPath and the first metric line"}""")
     spark.stop()
   }
 }

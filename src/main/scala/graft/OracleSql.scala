@@ -501,12 +501,14 @@ object OracleSql {
 
   private def annIvfPqSql: String = annIvfPqSqlWhere("TRUE")
 
-  /** Same twin with the quantizer training restricted to `trainWhere`
-    * rows — `ann_index_probe_admitted` probes the index whose artifacts
-    * froze on the corpus slice while codes cover everyone. */
-  private def annIvfPqSqlWhere(trainWhere: String): String = {
+  /** The IVF-PQ twin's CTE chain, ending at `rk` (q_id, n_id, adist,
+    * rnk) — exposed separately from the final SELECT so composed twins
+    * (link_prediction_indexed) can consume the ranked neighbor lists.
+    * `trainWhere` restricts quantizer training; `queryWhere` selects
+    * which vectors probe (the keyed probe convention is the isQuery
+    * modulus slice; the kNN-graph build probes with EVERYONE). */
+  private def annIvfPqCtes(trainWhere: String, queryWhere: String): String = {
       import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM, PqNprobe, PqRounds}
-      val qm = graft.operators.SimilarityOps.QueryModulus
       val dimsPer = 64 / PqM
       val coarse = kmeansCtes(CoarseCells, CoarseRounds, trainWhere, 1, 64, "cv",
         normalized = true)
@@ -516,7 +518,7 @@ object OracleSql {
       val luts = (0 until PqM).map(i =>
         s"""lut$i AS (SELECT e.vec_id AS q_id, pc.cluster AS code, ${kmDist("e.v", "pc.c", dimsPer)} AS d
            |  FROM q${i}e e CROSS JOIN q${i}c$PqRounds pc
-           |  WHERE e.vec_id % $qm = 0)""".stripMargin).mkString(",\n")
+           |  WHERE $queryWhere)""".stripMargin).mkString(",\n")
       val scores = (0 until PqM).map(i =>
         s"SELECT c.q_id, c.n_id, l.d FROM cand c JOIN q${i}af a ON a.vec_id = c.n_id " +
           s"JOIN lut$i l ON l.q_id = c.q_id AND l.code = a.cluster")
@@ -524,7 +526,7 @@ object OracleSql {
       s"""WITH $coarse,
          |$subCtes,
          |pc AS (SELECT e.vec_id AS q_id, p.cluster AS cell, ${kmDist("e.v", "p.c")} AS cd
-         |  FROM cve e CROSS JOIN cvc$CoarseRounds p WHERE e.vec_id % $qm = 0),
+         |  FROM cve e CROSS JOIN cvc$CoarseRounds p WHERE $queryWhere),
          |probed AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY cd, cell) AS rn FROM pc) WHERE rn <= $PqNprobe),
          |cand AS (SELECT p.q_id, a.vec_id AS n_id FROM probed p
@@ -532,7 +534,39 @@ object OracleSql {
          |$luts,
          |pp AS ($scores),
          |sc AS (SELECT q_id, n_id, CAST(SUM(d) AS BIGINT) AS adist FROM pp GROUP BY 1, 2),
-         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rnk FROM sc)
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rnk FROM sc)""".stripMargin
+  }
+
+  /** The link-prediction wedge-scoring tail over a `topk(src, nb)` CTE —
+    * canonical edges, degrees, wedge counting with RA at the wedge,
+    * Jaccard from endpoint degrees (integer divisions only). Shared by
+    * `link_prediction` (brute cosine topk) and `link_prediction_indexed`
+    * (the landed IVF-PQ index's ranked lists as topk). */
+  private def lpScoreTail: String = {
+    val mc = graft.operators.GraphOps.LpMinCommon
+    s"""e AS (SELECT DISTINCT least(src,nb) AS u, greatest(src,nb) AS v FROM topk),
+       |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a),
+       |wedge AS (SELECT x.b AS u, y.b AS v, x.a AS z FROM adj x
+       |  JOIN adj y ON x.a = y.a AND x.b < y.b),
+       |cn AS (SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+       |  CAST(SUM(1000000 // d.d) AS BIGINT) AS ra_e6
+       |  FROM wedge w JOIN deg d ON d.node = w.z GROUP BY w.u, w.v),
+       |ne AS (SELECT cn.* FROM cn LEFT JOIN e ON cn.u = e.u AND cn.v = e.v
+       |  WHERE e.u IS NULL)
+       |SELECT ne.u, ne.v, common_neighbors, ra_e6,
+       |  (common_neighbors * 1000000) // (du.d + dv.d - common_neighbors) AS jaccard_e6
+       |FROM ne JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v
+       |WHERE common_neighbors >= $mc
+       |ORDER BY u, v""".stripMargin
+  }
+
+  /** Same twin with the quantizer training restricted to `trainWhere`
+    * rows — `ann_index_probe_admitted` probes the index whose artifacts
+    * froze on the corpus slice while codes cover everyone. */
+  private def annIvfPqSqlWhere(trainWhere: String): String = {
+      val qm = graft.operators.SimilarityOps.QueryModulus
+      s"""${annIvfPqCtes(trainWhere, s"e.vec_id % $qm = 0")}
          |SELECT q_id, n_id, adist, rnk FROM rk WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin
   }
@@ -2133,13 +2167,31 @@ object OracleSql {
       val joins = (0 until PqM)
         .map(i => s"JOIN q${i}af q$i ON cv.vec_id = q$i.vec_id").mkString(" ")
       val err = (0 until PqM).map(i => s"q$i.d").mkString(" + ")
+      // the -2/-3 sentinel rows RE-DERIVE the landed sizing from the
+      // embeddings table + the adaptiveCells rule (smallest power-of-2 c
+      // with CellOccupancyTarget·c ≥ n, floored at CoarseCells) — exact
+      // integer shifts, no float log2 near a boundary
+      val occ = graft.operators.AnnIndexOps.CellOccupancyTarget
       s"""WITH $coarse,
          |$subCtes,
          |base AS (SELECT cv.vec_id, cv.cluster AS cell, CAST($err AS BIGINT) AS err
          |  FROM cvaf cv $joins),
          |cells AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(err) AS BIGINT) AS err_sum FROM base GROUP BY cell)
+         |  CAST(SUM(err) AS BIGINT) AS err_sum FROM base GROUP BY cell),
+         |nvec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |rule AS (SELECT GREATEST(CAST($CoarseCells AS BIGINT),
+         |    (SELECT MIN(CAST(1 AS BIGINT) << p)
+         |     FROM generate_series(0, 24) g(p), nvec
+         |     WHERE (CAST($occ AS BIGINT) << p) >= nvec.n)) AS cells)
          |SELECT * FROM (
+         |  SELECT CAST(-3 AS BIGINT) AS cell, n,
+         |    CAST(NULL AS DOUBLE) AS share, CAST(NULL AS DOUBLE) AS err_mean
+         |  FROM nvec
+         |  UNION ALL
+         |  SELECT CAST(-2 AS BIGINT) AS cell, cells AS n,
+         |    CAST(NULL AS DOUBLE) AS share, CAST(NULL AS DOUBLE) AS err_mean
+         |  FROM rule
+         |  UNION ALL
          |  SELECT CAST(-1 AS BIGINT) AS cell, CAST(0 AS BIGINT) AS n,
          |    0.0 AS share, CAST(NULL AS DOUBLE) AS err_mean
          |  UNION ALL
@@ -2582,29 +2634,24 @@ object OracleSql {
     // only, both sides.
     "link_prediction" -> {
       val k = graft.operators.GraphOps.KnnK
-      val mc = graft.operators.GraphOps.LpMinCommon
       s"""WITH n AS (SELECT vec_id, embedding, ${dotE12("embedding", "embedding")} AS nrm FROM embeddings),
          |p AS (SELECT a.vec_id AS src, b.vec_id AS nb,
          |  ${cosSim(dotE12("a.embedding", "b.embedding"), "a.nrm", "b.nrm")} AS cs
          |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
          |topk AS (SELECT src, nb FROM (SELECT *, row_number() OVER
          |  (PARTITION BY src ORDER BY cs DESC, nb) rn FROM p) WHERE rn <= $k),
-         |e AS (SELECT DISTINCT least(src,nb) AS u, greatest(src,nb) AS v FROM topk),
-         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-         |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a),
-         |wedge AS (SELECT x.b AS u, y.b AS v, x.a AS z FROM adj x
-         |  JOIN adj y ON x.a = y.a AND x.b < y.b),
-         |cn AS (SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
-         |  CAST(SUM(1000000 // d.d) AS BIGINT) AS ra_e6
-         |  FROM wedge w JOIN deg d ON d.node = w.z GROUP BY w.u, w.v),
-         |ne AS (SELECT cn.* FROM cn LEFT JOIN e ON cn.u = e.u AND cn.v = e.v
-         |  WHERE e.u IS NULL)
-         |SELECT ne.u, ne.v, common_neighbors, ra_e6,
-         |  (common_neighbors * 1000000) // (du.d + dv.d - common_neighbors) AS jaccard_e6
-         |FROM ne JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v
-         |WHERE common_neighbors >= $mc
-         |ORDER BY u, v""".stripMargin
+         |$lpScoreTail""".stripMargin
     },
+
+    // the landed-index edge source: the IVF-PQ twin's ranked neighbor
+    // lists (all-queries, top-KnnK by approximate distance) feed the
+    // IDENTICAL wedge-scoring tail — one oracle hash-checks the edge
+    // substrate swap end to end
+    "link_prediction_indexed" ->
+      s"""${annIvfPqCtes("TRUE", "TRUE")},
+         |topk AS (SELECT q_id AS src, n_id AS nb FROM rk
+         |  WHERE rnk <= ${graft.operators.GraphOps.KnnK}),
+         |$lpScoreTail""".stripMargin,
 
     // the incremental key's contract IS "equals a full rebuild": landed
     // labels are component minima, so contracting a batch against them

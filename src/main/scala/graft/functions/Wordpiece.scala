@@ -110,8 +110,11 @@ case class MinTokensEncode(child: Expression, vocab: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("mtEnc", this, classOf[MinTokensEncode].getName)
+    // explicit .longValue(): ev.value is a primitive long slot, and the
+    // object-cast-only form would lean on Janino auto-unboxing (ADVICE
+    // r11 — a silent interpreted fallback if Janino ever rejects it)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = " +
-      s"(java.lang.Long) $ref.nullSafeEval($c);")
+      s"((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -38,17 +38,53 @@ import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM,
   */
 object AnnIndexOps {
 
+  /** Target per-cell occupancy for the adaptive build-time cell sizing
+    * ([[adaptiveCells]]): cells sized so each coarse cell holds ~this
+    * many vectors. 4096 keeps every test corpus (500–2000 vectors) at
+    * the keyed [[CoarseCells]] = 8 — so the landed probes stay
+    * bit-identical to the in-query ann_ivf_pq twin — while a 10⁹-vector
+    * corpus sizes to ~2¹⁸ cells of ~4k vectors each instead of 8 cells
+    * of 10⁸, where the probe's nprobe/cells candidate fraction would
+    * degrade to a quarter-corpus scan. Fixed occupancy is the FAISS
+    * IVF guidance shape (per-list size in the low thousands at billion
+    * scale) expressed with the exact-integer ceil rule
+    * [[graft.operators.TextOps.adaptivePlanes]] established. */
+  val CellOccupancyTarget = 4096L
+
+  /** Production cell count for a corpus of `n` vectors: the smallest
+    * power of two `c` with [[CellOccupancyTarget]]·c ≥ n, floored at the
+    * keyed [[CoarseCells]] — exact integer arithmetic (no float log₂
+    * near a boundary). Power-of-two steps keep rebuild sizing stable
+    * under small corpus drift. */
+  def adaptiveCells(n: Long): Int = {
+    var p = 0
+    while ((CellOccupancyTarget << p) < n && p < 24) p += 1
+    math.max(CoarseCells, 1 << p)
+  }
+
   /** Train the IVF-PQ artifacts on `corpus` and land them under
     * `baseDir` — the one-off build job (run it per full corpus rebuild;
-    * daily ingest goes through [[admitToIndex]] instead). */
+    * daily ingest goes through [[admitToIndex]] instead).
+    *
+    * `cells = 0` (the default) sizes the coarse cell count FROM THE
+    * CORPUS at build time ([[adaptiveCells]]) and lands the sizing as
+    * `meta/` (cells, built_vecs) alongside the data artifacts — the
+    * health panel surfaces both so the sizing rule is oracle-checked,
+    * and probes/admission read `coarse/` itself, so a resized build
+    * stays consistent with every reader automatically. */
   def buildAnnIndex(corpus: DataFrame, baseDir: String,
-      cells: Int = CoarseCells, crounds: Int = CoarseRounds, m: Int = PqM,
+      cells: Int = 0, crounds: Int = CoarseRounds, m: Int = PqM,
       k: Int = PqK, rounds: Int = PqRounds): Unit = {
     val dimsPer = 64 / m
     val qAll = quantized(corpus, normalize = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val coarse = kmeansCentroids(qAll, cells, crounds).localCheckpoint()
+    val builtVecs = qAll.count()
+    val nCells = if (cells > 0) cells else adaptiveCells(builtVecs)
+    val coarse = kmeansCentroids(qAll, nCells, crounds).localCheckpoint()
     coarse.write.mode("overwrite").parquet(s"$baseDir/coarse")
+    qAll.sparkSession.range(1)
+      .select(lit(nCells.toLong).as("cells"), lit(builtVecs).as("built_vecs"))
+      .write.mode("overwrite").parquet(s"$baseDir/meta")
     val cellOf = assign(qAll, coarse)
       .select(col("vec_id"), col("cluster").as("cell"))
     val subs = (0 until m).map { i =>
@@ -82,16 +118,19 @@ object AnnIndexOps {
     * [[ClusterOps.annIvfPqFrom]] exactly, so the result is bit-identical
     * to the in-query-training composition over the same corpus. */
   def probeAnnIndex(s: SparkSession, indexDir: String, emb: DataFrame,
-      topK: Int = 5, nprobe: Int = PqNprobe, m: Int = PqM): DataFrame = {
+      topK: Int = 5, nprobe: Int = PqNprobe, m: Int = PqM,
+      allQueries: Boolean = false): DataFrame = {
     val dimsPer = 64 / m
     val coarse = s.read.parquet(s"$indexDir/coarse")
     val books = s.read.parquet(s"$indexDir/codebooks")
     val codes = readCodes(s, indexDir, m)
       .withColumnRenamed("vec_id", "n_id")
     // persisted: the probe pass + M LUT builds all read the quantized
-    // queries (callers clear the cache after consuming, as elsewhere)
+    // queries (callers clear the cache after consuming, as elsewhere).
+    // allQueries = every corpus vector probes (the kNN-graph build for
+    // link_prediction_indexed); default = the isQuery slice convention.
     val q = quantized(emb, normalize = true)
-      .filter(SimilarityOps.isQuery(col("vec_id")))
+      .filter(if (allQueries) lit(true) else SimilarityOps.isQuery(col("vec_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val w0 = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
     val probed = q.crossJoin(broadcast(coarse))
@@ -175,21 +214,29 @@ object AnnIndexOps {
 
   private def ensureIndex(s: SparkSession, dir: String, variant: String)(
       corpus: DataFrame => DataFrame): String =
-    builtIndexes.computeIfAbsent(s"$variant:$dir", _ => {
-      val base = java.nio.file.Files
-        .createTempDirectory(s"graft_annidx_$variant").toString
+    // fingerprint in the memo key: a corpus regenerated at the same path
+    // within one JVM rebuilds instead of serving a stale index; the
+    // scratch dir is deleted at JVM exit (TempStores).
+    builtIndexes.computeIfAbsent(
+      s"$variant:$dir@${graft.TempStores.fingerprint(dir)}", _ => {
+      val base = graft.TempStores.scratchDir(s"graft_annidx_$variant")
       buildAnnIndex(corpus(Tables.embeddings(s, dir)), base)
       s.catalog.clearCache()
       base
     })
 
+  /** The memoized full-corpus landed index for `dir` — exposed so other
+    * operator families (link_prediction_indexed) can source neighbor
+    * lists from the SAME build the probe keys share, instead of paying
+    * a brute pair scan. */
+  def fullIndex(s: SparkSession, dir: String): String =
+    ensureIndex(s, dir, "full")(identity)
+
   /** ann_index_probe — top-k ADC search over the landed full-corpus
     * index. Bit-identical to ann_ivf_pq (shared oracle); the first call
     * per JVM lands the index, every later call only probes it. */
-  def annIndexProbe(s: SparkSession, dir: String): DataFrame = {
-    val idx = ensureIndex(s, dir, "full")(identity)
-    probeAnnIndex(s, idx, Tables.embeddings(s, dir))
-  }
+  def annIndexProbe(s: SparkSession, dir: String): DataFrame =
+    probeAnnIndex(s, fullIndex(s, dir), Tables.embeddings(s, dir))
 
   /** ann_index_stats — the index HEALTH panel you read before trusting
     * probe results: per coarse cell, its member count, corpus share, and
@@ -216,7 +263,14 @@ object AnnIndexOps {
     * corpus dulls the rebuild-trigger signal precisely when it matters —
     * rising unindexed share IS the admission-backlog alarm. Always 0 for
     * the keyed full variant (codes == corpus), nonzero on any sliced
-    * index (spec-pinned). */
+    * index (spec-pinned).
+    *
+    * Two more sentinel rows surface the landed SIZING metadata (round
+    * 12, the retrievalIndexStats `planes` convention): `cell = -2`
+    * carries the landed coarse cell count and `cell = -3` the vector
+    * count the sizing saw — the oracle twin RE-DERIVES both from the
+    * embeddings table and the [[adaptiveCells]] rule, so the rule
+    * itself is hash-checked, not just recorded. */
   private[graft] def annIndexStatsOf(s: SparkSession, idx: String,
       corpus: DataFrame): DataFrame = {
     val codes = readCodes(s, idx, PqM).select("vec_id", "cell")
@@ -237,7 +291,14 @@ object AnnIndexOps {
       .select(lit(-1L).as("cell"), col("n"),
         (col("n").cast("double") / col("corpus_n")).as("share"),
         lit(null).cast("double").as("err_mean"))
-    sentinel.unionByName(perCell).orderBy("cell")
+    val meta = s.read.parquet(s"$idx/meta")
+      .select(explode(array(
+          struct(lit(-2L).as("cell"), col("cells").as("n")),
+          struct(lit(-3L).as("cell"), col("built_vecs").as("n")))).as("m"))
+      .select(col("m.cell"), col("m.n"),
+        lit(null).cast("double").as("share"),
+        lit(null).cast("double").as("err_mean"))
+    meta.unionByName(sentinel).unionByName(perCell).orderBy("cell")
   }
 
   /** Per-JVM memo of COMPLETED admissions, keyed by index dir — the

@@ -110,7 +110,9 @@ object GraphOps {
     * Scale shape: edge generation is one equi-join + one DISTINCT (same
     * persisted frame as pagerank); CC is O(log diameter) rounds of
     * join+groupBy with per-round localCheckpoint; the size annotation is
-    * ONE window over the component key. Nothing is O(component²) — the
+    * a partial-agg groupBy + join (see [[componentPanel]] — NOT a
+    * component-keyed window, which would ship the giant component into
+    * one task). Nothing is O(component²) — the
     * recursive oracle is, which is exactly why the oracle stays at the
     * check SFs while this plan is the 100 TB path. */
   def graphComponents(s: SparkSession, dir: String): DataFrame =
@@ -125,10 +127,25 @@ object GraphOps {
         (col("l_suppkey") * 2 + 1).as("doc_b"))
       .distinct()
     val labels = DedupOps.connectedComponents(pairs)
-    labels
-      .select(col("id").as("node_id"), col("label").as("component"))
-      .withColumn("component_size",
-        count(lit(1)).over(Window.partitionBy("component")))
+    componentPanel(
+      labels.select(col("id").as("node_id"), col("label").as("component")))
+  }
+
+  /** Shared size-annotated node panel over an (node_id, component)
+    * labeling. The size column is a `groupBy(component).count()` partial
+    * agg joined back on the component key — deliberately NOT
+    * `count(1) OVER (PARTITION BY component)`: co-purchase graphs at
+    * scale have one giant component holding most of the node set, and a
+    * component-keyed window ships that whole component into ONE task
+    * (single-partition sort, no map-side combine). The groupBy shuffles
+    * pre-aggregated (component, count) rows — bytes proportional to the
+    * number of COMPONENTS, not nodes — and the join back is balanced by
+    * the node-side partitioning. Same result, no single-key
+    * concentration. */
+  private def componentPanel(labeled: DataFrame): DataFrame = {
+    val sizes = labeled.groupBy("component")
+      .agg(count(lit(1)).as("component_size"))
+    labeled.join(sizes, "component")
       .select(col("node_id"),
         when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
           .as("node_type"),
@@ -171,16 +188,8 @@ object GraphOps {
       .select("doc_a", "doc_b").distinct()
     val batch = pairs.filter(pmod(col("o_orderkey"), lit(IncrBatchMod)) === 0)
       .select("doc_a", "doc_b").distinct()
-    incrementalComponents(corpus, batch)
-      .select(col("id").as("node_id"), col("label").as("component"))
-      .withColumn("component_size",
-        count(lit(1)).over(Window.partitionBy("component")))
-      .select(col("node_id"),
-        when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
-          .as("node_type"),
-        expr("node_id div 2").as("key"),
-        col("component"), col("component_size"))
-      .orderBy("node_id")
+    componentPanel(incrementalComponents(corpus, batch)
+      .select(col("id").as("node_id"), col("label").as("component")))
   }
 
   /** Incremental CC core: fold a batch edge frame into an existing
@@ -284,8 +293,20 @@ object GraphOps {
     * the SMJ alternative must SORT the wedge stream — O(m^1.5) rows, the
     * expensive side of the closing join. Past the bound the joins keep
     * SMJ — right once the edge set genuinely outgrows executor memory,
-    * the [[BroadcastNodesMax]] convention on pagerank's rank state. */
+    * the [[BroadcastNodesMax]] convention on pagerank's rank state.
+    *
+    * This bound sizes the CLOSING join, whose build side is the bare
+    * (b, c) projection — two BIGINTs, ~50 B/row as an in-memory hashed
+    * relation (UnsafeRow + relation overhead) → ≤ ~100 MB. */
   val BroadcastEdgesMax = 2000000L
+
+  /** Separate, lower bound for the WEDGE join's build side, whose rows
+    * carry the (d, n) orientation struct alongside src/dst — roughly
+    * twice the in-memory width of the closing join's projection (~100
+    * B/row hashed), so the same ~100 MB budget halves the row count.
+    * (ADVICE r11: one bound sized on the 16-byte data width undercounted
+    * the struct-bearing relation near the limit.) */
+  val BroadcastWedgeEdgesMax = 1000000L
 
   /** Core on any lineitem/orders-shaped frames (ScaleProbe entry point). */
   def graphTrianglesFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
@@ -306,14 +327,18 @@ object GraphOps {
         when(aLtB, struct(col("dv").as("d"), col("v").as("n")))
           .otherwise(struct(col("du").as("d"), col("u").as("n"))).as("dord"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one cheap count over the persisted frame decides the join strategy
-    val small = eo.count() <= BroadcastEdgesMax
-    def bcast(df: DataFrame) = if (small) broadcast(df) else df
-    val wedges = eo.as("x").join(bcast(eo.as("y")),
+    // one cheap count over the persisted frame decides both join
+    // strategies; the wedge side carries the dord struct so its bound is
+    // the lower one
+    val edgeCount = eo.count()
+    def bcastIf(ok: Boolean)(df: DataFrame) = if (ok) broadcast(df) else df
+    val wedges = eo.as("x").join(
+        bcastIf(edgeCount <= BroadcastWedgeEdgesMax)(eo.as("y")),
         col("x.src") === col("y.src") && col("x.dord") < col("y.dord"))
       .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
     val tri = wedges.join(
-        bcast(eo.select(col("src").as("b"), col("dst").as("c"))), Seq("b", "c"))
+        bcastIf(edgeCount <= BroadcastEdgesMax)(
+          eo.select(col("src").as("b"), col("dst").as("c"))), Seq("b", "c"))
     val perNode = tri.select(col("a").as("node"))
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))
@@ -691,12 +716,18 @@ object GraphOps {
     * definition cross-engine.
     *
     * Scale shape: the probe is one parquet scan of O(nodes) rows plus
-    * one component-keyed window — no joins against the fact tables at
-    * all; admission cost lives in the (memoized) build, batch-bounded
-    * per micro-batch as graph_components_incremental measures. */
+    * the [[componentPanel]] size agg+join — no joins against the fact
+    * tables at all; admission cost lives in the (memoized) build,
+    * batch-bounded per micro-batch as graph_components_incremental
+    * measures. */
   def graphLabelProbe(s: SparkSession, dir: String): DataFrame = {
-    val base = builtLabelStores.computeIfAbsent(dir, _ => {
-      val b = java.nio.file.Files.createTempDirectory("graft_labelstore").toString
+    // memo key carries a corpus-content fingerprint: a corpus regenerated
+    // at the same path within one JVM must MISS the memo and rebuild, not
+    // silently serve stale labels; scratchDir registers the store for
+    // deletion at JVM exit (both per ADVICE r11).
+    val base = builtLabelStores.computeIfAbsent(
+      s"$dir@${graft.TempStores.fingerprint(dir)}", _ => {
+      val b = graft.TempStores.scratchDir("graft_labelstore")
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
       val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -712,16 +743,8 @@ object GraphOps {
       pairs.unpersist()
       b
     })
-    s.read.parquet(s"$base/labels")
-      .select(col("id").as("node_id"), col("label").as("component"))
-      .withColumn("component_size",
-        count(lit(1)).over(Window.partitionBy("component")))
-      .select(col("node_id"),
-        when(col("node_id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
-          .as("node_type"),
-        expr("node_id div 2").as("key"),
-        col("component"), col("component_size"))
-      .orderBy("node_id")
+    componentPanel(s.read.parquet(s"$base/labels")
+      .select(col("id").as("node_id"), col("label").as("component")))
   }
 
   // ---------- link prediction over the embedding kNN graph ----------
@@ -763,6 +786,27 @@ object GraphOps {
   /** kNN-graph build + scoring on any (vec_id, embedding) frame. */
   def linkPredictFrom(emb: DataFrame): DataFrame =
     linkPredictOnEdges(knnEdges(emb))
+
+  /** link_prediction_indexed — the 100 TB operating mode of
+    * [[linkPredict]]: the kNN edge substrate comes from the LANDED
+    * IVF-PQ index ([[AnnIndexOps.fullIndex]] — the same memoized build
+    * ann_index_probe serves), probed with EVERY corpus vector as a
+    * query, instead of the brute |n|² cosine scan. The keyed query
+    * trains nothing and scans no pair space: probe cost is
+    * |n|·(nprobe/cells) candidate rows against only the probed cells'
+    * partitions, and the scoring downstream is the identical
+    * degree-bounded [[linkPredictOnEdges]]. The oracle composes the
+    * unrolled IVF-PQ twin (all-queries, top-[[KnnK]]) with
+    * link_prediction's wedge-scoring SQL, so the index-sourced edge set
+    * AND the scores are hash-checked end to end. */
+  def linkPredictIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = AnnIndexOps.fullIndex(s, dir)
+    val nn = AnnIndexOps.probeAnnIndex(s, idx, Tables.embeddings(s, dir),
+      topK = KnnK, allQueries = true)
+    linkPredictOnEdges(
+      nn.select(least(col("q_id"), col("n_id")).as("u"),
+        greatest(col("q_id"), col("n_id")).as("v")).distinct())
+  }
 
   /** Canonical (u < v) symmetrized edges of the exact cosine [[KnnK]]-NN
     * graph — the brute baseline build (ScaleProbe grows the SCORING side

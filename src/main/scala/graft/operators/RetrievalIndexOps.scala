@@ -175,9 +175,12 @@ object RetrievalIndexOps {
 
   private def ensureIndex(s: SparkSession, dir: String, variant: String)(
       corpus: DataFrame => DataFrame): String =
-    builtIndexes.computeIfAbsent(s"$variant:$dir", _ => {
-      val base = java.nio.file.Files
-        .createTempDirectory(s"graft_retridx_$variant").toString
+    // fingerprint in the memo key: a corpus regenerated at the same path
+    // within one JVM rebuilds instead of serving a stale index; the
+    // scratch dir is deleted at JVM exit (TempStores).
+    builtIndexes.computeIfAbsent(
+      s"$variant:$dir@${graft.TempStores.fingerprint(dir)}", _ => {
+      val base = graft.TempStores.scratchDir(s"graft_retridx_$variant")
       buildRetrievalIndex(s, corpus(Tables.documents(s, dir)), base)
       s.catalog.clearCache()
       base

@@ -83,9 +83,25 @@ class Round11fOpsSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(_._3 >= 0L))
     assert(out.exists(_._3 > 0L), "some mass must flow")
-    // global pagerank gives every node positive rank; PPR must not
-    val zeros = out.count(_._3 === 0L)
-    assert(zeros >= 0) // structural; zero-rank nodes exist unless the graph is one component reaching all
+    // global pagerank gives every node positive rank; PPR must not:
+    // (a) every seed holds positive mass (teleport replenishes it each
+    //     round), and (b) a node whose component contains NO seed can
+    //     never gain mass — the real zero-rank invariant (the hop-limited
+    //     variant inside a seeded component is graph-dependent).
+    val seeds = graft.Tables.customer(s, sf)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .collect().map(_.getAs[Long]("c_custkey") * 2).toSet
+    val comp = GraphOps.graphComponents(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val seededComps = comp.collect { case (n, c) if seeds(n) => c }.toSet
+    val ranks = out.map(r => (r._1, r._3)).toMap
+    assert(seeds.exists(comp.contains), "some seed must be in the graph")
+    seeds.filter(comp.contains).foreach(sd =>
+      assert(ranks(sd) > 0L, s"seed $sd must hold teleport mass"))
+    comp.foreach { case (n, c) =>
+      if (!seededComps(c))
+        assert(ranks(n) === 0L, s"node $n is in an unseeded component")
+    }
   }
 
   test("graph_random_walks: every step follows the seeded chooser on a planted graph") {

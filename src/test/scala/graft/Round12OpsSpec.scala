@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndexOps, ClusterOps, GraphOps}
+
+/** Round 12: giant-component size annotation without a single-key
+  * window, adaptive build-time cell sizing for the landed ANN index,
+  * and the index-sourced kNN edge substrate for link prediction. */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val s = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def freshDir(tag: String): String =
+    graft.TempStores.scratchDir(s"graft_r12_$tag")
+
+  test("componentPanel: size annotation is a partial-agg groupBy, not a component window") {
+    // the executed plan must carry a hash-aggregate exchange on the
+    // component key and NO window sort — at 100x the giant component
+    // lands on one task under a partitionBy(component) window
+    val plan = GraphOps.graphComponents(s, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "component_size must not be a window")
+    assert(plan.contains("HashAggregate"), "size must be a partial-agg groupBy")
+    s.catalog.clearCache()
+  }
+
+  test("adaptiveCells: exact rule boundaries, floored at CoarseCells") {
+    val t = AnnIndexOps.CellOccupancyTarget
+    assert(AnnIndexOps.adaptiveCells(1L) === ClusterOps.CoarseCells)
+    assert(AnnIndexOps.adaptiveCells(t * ClusterOps.CoarseCells) === ClusterOps.CoarseCells)
+    assert(AnnIndexOps.adaptiveCells(t * ClusterOps.CoarseCells + 1) === 2 * ClusterOps.CoarseCells)
+    // every test corpus stays at the keyed cell count — the bit-identity
+    // precondition for sharing ann_ivf_pq's oracle
+    assert(AnnIndexOps.adaptiveCells(500L) === ClusterOps.CoarseCells)
+    assert(AnnIndexOps.adaptiveCells(2000L) === ClusterOps.CoarseCells)
+    // a billion-vector corpus sizes to ~2^18 cells of ~4k vectors each
+    val big = AnnIndexOps.adaptiveCells(1000000000L)
+    assert(big === (1 << 18))
+    assert(t * big >= 1000000000L && t * (big / 2) < 1000000000L)
+  }
+
+  test("buildAnnIndex lands the sizing meta; stats panel surfaces it; oracle rule agrees") {
+    val corpus = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    val dir = freshDir("meta")
+    AnnIndexOps.buildAnnIndex(corpus, dir)
+    s.catalog.clearCache()
+    val meta = s.read.parquet(s"$dir/meta").collect()
+    assert(meta.length === 1)
+    val n = corpus.count()
+    assert(meta.head.getAs[Long]("built_vecs") === n)
+    assert(meta.head.getAs[Long]("cells") === AnnIndexOps.adaptiveCells(n).toLong)
+    val panel = AnnIndexOps.annIndexStatsOf(s, dir, corpus).collect()
+    val byCell = panel.map(r => r.getLong(0) -> r).toMap
+    assert(byCell(-2L).getLong(1) === AnnIndexOps.adaptiveCells(n).toLong)
+    assert(byCell(-3L).getLong(1) === n)
+    assert(byCell(-2L).isNullAt(2) && byCell(-2L).isNullAt(3))
+    s.catalog.clearCache()
+  }
+
+  test("non-default cell count: probe/admit/stats stay green at cells=16") {
+    val corpus = Tables.embeddings(s, sf).select("vec_id", "embedding")
+    val dir = freshDir("c16")
+    AnnIndexOps.buildAnnIndex(corpus, dir, cells = 16)
+    s.catalog.clearCache()
+    assert(s.read.parquet(s"$dir/coarse").count() === 16L)
+    assert(s.read.parquet(s"$dir/meta").head().getAs[Long]("cells") === 16L)
+    // probe: well-formed ranked lists over the resized cell layout
+    val probe = AnnIndexOps.probeAnnIndex(s, dir, corpus).collect()
+    s.catalog.clearCache()
+    assert(probe.nonEmpty)
+    val byQ = probe.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"))).groupBy(_._1)
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks === (1L to ranks.length), "ranks are 1..k, no gaps")
+      assert(ranks.length <= 5)
+    }
+    // assignment against the frozen 16-cell artifacts: every vector maps
+    // to a live cell and reconstruction error is non-negative
+    val assigned = AnnIndexOps.assignToIndex(s, dir, corpus).collect()
+    s.catalog.clearCache()
+    assert(assigned.length === corpus.count())
+    assert(assigned.forall(_.getAs[Long]("err") >= 0L))
+    assert(assigned.map(_.getAs[Long]("cell")).toSet.subsetOf((0L until 16L).toSet))
+    // health panel: membership covers the corpus, meta row reads 16
+    val panel = AnnIndexOps.annIndexStatsOf(s, dir, corpus).collect()
+    assert(panel.filter(_.getLong(0) >= 0L).map(_.getLong(1)).sum === corpus.count())
+    assert(panel.find(_.getLong(0) === -2L).get.getLong(1) === 16L)
+    s.catalog.clearCache()
+  }
+
+  test("link_prediction_indexed: no brute pair scan, scores replay from its own edge set") {
+    val out = GraphOps.linkPredictIndexed(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    s.catalog.clearCache()
+    assert(out.nonEmpty, "the indexed substrate must yield candidates")
+    // rebuild the edge set the key used (same landed index, all-queries
+    // probe) and replay the scoring in-memory — CN/RA/Jaccard must match
+    val idx = AnnIndexOps.fullIndex(s, sf)
+    val nn = AnnIndexOps.probeAnnIndex(s, idx, Tables.embeddings(s, sf),
+        topK = GraphOps.KnnK, allQueries = true).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    s.catalog.clearCache()
+    val edges = nn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val expected = adj.keys.toSeq.sorted.combinations(2).flatMap { pair =>
+      val (u, v) = (pair(0), pair(1))
+      if (edges((u, v))) None else {
+        val common = adj(u) intersect adj(v)
+        if (common.size < GraphOps.LpMinCommon) None
+        else Some((u, v, common.size.toLong,
+          common.toSeq.map(z => 1000000L / adj(z).size).sum,
+          common.size.toLong * 1000000L / (adj(u).size + adj(v).size - common.size)))
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(out.toSeq === expected, "indexed scoring must replay exactly")
+    // the substrate stays degree-bounded: max symmetrized degree ~ 2K
+    assert(adj.values.map(_.size).max <= 6 * GraphOps.KnnK,
+      "index-sourced kNN graph must stay degree-bounded")
+  }
+
+  test("indexed vs brute substrate: both recover the planted community structure") {
+    // The recall-transfer regime (the dedup_embedding_lsh precedent):
+    // the keyed embeddings are near-orthogonal noise, where "nearest"
+    // under exact cosine vs quantized ADC is arbitrary — edge-level
+    // agreement there measures nothing. Plant 16 tight groups of 8 and
+    // demand both substrates draw their kNN edges INSIDE groups: the
+    // structure link prediction actually consumes must survive the
+    // brute -> landed-index swap.
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    val bases = Array.fill(16)(Array.fill(64)(if (rng.nextBoolean()) 1f else -1f))
+    val rows = for (g <- 0 until 16; m <- 0 until 8) yield
+      ((g * 8 + m).toLong,
+        bases(g).map(x => x + (rng.nextFloat() - 0.5f) * 0.02f).toSeq)
+    val planted = rows.toDF("vec_id", "embedding")
+    val group = (id: Long) => id / 8
+    val brute = GraphOps.knnEdges(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    s.catalog.clearCache()
+    val dir = freshDir("planted")
+    AnnIndexOps.buildAnnIndex(planted, dir)
+    s.catalog.clearCache()
+    val indexed = AnnIndexOps.probeAnnIndex(s, dir, planted,
+        topK = GraphOps.KnnK, allQueries = true).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    s.catalog.clearCache()
+    assert(brute.nonEmpty && indexed.nonEmpty)
+    assert(brute.forall { case (u, v) => group(u) === group(v) },
+      "brute kNN edges must stay within planted groups")
+    assert(indexed.forall { case (u, v) => group(u) === group(v) },
+      "index-sourced kNN edges must stay within planted groups")
+    // every node participates in both substrates
+    val bruteNodes = brute.flatMap { case (u, v) => Seq(u, v) }
+    val idxNodes = indexed.flatMap { case (u, v) => Seq(u, v) }
+    assert(bruteNodes.size === 128 && idxNodes.size === 128)
+    // within the group regime the edge sets genuinely overlap
+    val inter = (brute intersect indexed).size.toDouble
+    val overlap = inter / math.min(brute.size, indexed.size)
+    assert(overlap >= 0.5,
+      s"overlap $overlap (brute=${brute.size}, indexed=${indexed.size}, inter=$inter)")
+  }
+
+  test("TempStores.fingerprint changes when a corpus file is rewritten") {
+    val d = freshDir("fp")
+    val f = java.nio.file.Paths.get(d, "t.parquet")
+    java.nio.file.Files.write(f, "aaaa".getBytes)
+    val fp1 = TempStores.fingerprint(d)
+    assert(TempStores.fingerprint(d) === fp1, "stable when untouched")
+    java.nio.file.Files.write(f, "bbbbbb".getBytes) // size change
+    assert(TempStores.fingerprint(d) !== fp1)
+    assert(TempStores.fingerprint("/nonexistent/graft") === "absent")
+  }
+}

@@ -55,10 +55,17 @@ for P in $(seq 1 "$BPASSES"); do
   echo "-- Bench sf0.1 (pass $P/$BPASSES)"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_BENCH_BUDGET="${SPARK_GRAFT_BENCH_BUDGET:-1200}" \
+    SPARK_GRAFT_BENCH_OUT="$OUT/bench$P.full.json" \
     sbt -batch "runMain graft.Bench" \
     >"$OUT/bench$P.out" 2>"$OUT/bench$P.err" || FAIL="$FAIL bench$P"
-  BENCH=$(grep -o '{"metric".*' "$OUT/bench$P.out" | tail -1)
-  echo "$BENCH" >"$OUT/bench$P.json"
+  # prefer the file artifact (full per-query map); Bench's LAST stdout
+  # line is a compact tail-safe summary, so the stdout fallback takes the
+  # FIRST metric line (the full one)
+  if [ -s "$OUT/bench$P.full.json" ]; then
+    cp "$OUT/bench$P.full.json" "$OUT/bench$P.json"
+  else
+    grep -o '{"metric".*' "$OUT/bench$P.out" | head -1 >"$OUT/bench$P.json"
+  fi
   read -r BTOTAL BFAILED BCOLD <<EOF
 $(python3 -c "
 import json,sys
