@@ -537,6 +537,30 @@ object OracleSql {
          |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rnk FROM sc)""".stripMargin
   }
 
+  /** The deterministic-walk CTE chain ending at `wu` (start, node,
+    * step) — graph_random_walks' unrolled twin, shared with `walk_pmi`
+    * (the landed walk corpus equals a from-scratch generation because
+    * the Knuth-mix neighbor choice is fully deterministic). */
+  private def randomWalksCtes: String = {
+    val steps = (1 to graft.operators.GraphOps.RwSteps).map { k =>
+      s"""w$k AS (SELECT w.start, a.dst AS node, CAST($k AS BIGINT) AS step
+         |  FROM w${k - 1} w JOIN adj a ON a.src = w.node
+         |  AND a.nb_rank = ((w.node % 1000003) * 2654435761 + $k * 40503) % a.deg)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to graft.operators.GraphOps.RwSteps)
+      .map(k => s"SELECT * FROM w$k").mkString("\n|UNION ALL ").stripMargin
+    s"""p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+       |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+       |adj AS (SELECT src, dst,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS nb_rank,
+       |  CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+       |  FROM edges),
+       |w0 AS (SELECT DISTINCT src AS start, src AS node, CAST(0 AS BIGINT) AS step FROM adj),
+       |$steps,
+       |wu AS ($union)""".stripMargin
+  }
+
   /** The link-prediction wedge-scoring tail over a `topk(src, nb)` CTE —
     * canonical edges, degrees, wedge counting with RA at the wedge,
     * Jaccard from endpoint degrees (integer divisions only). Shared by
@@ -2599,25 +2623,31 @@ object OracleSql {
     // each step unrolled as an equi-join on (node, rank) where rank =
     // ((node mod 1000003)*2654435761 + step*40503) mod deg — bounded
     // BIGINT operands, no wrap on either engine.
-    "graph_random_walks" -> {
-      val steps = (1 to graft.operators.GraphOps.RwSteps).map { k =>
-        s"""w$k AS (SELECT w.start, a.dst AS node, CAST($k AS BIGINT) AS step
-           |  FROM w${k - 1} w JOIN adj a ON a.src = w.node
-           |  AND a.nb_rank = ((w.node % 1000003) * 2654435761 + $k * 40503) % a.deg)""".stripMargin
-      }.mkString(",\n")
-      val union = (0 to graft.operators.GraphOps.RwSteps)
-        .map(k => s"SELECT * FROM w$k").mkString("\n|UNION ALL ")
-      s"""WITH p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
-         |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
-         |adj AS (SELECT src, dst,
-         |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS nb_rank,
-         |  CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
-         |  FROM edges),
-         |w0 AS (SELECT DISTINCT src AS start, src AS node, CAST(0 AS BIGINT) AS step FROM adj),
-         |$steps
-         |SELECT start, node, step FROM ($union)
-         |ORDER BY start, step""".stripMargin
+    "graph_random_walks" ->
+      s"""WITH $randomWalksCtes
+         |SELECT start, node, step FROM wu
+         |ORDER BY start, step""".stripMargin,
+
+    // walks -> skip-gram pairs -> exact-integer PMI ratio: the walk
+    // chain is graph_random_walks' twin verbatim (the landed store
+    // equals a from-scratch generation — walks are deterministic), and
+    // the panel is pure integer count arithmetic, so one oracle
+    // hash-checks the landing AND the PMI math end to end.
+    "walk_pmi" -> {
+      val w = graft.operators.GraphOps.RwWindow
+      s"""WITH $randomWalksCtes,
+         |pairs AS (SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b
+         |  FROM wu x JOIN wu y ON x.start = y.start
+         |  AND y.step > x.step AND y.step <= x.step + $w AND x.node <> y.node),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+         |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_count FROM pairs GROUP BY 1, 2),
+         |cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM
+         |  (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1)
+         |SELECT pc.a, pc.b, pc.pair_count, ca.c AS cnt_a, cb.c AS cnt_b,
+         |  (pc.pair_count * tot.n * 1000000) // (ca.c * cb.c) AS pmi_ratio_e6
+         |FROM pc CROSS JOIN tot
+         |JOIN cnt ca ON ca.node = pc.a JOIN cnt cb ON cb.node = pc.b
+         |ORDER BY a, b""".stripMargin
     },
 
     // The landed label store serves the SAME fixed point a full rebuild
@@ -3062,6 +3092,64 @@ object OracleSql {
     },
 
     // Shortest tokenization vs greedy under one learned vocabulary. The
+    // the optimal_segment step table annotated with rank costs: token
+    // freq = occurrence-weighted substring count, cost = row_number
+    // under (freq DESC, t); the fallback step fires ONLY where no
+    // 1-char vocab token matches (mirroring the kernel); reach
+    // enumerates (pos, score) states (score = cost*scale + ntok,
+    // additive per step) with UNION dedup, MIN(score) at the end is
+    // Viterbi and MIN(score % scale) the count optimum off one state
+    // set. Join-only recursion throughout.
+    "viterbi_segment" -> {
+      val n = graft.operators.TokenizerOps.NumMerges
+      val sc = graft.functions.Wordpiece.ViterbiScale
+      val mu = (0 until n).map(r => s"SELECT l, r2 FROM m$r")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH RECURSIVE ${bpeCtes(n)},
+         |vocab AS MATERIALIZED (
+         |  SELECT DISTINCT l || r2 AS t FROM ($mu)
+         |  UNION
+         |  SELECT DISTINCT w[ci] AS t FROM wf,
+         |    UNNEST(range(1, length(w)+1)) AS u(ci)),
+         |wpos AS MATERIALIZED (SELECT w, cnt, ci AS pos FROM wf,
+         |  UNNEST(range(1, length(w)+1)) AS u(ci)),
+         |occ AS (SELECT v.t, CAST(COALESCE(SUM(p.cnt), 0) AS BIGINT) AS freq
+         |  FROM vocab v LEFT JOIN wpos p
+         |    ON substr(p.w, CAST(p.pos AS INT), length(v.t)) = v.t
+         |  GROUP BY v.t),
+         |vc AS MATERIALIZED (SELECT t,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, t) AS BIGINT) AS c
+         |  FROM occ),
+         |nv AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS fb FROM vc),
+         |stp AS MATERIALIZED (
+         |  SELECT p.w, p.pos, CAST(length(vc.t) AS BIGINT) AS adv, vc.c
+         |  FROM wpos p
+         |  JOIN vc ON vc.t = substr(p.w, CAST(p.pos AS INT), length(vc.t))
+         |  UNION ALL
+         |  SELECT p.w, p.pos, CAST(1 AS BIGINT), nv.fb
+         |  FROM wpos p CROSS JOIN nv
+         |  WHERE NOT EXISTS (SELECT 1 FROM vc
+         |    WHERE vc.t = substr(p.w, CAST(p.pos AS INT), 1))),
+         |reach(w, pos, score) AS (
+         |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wf
+         |  UNION
+         |  SELECT s.w, s.pos + st.adv, s.score + st.c * $sc + 1
+         |  FROM reach s JOIN stp st ON st.w = s.w AND st.pos = s.pos),
+         |fin AS (SELECT w, MIN(score) AS vsc, MIN(score % $sc) AS w_opt
+         |  FROM reach WHERE pos = length(w) + 1 GROUP BY w),
+         |wd AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(vsc // $sc) AS BIGINT) AS vit_cost,
+         |  CAST(SUM(vsc % $sc) AS BIGINT) AS n_vit_tokens,
+         |  CAST(SUM(w_opt) AS BIGINT) AS n_opt_tokens
+         |  FROM wd JOIN fin USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_vit_tokens, vit_cost, n_opt_tokens,
+         |  (n_vit_tokens * 1000000) // n_opt_tokens AS viterbi_overhead_e6
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
     // step table generalizes wordpiece's max-advance to ALL matching
     // advances (plus the 1-char fallback, UNION-dedup'd); the reach
     // recursion enumerates (pos, ntok) STATES with UNION dedup (state

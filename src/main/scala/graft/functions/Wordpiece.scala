@@ -80,6 +80,61 @@ object Wordpiece {
 
   def minTokensEncode(word: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(MinTokensEncode(ColumnBridge.expression(word), vocab))
+
+  /** Combined-score scale for [[viterbiScore]]: score = cost·SCALE +
+    * ntok. Because every token contributes cost·SCALE + 1 additively,
+    * minimizing the scalar IS the lexicographic (total cost, token
+    * count) minimum — one DP, deterministic tie-break, and the DuckDB
+    * twin recovers both components with `// SCALE` and `% SCALE`.
+    * Safe while ntok < SCALE (words are bounded far below 10⁶ chars)
+    * and total cost < 2⁶³/SCALE. */
+  val ViterbiScale = 1000000L
+
+  /** Unigram-LM Viterbi segmentation score of one word under rank-based
+    * integer token costs (Kudo 2018's Viterbi decode with -log p
+    * replaced by frequency rank — order-preserving and integer-exact):
+    * returns min over all segmentations of Σ (cost(t)·[[ViterbiScale]]
+    * + 1). `costByLen(k)` maps tokens of length k+1 to their cost; a
+    * single character NOT in the vocabulary advances at `fallback`
+    * cost (never triggered when the vocab carries the corpus alphabet,
+    * but keeps the DP total). */
+  def viterbiScore(word: String,
+      costByLen: Array[java.util.HashMap[String, java.lang.Long]],
+      fallback: Long): Long = {
+    val n = word.length
+    if (n == 0) return 0L
+    val inf = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(inf)
+    best(0) = 0L
+    var i = 0
+    while (i < n) {
+      if (best(i) < inf) {
+        var oneChar = false
+        var len = math.min(costByLen.length, n - i)
+        while (len >= 1) {
+          val c = costByLen(len - 1).get(word.substring(i, i + len))
+          if (c ne null) { // java.lang.Long: absent is a REAL null, never
+            // an auto-unboxed 0 (which would zero-cost every substring)
+            if (len == 1) oneChar = true
+            val cand = best(i) + c.longValue() * ViterbiScale + 1L
+            if (cand < best(i + len)) best(i + len) = cand
+          }
+          len -= 1
+        }
+        if (!oneChar) { // off-vocabulary character: fallback advance
+          val cand = best(i) + fallback * ViterbiScale + 1L
+          if (cand < best(i + 1)) best(i + 1) = cand
+        }
+      }
+      i += 1
+    }
+    best(n)
+  }
+
+  def viterbiScoreEncode(word: Column, vocabCosts: Seq[(String, Long)],
+      fallback: Long): Column =
+    ColumnBridge.column(ViterbiScoreEncode(ColumnBridge.expression(word),
+      vocabCosts, fallback))
 }
 
 /** Shortest-tokenization token COUNT under a learned flat vocabulary —
@@ -113,6 +168,48 @@ case class MinTokensEncode(child: Expression, vocab: Seq[String])
     // explicit .longValue(): ev.value is a primitive long slot, and the
     // object-cast-only form would lean on Janino auto-unboxing (ADVICE
     // r11 — a silent interpreted fallback if Janino ever rejects it)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = " +
+      s"((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unigram-LM Viterbi combined score (cost·[[Wordpiece.ViterbiScale]] +
+  * ntok, minimized jointly — see [[Wordpiece.viterbiScore]]) under a
+  * learned (token → integer cost) table baked into the plan. */
+case class ViterbiScoreEncode(child: Expression,
+    vocabCosts: Seq[(String, Long)], fallback: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_viterbi_score"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string word, got ${other.simpleString}")
+    }
+
+  @transient private lazy val costByLen: Array[java.util.HashMap[String, java.lang.Long]] = {
+    val maxLen = if (vocabCosts.isEmpty) 1 else vocabCosts.map(_._1.length).max
+    val buckets = Array.fill(maxLen)(new java.util.HashMap[String, java.lang.Long]())
+    vocabCosts.foreach { case (t, c) =>
+      if (t.nonEmpty) buckets(t.length - 1).put(t, java.lang.Long.valueOf(c)) }
+    buckets
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Wordpiece.viterbiScore(v.asInstanceOf[UTF8String].toString, costByLen,
+      fallback)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vitEnc", this, classOf[ViterbiScoreEncode].getName)
+    // explicit .longValue(): ev.value is a primitive long slot (the
+    // MinTokensEncode convention)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = " +
       s"((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
   }

@@ -623,6 +623,83 @@ object GraphOps {
     out.orderBy("start", "step")
   }
 
+  // ---------- landed walk corpus + skip-gram PMI panel ----------
+
+  /** Skip-gram context window over the walk corpus: a pair is two walk
+    * positions at most this many steps apart (the DeepWalk/word2vec
+    * window applied to node sequences). At [[RwSteps]] = 3 each walk
+    * contributes ≤ 5 pairs — pair volume is O(walks·window·length),
+    * linear in the corpus. */
+  val RwWindow = 2
+
+  /** Per-JVM memo of landed walk corpora (the [[graphLabelProbe]]
+    * convention): walks are GENERATED once per corpus and landed as a
+    * date-partitioned parquet artifact; every keyed call afterwards is
+    * a pure read. Deterministic walks make the landing replayable — a
+    * rebuild produces byte-identical rows. */
+  private val builtWalkStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Land the walk corpus for `dir` under a scratch store (dated
+    * partition, the parquet_sink key convention) and return the store
+    * path — exposed so jobs can land walks under a real warehouse
+    * path too. */
+  def landWalkCorpus(s: SparkSession, dir: String, base: String): String = {
+    graphRandomWalks(s, dir)
+      .withColumn("walk_date", current_date())
+      .write.mode("overwrite").partitionBy("walk_date")
+      .parquet(s"$base/walks")
+    base
+  }
+
+  /** walk_pmi — skip-gram co-occurrence counts with an exact-integer
+    * PMI ratio over the LANDED walk corpus: the walks → pairs → PMI
+    * panel that decides which node pairs a DeepWalk-style embedding
+    * would pull together (word2vec's SGNS objective factorizes exactly
+    * this shifted PMI matrix — Levy & Goldberg, NeurIPS 2014).
+    *
+    * Pairs are walk positions ≤ [[RwWindow]] steps apart with distinct
+    * endpoints, canonicalized (a < b). `pmi_ratio_e6` is the PMI's
+    * argument scaled e6 BEFORE the log — (pair_count · total_pairs ·
+    * 1e6) div (cnt_a · cnt_b) with slot counts from the same pair set —
+    * integer-exact cross-engine, monotone with PMI (log is monotone),
+    * so ranking and thresholding need no float anywhere.
+    *
+    * Scale shape: the landed read is O(walk rows); the pair build is a
+    * start-keyed self-join whose per-walk fan-out is the fixed ≤ 5;
+    * counts are two partial-agg groupBys plus one broadcast single-row
+    * total — nothing is quadratic in nodes or edges. */
+  def walkPmi(s: SparkSession, dir: String): DataFrame = {
+    val base = builtWalkStores.computeIfAbsent(
+      s"$dir@${graft.TempStores.fingerprint(dir)}",
+      _ => landWalkCorpus(s, dir, graft.TempStores.scratchDir("graft_walkstore")))
+    walkPmiOf(s.read.parquet(s"$base/walks").select("start", "node", "step"))
+  }
+
+  /** Panel core over any (start, node, step) walk frame. */
+  def walkPmiOf(walks: DataFrame): DataFrame = {
+    val x = walks.select(col("start"), col("node").as("na"), col("step").as("sa"))
+    val y = walks.select(col("start"), col("node").as("nb"), col("step").as("sb"))
+    val pairs = x.join(y, Seq("start"))
+      .filter(col("sb") > col("sa") && col("sb") <= col("sa") + RwWindow &&
+        col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = pairs.agg(count(lit(1)).as("total_pairs"))
+    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("pair_count"))
+    val cnt = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("c"))
+    pc.join(cnt.select(col("node").as("a"), col("c").as("cnt_a")), Seq("a"))
+      .join(cnt.select(col("node").as("b"), col("c").as("cnt_b")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("pair_count"), col("cnt_a"), col("cnt_b"),
+        expr("(pair_count * total_pairs * 1000000) div (cnt_a * cnt_b)")
+          .as("pmi_ratio_e6"))
+      .orderBy("a", "b")
+  }
+
   /** Power iteration in e12 fixed point over an explicit (src, dst) edge
     * frame. Every node must appear as a src (symmetrize first): the
     * node set, degrees, and seed ranks all derive from the edge list.

@@ -235,4 +235,74 @@ object TokenizerOps {
           .as("greedy_overhead_e6"))
       .orderBy("doc_id")
   }
+
+  /** Rank-based token costs for the unigram-LM Viterbi segmenter: a
+    * token's corpus frequency is its occurrence-weighted substring
+    * count (Σ over word occurrences of how often the token appears in
+    * the word), and its COST is its 1-based rank under (freq DESC,
+    * token ASC) — the order -log p would induce, kept integer-exact
+    * (SURVEY §7.19: e6 log-counts would break cross-engine exactness;
+    * rank preserves the order and stays a BIGINT). Returns the
+    * vocab-bounded (token, cost) table — the same O(vocab) collect
+    * justification as bpeTrain's argmax. */
+  private def rankCosts(s: SparkSession, vocab: Seq[String],
+      words: DataFrame): Seq[(String, Long)] = {
+    import s.implicits._
+    val wf = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val pos = wf.select(col("w"), col("cnt"),
+      explode(expr("sequence(1, length(w))")).as("p"))
+    val vocabDf = vocab.toDF("t")
+    val freq = pos.join(broadcast(vocabDf),
+        expr("substring(w, p, length(t)) = t"))
+      .groupBy("t").agg(sum(col("cnt")).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vocab.map(t => (t, freq.getOrElse(t, 0L)))
+      .sortBy { case (t, f) => (-f, t) }
+      .zipWithIndex.map { case ((t, _), i) => (t, i + 1L) }
+  }
+
+  /** viterbi_segment — the fourth segmenter panel: unigram-LM Viterbi
+    * decoding (Kudo 2018, the SentencePiece inference rule) under the
+    * same learned vocabulary, with -log p replaced by the integer
+    * frequency RANK ([[rankCosts]]). Viterbi minimizes total token
+    * cost — preferring frequent subwords — which is a genuinely third
+    * objective: it can reject both greedy MaxMatch's longest-first
+    * choice and the shortest-tokenization count (spec-planted), and
+    * `viterbi_overhead_e6 = n_vit·1e6 div n_opt ≥ 1e6` measures the
+    * sequence-length premium the likelihood objective pays vs the
+    * count optimum. The native kernel minimizes ONE combined scalar
+    * (cost·[[Wordpiece.ViterbiScale]] + ntok — additive per token, so
+    * the scalar minimum IS the lexicographic (cost, ntok) minimum),
+    * making the tie-break deterministic cross-engine.
+    *
+    * Scale shape: identical to [[optimalSegment]] — one vocab-bounded
+    * training pass, one vocab-bounded cost table (collected like the
+    * bpeTrain argmax), the DP once per DISTINCT word as a native
+    * kernel, counts joined back to occurrences.
+    *
+    * Oracle: the optimal_segment step table annotated with the rank
+    * cost (the fallback row fires only where no single-char vocab
+    * token matches, mirroring the kernel), reachable (pos, score)
+    * states with UNION dedup, MIN(score) at pos = len+1; the count
+    * optimum reads MIN(score % scale) off the SAME state set. */
+  def viterbiSegment(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab, words, distinctWords) = learnedVocab(s, dir)
+    val costs = rankCosts(s, vocab, words)
+    val fallback = vocab.size + 1L
+    val sc = Wordpiece.ViterbiScale
+    val wordToks = distinctWords.select(col("w"),
+      Wordpiece.viterbiScoreEncode(col("w"), costs, fallback).as("vsc"),
+      Wordpiece.minTokensEncode(col("w"), vocab).as("w_opt"))
+    words.join(wordToks, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr(s"vsc div $sc")).as("vit_cost"),
+        sum(expr(s"vsc % $sc")).as("n_vit_tokens"),
+        sum(col("w_opt")).as("n_opt_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_vit_tokens"),
+        col("vit_cost"), col("n_opt_tokens"),
+        expr("(n_vit_tokens * 1000000) div n_opt_tokens")
+          .as("viterbi_overhead_e6"))
+      .orderBy("doc_id")
+  }
 }

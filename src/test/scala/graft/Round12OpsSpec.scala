@@ -163,6 +163,89 @@ class Round12OpsSpec extends AnyFunSuite {
       s"overlap $overlap (brute=${brute.size}, indexed=${indexed.size}, inter=$inter)")
   }
 
+  test("viterbiScore: planted case where Viterbi != greedy != optimal-count") {
+    import graft.functions.Wordpiece
+    // vocab {a,b,c,d,ab,bcd}: greedy("abcd") = ab|c|d = 3 tokens,
+    // optimal count = a|bcd = 2; with cheap chars and expensive
+    // multi-char tokens Viterbi takes a|b|c|d = 4 — three segmenters,
+    // three different answers on one word
+    val vocab = Seq("a", "b", "c", "d", "ab", "bcd")
+    val costs = Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L,
+      "ab" -> 9L, "bcd" -> 9L)
+    val maxLen = 3
+    val sets = Array.fill(maxLen)(new java.util.HashSet[String]())
+    vocab.foreach(t => sets(t.length - 1).add(t))
+    val maps = Array.fill(maxLen)(new java.util.HashMap[String, java.lang.Long]())
+    costs.foreach { case (t, c) => maps(t.length - 1).put(t, c) }
+    assert(Wordpiece.segment("abcd", sets).length === 3, "greedy ab|c|d")
+    assert(Wordpiece.minTokens("abcd", sets) === 2L, "optimal a|bcd")
+    val sc = Wordpiece.viterbiScore("abcd", maps, 7L)
+    assert(sc % Wordpiece.ViterbiScale === 4L, "Viterbi a|b|c|d on costs")
+    assert(sc / Wordpiece.ViterbiScale === 4L, "total cost 4x1")
+    // combined-scalar tie-break: equal cost prefers fewer tokens
+    val maps2 = Array.fill(2)(new java.util.HashMap[String, java.lang.Long]())
+    Seq("a" -> 2L, "b" -> 2L, "ab" -> 4L).foreach { case (t, c) =>
+      maps2(t.length - 1).put(t, c) }
+    val sc2 = Wordpiece.viterbiScore("ab", maps2, 7L)
+    assert(sc2 / Wordpiece.ViterbiScale === 4L && sc2 % Wordpiece.ViterbiScale === 1L,
+      "cost tie (a|b = ab = 4) resolves to the 1-token segmentation")
+    // fallback fires only for off-vocabulary characters
+    val sc3 = Wordpiece.viterbiScore("ax", maps2, 7L)
+    assert(sc3 / Wordpiece.ViterbiScale === 9L && sc3 % Wordpiece.ViterbiScale === 2L)
+    assert(Wordpiece.viterbiScore("", maps2, 7L) === 0L)
+  }
+
+  test("viterbi_segment keyed run: viterbi count bounded below by the optimum") {
+    val rows = graft.operators.TokenizerOps.viterbiSegment(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    s.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, nWords, nVit, vitCost, nOpt, over) =>
+      assert(nVit >= nOpt, s"doc $docId: viterbi can never beat the count optimum")
+      assert(nVit >= nWords, s"doc $docId: at least one token per word")
+      assert(vitCost >= nVit, s"doc $docId: every token costs >= 1")
+      assert(over === nVit * 1000000L / nOpt, s"doc $docId overhead arithmetic")
+    }
+  }
+
+  test("walk_pmi: exact replay on a planted walk set") {
+    import s.implicits._
+    // two walks of length 4 (steps 0..3), window 2
+    val walks = Seq(
+      (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 2L, 3L),
+      (9L, 2L, 0L), (9L, 3L, 1L), (9L, 2L, 2L), (9L, 4L, 3L))
+      .toDF("start", "node", "step")
+    val out = GraphOps.walkPmiOf(walks).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    s.catalog.clearCache()
+    // pairs within window 2, distinct endpoints, canonical:
+    // walk1: (1,2)@0-1 (1,3)@0-2 (2,3)@1-2 (3,2)->(2,3)@2-3  [skip (2,2)@1-3]
+    // walk2: (2,3)@0-1 [skip (2,2)@0-2] (3,2)->(2,3)@1-2 (3,4)@1-3 (2,4)@2-3
+    // totals: 8 pairs; pc(2,3)=4, pc(1,2)=1, pc(1,3)=1, pc(3,4)=1, pc(2,4)=1
+    // slots: cnt(1)=2 cnt(2)=6 cnt(3)=6 cnt(4)=2
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L)))
+    assert(out((2L, 3L)) === ((4L, 6L, 6L, 4L * 8L * 1000000L / 36L)))
+    assert(out((1L, 2L)) === ((1L, 2L, 6L, 8L * 1000000L / 12L)))
+    assert(out((1L, 3L)) === ((1L, 2L, 6L, 8L * 1000000L / 12L)))
+    assert(out((3L, 4L)) === ((1L, 6L, 2L, 8L * 1000000L / 12L)))
+    assert(out((2L, 4L)) === ((1L, 6L, 2L, 8L * 1000000L / 12L)))
+  }
+
+  test("landWalkCorpus: landed store equals a fresh generation") {
+    val base = freshDir("walks")
+    GraphOps.landWalkCorpus(s, sf, base)
+    val landed = s.read.parquet(s"$base/walks")
+      .select("start", "node", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val fresh = GraphOps.graphRandomWalks(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    s.catalog.clearCache()
+    assert(landed === fresh, "deterministic walks: landing is replayable")
+    assert(landed.nonEmpty)
+  }
+
   test("TempStores.fingerprint changes when a corpus file is rewritten") {
     val d = freshDir("fp")
     val f = java.nio.file.Paths.get(d, "t.parquet")
