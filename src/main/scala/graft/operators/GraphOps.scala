@@ -598,6 +598,16 @@ object GraphOps {
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    randomWalksOnPairs(pairs)
+  }
+
+  /** Walk core over any two-column canonical pair frame — exposed so
+    * walks can re-derive from the LANDED edge store (the streaming
+    * admission twin lands `edges/` alongside `labels/`; deterministic
+    * walks mean store-derived and from-scratch corpora are equal,
+    * spec-pinned). */
+  def randomWalksOnPairs(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.toDF("c", "s")
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     val wAdj = Window.partitionBy("src").orderBy("dst")

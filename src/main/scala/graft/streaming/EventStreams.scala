@@ -483,6 +483,27 @@ object EventStreams {
     }
     if (!new java.io.File(tmp).renameTo(dir))
       throw new IllegalStateException(s"label swap failed: $tmp -> $labelsPath")
+    // Land the EDGE SET too (round 12): labels answer "which component",
+    // but PPR and walk generation need degrees — both re-derive from
+    // `edges/` with zero extra stream state (walks are deterministic,
+    // PPR seeds come from the dims), the parity Round12OpsSpec pins.
+    // Append is idempotent the admitToIndex way: anti-join the batch
+    // against landed edges so a replayed delivery appends nothing —
+    // a duplicate edge row would silently shift every degree-derived
+    // number downstream.
+    val edgesPath = s"$baseDir/edges"
+    val canon = batch
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b")).distinct()
+    val freshEdges =
+      if (new java.io.File(edgesPath).exists())
+        // eager localCheckpoint: the anti-join reads edgesPath, and the
+        // append below writes it — materialize fully before touching
+        // the store (the labels-fold read-under-write lesson above)
+        canon.join(s.read.parquet(edgesPath), Seq("doc_a", "doc_b"), "left_anti")
+          .localCheckpoint()
+      else canon
+    freshEdges.write.mode("append").parquet(edgesPath)
     s.catalog.clearCache()
   }
 

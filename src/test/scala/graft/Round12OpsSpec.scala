@@ -246,6 +246,42 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(landed.nonEmpty)
   }
 
+  test("graph store lands edges: PPR and walks re-derive, replay appends nothing") {
+    import s.implicits._
+    val base = freshDir("gstore")
+    // two planted batches sharing an edge (the replay hazard: a
+    // duplicate row would shift degrees and with them every
+    // degree-derived number downstream)
+    val b1 = Seq((2L, 11L), (2L, 13L), (4L, 11L)).toDF("doc_a", "doc_b")
+    val b2 = Seq((2L, 11L), (4L, 13L), (6L, 15L)).toDF("doc_a", "doc_b")
+    graft.streaming.EventStreams.admitGraphBatch(b1, 0L, base)
+    graft.streaming.EventStreams.admitGraphBatch(b2, 1L, base)
+    graft.streaming.EventStreams.admitGraphBatch(b1, 2L, base) // replay
+    val landed = s.read.parquet(s"$base/edges")
+    val landedSet = landed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(landedSet.length === 5, "replayed batch must not re-append")
+    assert(landedSet.toSet === Set((2L, 11L), (2L, 13L), (4L, 11L),
+      (4L, 13L), (6L, 15L)))
+    // probe-after-admission equality: walks and PPR over the landed
+    // edge set equal a from-scratch run over the logical union
+    val union = b1.union(b2).distinct()
+    val wStore = GraphOps.randomWalksOnPairs(landed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val wFresh = GraphOps.randomWalksOnPairs(union).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(wStore === wFresh && wStore.nonEmpty)
+    val seeds = Seq(2L).toDF("node")
+    def sym(p: org.apache.spark.sql.DataFrame) =
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val pStore = GraphOps.pprOnEdges(sym(landed), seeds, GraphOps.PRIterations)
+      .collect().map(r => (r.getAs[Long]("node"), r.get(1).toString)).sorted.toSeq
+    val pFresh = GraphOps.pprOnEdges(sym(union), seeds, GraphOps.PRIterations)
+      .collect().map(r => (r.getAs[Long]("node"), r.get(1).toString)).sorted.toSeq
+    assert(pStore === pFresh && pStore.nonEmpty)
+    s.catalog.clearCache()
+  }
+
   test("TempStores.fingerprint changes when a corpus file is rewritten") {
     val d = freshDir("fp")
     val f = java.nio.file.Paths.get(d, "t.parquet")
