@@ -2628,6 +2628,45 @@ object OracleSql {
          |SELECT start, node, step FROM wu
          |ORDER BY start, step""".stripMargin,
 
+    // second-order biased walks: per step, the dst-ordered neighbors of
+    // `cur` carry integer node2vec weights (return 3 / triadic 6 /
+    // outward 2 — the triadic test is a keyed LEFT-join edge-existence
+    // probe on (prev, dst)); the walk takes the neighbor whose
+    // cumulative-weight interval contains the Knuth-mix draw mod
+    // total weight. Exact BIGINT end to end — both engines compute the
+    // identical CDF and draw. Step 1 runs with prev = -1 (matches
+    // nothing -> uniform outward weights), the node2vec convention.
+    "node2vec_walks" -> {
+      val (rw, tw, ow) = (graft.operators.GraphOps.N2vReturnW,
+        graft.operators.GraphOps.N2vTriadW, graft.operators.GraphOps.N2vOutW)
+      val steps = (1 to graft.operators.GraphOps.RwSteps).map { k =>
+        s"""c$k AS (SELECT f.start, f.prev, f.cur, a.dst,
+           |  CASE WHEN a.dst = f.prev THEN $rw
+           |       WHEN t.d IS NOT NULL THEN $tw
+           |       ELSE $ow END AS wt
+           |  FROM f${k - 1} f JOIN edges a ON a.src = f.cur
+           |  LEFT JOIN tri t ON t.p = f.prev AND t.d = a.dst),
+           |s$k AS (SELECT *, SUM(wt) OVER (PARTITION BY start ORDER BY dst) AS cum,
+           |  SUM(wt) OVER (PARTITION BY start) AS tot FROM c$k),
+           |f$k AS (SELECT start, cur AS prev, dst AS cur FROM s$k
+           |  WHERE cum - wt <= ((cur % 1000003) * 2654435761 + $k * 40503) % tot
+           |    AND ((cur % 1000003) * 2654435761 + $k * 40503) % tot < cum)""".stripMargin
+      }.mkString(",\n")
+      val union = (s"SELECT start, cur AS node, CAST(0 AS BIGINT) AS step FROM f0" +:
+        (1 to graft.operators.GraphOps.RwSteps).map(k =>
+          s"SELECT start, cur AS node, CAST($k AS BIGINT) AS step FROM f$k"))
+        .mkString("\nUNION ALL ")
+      s"""WITH p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+         |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+         |tri AS (SELECT src AS p, dst AS d FROM edges),
+         |f0 AS (SELECT DISTINCT src AS start, CAST(-1 AS BIGINT) AS prev,
+         |  src AS cur FROM edges),
+         |$steps
+         |SELECT start, node, step FROM ($union)
+         |ORDER BY start, step""".stripMargin
+    },
+
     // walks -> skip-gram pairs -> exact-integer PMI ratio: the walk
     // chain is graph_random_walks' twin verbatim (the landed store
     // equals a from-scratch generation — walks are deterministic), and

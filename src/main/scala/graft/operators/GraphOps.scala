@@ -633,6 +633,96 @@ object GraphOps {
     out.orderBy("start", "step")
   }
 
+  /** node2vec bias weights, pre-scaled to integers: the second-order
+    * transition weight α(prev, x) is 1/P when x = prev (return), 1 when
+    * x neighbors prev (triadic), 1/Q otherwise (outward) — multiplied
+    * through by P·Q so the chooser arithmetic stays exact BIGINT:
+    * return → Q, triadic → P·Q, outward → P. P = 2, Q = 3 keeps all
+    * three weights distinct (3 / 6 / 2), a genuinely second-order
+    * policy the spec can discriminate from uniform. */
+  val N2vReturnW = 3L   // = Q
+  val N2vTriadW = 6L    // = P·Q
+  val N2vOutW = 2L      // = P
+
+  /** node2vec_walks — SECOND-ORDER biased walks (Grover–Leskovec 2016
+    * §3.2) over the co-purchase graph, one walk per node, fully
+    * deterministic: at step i from `cur` with predecessor `prev`, each
+    * dst-ordered neighbor carries its integer bias weight
+    * ([[N2vReturnW]]/[[N2vTriadW]]/[[N2vOutW]]), and the walk takes the
+    * neighbor whose cumulative-weight interval contains
+    * ((cur mod 1000003)·2654435761 + i·40503) mod Σweights — the
+    * [[graphRandomWalks]] Knuth mix applied to a weighted CDF instead
+    * of a uniform rank, so both engines reproduce the identical draw.
+    * Step 1 has no predecessor: prev = −1 matches nothing, every
+    * neighbor weighs [[N2vOutW]], and the CDF pick degenerates to
+    * uniform (the node2vec convention).
+    *
+    * Scale shape per step: one equi-join of the O(nodes) frontier
+    * against the persisted adjacency (O(edges) scanned), one
+    * LEFT-join edge-existence probe for the triadic test (keyed on
+    * (prev, dst) — never a cross product), and two windows PARTITIONED
+    * by walk id over ≤ deg(cur) candidate rows each — bounded by the
+    * max degree, never by the corpus. */
+  def graphNode2vecWalks(s: SparkSession, dir: String): DataFrame =
+    graphNode2vecWalksFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Core on any lineitem/orders-shaped frames. */
+  def graphNode2vecWalksFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_suppkey")
+    val ord = orders.select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    node2vecWalksOnPairs(pairs)
+  }
+
+  /** Walk core over any two-column canonical pair frame. */
+  def node2vecWalksOnPairs(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.toDF("c", "s")
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // triadic probe side: (p, d) so the existence join keys don't
+    // collide with the candidate columns
+    val tri = edges.select(col("src").as("p"), col("dst").as("d"),
+      lit(1L).as("is_tri"))
+    var frontier = edges.select(col("src").as("start")).distinct()
+      .select(col("start"), lit(-1L).as("prev"), col("start").as("cur"))
+    var out = frontier.select(col("start"), col("cur").as("node"),
+      lit(0L).as("step"))
+    // distinct column names per role: edges feeds BOTH the candidate
+    // expansion and the triadic probe (a self-join Spark would flag as
+    // ambiguous under shared attribute ids)
+    val adj = edges.select(col("src").as("a_src"), col("dst").as("a_dst"))
+    var i = 1
+    while (i <= RwSteps) {
+      val cand = frontier.join(adj, frontier("cur") === col("a_src"))
+        .join(tri, col("prev") === col("p") && col("a_dst") === col("d"),
+          "left")
+        .select(col("start"), col("prev"), col("cur"), col("a_dst").as("dst"),
+          when(col("a_dst") === col("prev"), lit(N2vReturnW))
+            .when(col("is_tri").isNotNull, lit(N2vTriadW))
+            .otherwise(lit(N2vOutW)).as("wt"))
+      val wCum = Window.partitionBy("start").orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("start")
+      val picked = cand
+        .withColumn("cum", sum(col("wt")).over(wCum))
+        .withColumn("tot", sum(col("wt")).over(wTot))
+        .withColumn("r", pmod(
+          (col("cur") % 1000003L) * 2654435761L + lit(i.toLong * 40503L),
+          col("tot")))
+        .filter(col("cum") - col("wt") <= col("r") && col("r") < col("cum"))
+      frontier = picked.select(col("start"), col("cur").as("prev"),
+        col("dst").as("cur"))
+      out = out.union(frontier.select(col("start"), col("cur").as("node"),
+        lit(i.toLong).as("step")))
+      i += 1
+    }
+    out.orderBy("start", "step")
+  }
+
   // ---------- landed walk corpus + skip-gram PMI panel ----------
 
   /** Skip-gram context window over the walk corpus: a pair is two walk

@@ -282,6 +282,67 @@ class Round12OpsSpec extends AnyFunSuite {
     s.catalog.clearCache()
   }
 
+  test("node2vec_walks: planted replay against an independent CDF implementation") {
+    import s.implicits._
+    val pairs = Seq((2L, 11L), (2L, 13L), (4L, 11L)).toDF("c", "s")
+    val out = GraphOps.node2vecWalksOnPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    s.catalog.clearCache()
+    val adj = Map(2L -> Seq(11L, 13L), 4L -> Seq(11L),
+      11L -> Seq(2L, 4L), 13L -> Seq(2L))
+    val eset = Set((2L, 11L), (11L, 2L), (2L, 13L), (13L, 2L),
+      (4L, 11L), (11L, 4L))
+    var sawBias = false
+    def walk(start: Long): Seq[Long] = {
+      var prev = -1L; var cur = start
+      var path = Seq(start)
+      (1 to GraphOps.RwSteps).foreach { i =>
+        val ns = adj(cur)
+        val wts = ns.map(x =>
+          if (x == prev) GraphOps.N2vReturnW
+          else if (eset((prev, x))) GraphOps.N2vTriadW
+          else GraphOps.N2vOutW)
+        if (wts.distinct.size > 1) sawBias = true
+        val tot = wts.sum
+        val r = ((cur % 1000003L) * 2654435761L + i * 40503L) % tot
+        var cum = 0L; var pick = -1L
+        ns.zip(wts).foreach { case (x, w) =>
+          if (pick < 0) { cum += w; if (r < cum) pick = x } }
+        prev = cur; cur = pick; path = path :+ cur
+      }
+      path
+    }
+    val expected = adj.keys.map(st => st -> walk(st)).toMap
+    val byStart = out.groupBy(_._1)
+    assert(byStart.keySet === adj.keySet)
+    byStart.foreach { case (st, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L to GraphOps.RwSteps.toLong))
+      assert(rows.sortBy(_._3).map(_._2).toSeq === expected(st), s"start $st")
+    }
+    assert(sawBias, "the planted graph must exercise a non-uniform CDF")
+  }
+
+  test("node2vec_walks keyed run: walks follow real edges, one per node") {
+    val rows = GraphOps.graphNode2vecWalks(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    s.catalog.clearCache()
+    assert(rows.nonEmpty)
+    val byStart = rows.groupBy(_._1)
+    // walks alternate bipartite sides (even customer / odd supplier)
+    byStart.foreach { case (st, rs) =>
+      val path = rs.sortBy(_._3).map(_._2).toSeq
+      assert(path.length === GraphOps.RwSteps + 1)
+      assert(path.head === st)
+      path.sliding(2).foreach { p =>
+        assert((p(0) + p(1)) % 2 === 1L, "co-purchase edges are bipartite") }
+    }
+    // determinism: a second run is byte-identical
+    val again = GraphOps.graphNode2vecWalks(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    s.catalog.clearCache()
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("TempStores.fingerprint changes when a corpus file is rewritten") {
     val d = freshDir("fp")
     val f = java.nio.file.Paths.get(d, "t.parquet")
