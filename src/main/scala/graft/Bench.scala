@@ -7,6 +7,25 @@ package graft
   * column pruning. Failures are reported as -1 (never a small positive
   * time). */
 object Bench {
+
+  /** Wall-clock budget default, scaled with the surface so it never
+    * needs hand re-sizing again (rounds 6, 10 and 12 each burned a run
+    * on a fixed constant the surface had outgrown): ~8 s/key covers the
+    * measured ≈1.8 s/key warm mean at sf0.1 plus the heavy prefix's
+    * build passes, with the 1500 s historical floor kept as a minimum. */
+  def defaultBudgetSec(nQueries: Int): Double = math.max(1500.0, 8.0 * nQueries)
+
+  /** Warm-pass replay order: CHEAPEST pass-1 time first. When the budget
+    * runs dry mid-pass, the keys left cold are exactly the expensive
+    * prefix — where a cold single rep is already within tens of percent
+    * of warm — instead of the cheap tail, where a cold rep inflates the
+    * recorded number 10–100× (round 12: 185/199 tail keys recorded cold,
+    * hybrid_retrieval at 198.5 s vs 1.6 s warm, because warmups ran in
+    * heavy-first encounter order and the budget died after 14 keys).
+    * Failed keys (t < 0) are excluded — re-running them re-fails. */
+  def warmOrder(pass1: Seq[(String, Double)]): Seq[String] =
+    pass1.filter(_._2 >= 0).sortBy { case (k, t) => (t, k) }.map(_._1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,8 +34,6 @@ object Bench {
     // per-query timings.
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
-    // Two timed passes per query, keep the min: single runs on a shared
-    // box are noisy, and the min is the best estimate of steady-state cost.
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -32,25 +49,21 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    // optional second timed passes stop once the wall-clock budget is
-    // spent, so a slow box degrades to warmup+single-pass timings instead
-    // of risking a harness timeout with no output at all. 1500s covers
-    // 173 queries × 3 executions at sf0.1 with headroom (round-6 lesson:
-    // 480 exhausted mid-run and recorded 43 cold single-reps; round-10
-    // lesson: 900 ran dry at the grown 173-key surface and left 34 cold
-    // tail entries — re-size the budget when the surface grows).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toDouble
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse(defaultBudgetSec(SparkEntry.queries.size))
     val wall0 = System.nanoTime()
     def elapsed = (System.nanoTime() - wall0) / 1e9
-    // Steady-state-heaviest keys run FIRST: if the budget ever runs dry,
-    // the degradation lands on the cheap alphabetical tail — where a cold
-    // single rep inflates the recorded number by tenths of a second, not
-    // tens (round-6: steam_pipeline cold 37.7s vs 2.25s warm).
+    // PASS 1 — every key timed exactly once, unconditionally: whatever
+    // the box does, each key always gets a recorded number. Heaviest
+    // keys run first so the memoized one-off index/store builds land on
+    // the keys whose documented contract owns them (the probe-key
+    // convention), not on whichever cheap key touches the shared memo
+    // first.
     val heavyFirst = Seq("graph_pagerank", "graph_components",
       "graph_components_incremental", "graph_triangles",
       "graph_label_prop", "graph_bfs", "graph_label_probe", "link_prediction",
       "link_prediction_indexed", "graph_ppr", "graph_random_walks", "walk_pmi",
-      "node2vec_walks", "viterbi_segment",
+      "node2vec_walks", "node2vec_pmi", "viterbi_segment",
       "ann_ivf_sq", "span_scrub", "dedup_clusters",
       "dedup_survivors", "hybrid_retrieval", "hybrid_retrieval_ivf",
       "mmr_diversify", "maxsim_retrieval", "retrieval_index_probe",
@@ -63,36 +76,47 @@ object Bench {
       "repeated_spans", "steam_pipeline", "zorder_layout", "dedup_minhash_verified",
       "dedup_minhash_incremental", "quantile_sketch", "text_tfidf", "bm25_topk",
       "dedup_ngram_jaccard")
-    val order = heavyFirst.filter(SparkEntry.queries.contains) ++
-      SparkEntry.queries.keys.toSeq.filterNot(heavyFirst.contains).sorted
-    val results = order.map(k => (k, SparkEntry.queries(k))).map { case (name, fn) =>
-      // UNTIMED warmup execution per query: the first run pays per-query
-      // codegen, JIT and transient box load (measured 3.4s→0.9s rep1→rep2
-      // drops), which must never dominate a recorded number. BOTH the
-      // warmup and the min-of-2 second rep are budget-gated — on a badly
-      // contended box the run degrades to one timed pass per query (the
-      // pre-warmup behavior) instead of risking a harness timeout with no
-      // JSON line at all; only the single timed rep is unconditional.
-      val warmed = elapsed <= budgetSec
-      if (warmed) once(name, fn) // warmup result deliberately unused:
-      // even a transient warmup failure must not mask the timed rep —
-      // the single timed rep really is unconditional
-      val a = once(name, fn)
-      val b = if (a < 0 || elapsed > budgetSec) a else math.min(a, once(name, fn))
-      (name, b, warmed)
+    // dev-only comma-separated key filter (degradation-order tests, quick
+    // pins); the driver sets no filter and times the full surface
+    val onlyB = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val order = (heavyFirst.filter(SparkEntry.queries.contains) ++
+      SparkEntry.queries.keys.toSeq.filterNot(heavyFirst.contains).sorted)
+      .filter(k => onlyB.forall(_.contains(k)))
+    val pass1 = order.map { name => (name, once(name, SparkEntry.queries(name))) }
+    // PASSES 2–3 — warm re-reps, cheapest-first (see warmOrder), each
+    // rep gated on the remaining wall budget; the recorded number is the
+    // min over every rep a key got. Pass 1 already paid per-key codegen
+    // and JIT, so a pass-2 rep IS a warm measurement (the old untimed
+    // warmup's role), and pass 3 restores the min-of-2-warm protocol for
+    // every key the budget still covers.
+    val best = scala.collection.mutable.Map(pass1: _*)
+    val warmed = scala.collection.mutable.Set.empty[String]
+    val replay = warmOrder(pass1)
+    var pass = 2
+    while (pass <= 3 && elapsed <= budgetSec) {
+      replay.iterator.takeWhile(_ => elapsed <= budgetSec).foreach { name =>
+        val t = once(name, SparkEntry.queries(name))
+        if (t >= 0 && t < best(name)) best(name) = t
+        if (t >= 0) warmed += name
+      }
+      pass += 1
     }
+    val results = pass1.map { case (name, _) =>
+      (name, best(name), warmed.contains(name)) }
     val qs = results.sortBy(_._1).map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    // names whose recorded number is a cold-start single rep (warmup was
-    // budget-skipped) — empty on a healthy run; consumers must treat
-    // these as upper bounds, not steady-state
+    // names whose recorded number is a cold-start single rep (no warm
+    // re-rep fit the budget) — empty on a healthy run; consumers must
+    // treat these as upper bounds, not steady-state. By construction
+    // (cheapest-first replay) any non-empty cold set is a suffix of the
+    // pass-1 cost ranking: the expensive keys, never the cheap tail.
     val cold = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold":$cold,"sf":"$sfDir"}"""
     println(fullLine)
-    // The full line above is ~8 kB at the current 195-key surface — longer
+    // The full line above is ~8 kB at the current ~200-key surface — longer
     // than a log-tail capture window, so a consumer that only keeps the
     // last few kB of stdout sees a truncated JSON fragment (observed two
     // rounds running: BENCH parse came back null). Two mitigations:

@@ -506,7 +506,17 @@ object OracleSql {
     * (link_prediction_indexed) can consume the ranked neighbor lists.
     * `trainWhere` restricts quantizer training; `queryWhere` selects
     * which vectors probe (the keyed probe convention is the isQuery
-    * modulus slice; the kNN-graph build probes with EVERYONE). */
+    * modulus slice; the kNN-graph build probes with EVERYONE).
+    *
+    * PRECONDITION (ADVICE r12): this twin trains the coarse quantizer
+    * at the FIXED ClusterOps.CoarseCells = 8, while the landed index's
+    * buildAnnIndex sizes cells adaptively — the two agree only while
+    * the embeddings corpus stays ≤ CellOccupancyTarget·CoarseCells
+    * (= 32768) vectors, where AnnIndexOps.adaptiveCells floors at 8.
+    * A larger check corpus would hash-MISMATCH ann_index_probe /
+    * link_prediction_indexed loudly, not silently; if the check SF
+    * ever grows past that, derive the cell count here from the same
+    * adaptiveCells rule instead of the constant. */
   private def annIvfPqCtes(trainWhere: String, queryWhere: String): String = {
       import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM, PqNprobe, PqRounds}
       val dimsPer = 64 / PqM
@@ -559,6 +569,74 @@ object OracleSql {
        |w0 AS (SELECT DISTINCT src AS start, src AS node, CAST(0 AS BIGINT) AS step FROM adj),
        |$steps,
        |wu AS ($union)""".stripMargin
+  }
+
+  /** The second-order (node2vec) walk CTE chain ending at `wu2` (start,
+    * node, step) — node2vec_walks' twin, shared with `node2vec_pmi`
+    * (deterministic walks: the landed corpus equals a from-scratch
+    * generation). Per step, the HASH-CAPPED dst-ordered neighbors of
+    * `cur` (adjc — GraphOps.n2vCappedAdjacency's twin: per src, the
+    * N2vNbrCap neighbors ranked by the Knuth-mix permutation, the r12
+    * hub-blowup bound) carry integer node2vec weights (return 3 /
+    * triadic 6 / outward 2 — the triadic test is a keyed LEFT-join
+    * edge-existence probe against the FULL edge set); the walk takes
+    * the neighbor whose cumulative-weight interval contains the
+    * Knuth-mix draw mod total weight. Exact BIGINT end to end — both
+    * engines compute the identical CDF and draw. Step 1 runs with
+    * prev = -1 (matches nothing -> uniform outward weights), the
+    * node2vec convention. */
+  private def node2vecWalkCtes: String = {
+    val (rw, tw, ow) = (graft.operators.GraphOps.N2vReturnW,
+      graft.operators.GraphOps.N2vTriadW, graft.operators.GraphOps.N2vOutW)
+    val cap = graft.operators.GraphOps.N2vNbrCap
+    val steps = (1 to graft.operators.GraphOps.RwSteps).map { k =>
+      s"""c$k AS (SELECT f.start, f.prev, f.cur, a.dst,
+         |  CASE WHEN a.dst = f.prev THEN $rw
+         |       WHEN t.d IS NOT NULL THEN $tw
+         |       ELSE $ow END AS wt
+         |  FROM f${k - 1} f JOIN adjc a ON a.src = f.cur
+         |  LEFT JOIN tri t ON t.p = f.prev AND t.d = a.dst),
+         |s$k AS (SELECT *, SUM(wt) OVER (PARTITION BY start ORDER BY dst) AS cum,
+         |  SUM(wt) OVER (PARTITION BY start) AS tot FROM c$k),
+         |f$k AS (SELECT start, cur AS prev, dst AS cur FROM s$k
+         |  WHERE cum - wt <= ((cur % 1000003) * 2654435761 + $k * 40503) % tot
+         |    AND ((cur % 1000003) * 2654435761 + $k * 40503) % tot < cum)""".stripMargin
+    }.mkString(",\n")
+    val union = (s"SELECT start, cur AS node, CAST(0 AS BIGINT) AS step FROM f0" +:
+      (1 to graft.operators.GraphOps.RwSteps).map(k =>
+        s"SELECT start, cur AS node, CAST($k AS BIGINT) AS step FROM f$k"))
+      .mkString("\nUNION ALL ")
+    s"""p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+       |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+       |tri AS (SELECT src AS p, dst AS d FROM edges),
+       |adjc AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER
+       |  (PARTITION BY src ORDER BY ((dst % 1000003) * 2654435761 + src * 40503) % 1000000007, dst) AS hr
+       |  FROM edges) WHERE hr <= $cap),
+       |f0 AS (SELECT DISTINCT src AS start, CAST(-1 AS BIGINT) AS prev,
+       |  src AS cur FROM edges),
+       |$steps,
+       |wu2 AS ($union)""".stripMargin
+  }
+
+  /** The skip-gram-pairs → exact-integer-PMI tail over any (start,
+    * node, step) walk CTE chain — shared by `walk_pmi` (first-order
+    * corpus, `wu`) and `node2vec_pmi` (second-order corpus, `wu2`). */
+  private def pmiSqlOver(walkCtes: String, wu: String): String = {
+    val w = graft.operators.GraphOps.RwWindow
+    s"""WITH $walkCtes,
+       |pairs AS (SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b
+       |  FROM $wu x JOIN $wu y ON x.start = y.start
+       |  AND y.step > x.step AND y.step <= x.step + $w AND x.node <> y.node),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+       |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_count FROM pairs GROUP BY 1, 2),
+       |cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM
+       |  (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1)
+       |SELECT pc.a, pc.b, pc.pair_count, ca.c AS cnt_a, cb.c AS cnt_b,
+       |  (pc.pair_count * tot.n * 1000000) // (ca.c * cb.c) AS pmi_ratio_e6
+       |FROM pc CROSS JOIN tot
+       |JOIN cnt ca ON ca.node = pc.a JOIN cnt cb ON cb.node = pc.b
+       |ORDER BY a, b""".stripMargin
   }
 
   /** The link-prediction wedge-scoring tail over a `topk(src, nb)` CTE —
@@ -2628,66 +2706,25 @@ object OracleSql {
          |SELECT start, node, step FROM wu
          |ORDER BY start, step""".stripMargin,
 
-    // second-order biased walks: per step, the dst-ordered neighbors of
-    // `cur` carry integer node2vec weights (return 3 / triadic 6 /
-    // outward 2 — the triadic test is a keyed LEFT-join edge-existence
-    // probe on (prev, dst)); the walk takes the neighbor whose
-    // cumulative-weight interval contains the Knuth-mix draw mod
-    // total weight. Exact BIGINT end to end — both engines compute the
-    // identical CDF and draw. Step 1 runs with prev = -1 (matches
-    // nothing -> uniform outward weights), the node2vec convention.
-    "node2vec_walks" -> {
-      val (rw, tw, ow) = (graft.operators.GraphOps.N2vReturnW,
-        graft.operators.GraphOps.N2vTriadW, graft.operators.GraphOps.N2vOutW)
-      val steps = (1 to graft.operators.GraphOps.RwSteps).map { k =>
-        s"""c$k AS (SELECT f.start, f.prev, f.cur, a.dst,
-           |  CASE WHEN a.dst = f.prev THEN $rw
-           |       WHEN t.d IS NOT NULL THEN $tw
-           |       ELSE $ow END AS wt
-           |  FROM f${k - 1} f JOIN edges a ON a.src = f.cur
-           |  LEFT JOIN tri t ON t.p = f.prev AND t.d = a.dst),
-           |s$k AS (SELECT *, SUM(wt) OVER (PARTITION BY start ORDER BY dst) AS cum,
-           |  SUM(wt) OVER (PARTITION BY start) AS tot FROM c$k),
-           |f$k AS (SELECT start, cur AS prev, dst AS cur FROM s$k
-           |  WHERE cum - wt <= ((cur % 1000003) * 2654435761 + $k * 40503) % tot
-           |    AND ((cur % 1000003) * 2654435761 + $k * 40503) % tot < cum)""".stripMargin
-      }.mkString(",\n")
-      val union = (s"SELECT start, cur AS node, CAST(0 AS BIGINT) AS step FROM f0" +:
-        (1 to graft.operators.GraphOps.RwSteps).map(k =>
-          s"SELECT start, cur AS node, CAST($k AS BIGINT) AS step FROM f$k"))
-        .mkString("\nUNION ALL ")
-      s"""WITH p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
-         |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
-         |tri AS (SELECT src AS p, dst AS d FROM edges),
-         |f0 AS (SELECT DISTINCT src AS start, CAST(-1 AS BIGINT) AS prev,
-         |  src AS cur FROM edges),
-         |$steps
-         |SELECT start, node, step FROM ($union)
-         |ORDER BY start, step""".stripMargin
-    },
+    // second-order biased walks over the hash-capped adjacency — the
+    // full twin lives in node2vecWalkCtes (shared with node2vec_pmi)
+    "node2vec_walks" ->
+      s"""WITH $node2vecWalkCtes
+         |SELECT start, node, step FROM wu2
+         |ORDER BY start, step""".stripMargin,
 
     // walks -> skip-gram pairs -> exact-integer PMI ratio: the walk
     // chain is graph_random_walks' twin verbatim (the landed store
     // equals a from-scratch generation — walks are deterministic), and
     // the panel is pure integer count arithmetic, so one oracle
     // hash-checks the landing AND the PMI math end to end.
-    "walk_pmi" -> {
-      val w = graft.operators.GraphOps.RwWindow
-      s"""WITH $randomWalksCtes,
-         |pairs AS (SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b
-         |  FROM wu x JOIN wu y ON x.start = y.start
-         |  AND y.step > x.step AND y.step <= x.step + $w AND x.node <> y.node),
-         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
-         |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_count FROM pairs GROUP BY 1, 2),
-         |cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM
-         |  (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1)
-         |SELECT pc.a, pc.b, pc.pair_count, ca.c AS cnt_a, cb.c AS cnt_b,
-         |  (pc.pair_count * tot.n * 1000000) // (ca.c * cb.c) AS pmi_ratio_e6
-         |FROM pc CROSS JOIN tot
-         |JOIN cnt ca ON ca.node = pc.a JOIN cnt cb ON cb.node = pc.b
-         |ORDER BY a, b""".stripMargin
-    },
+    "walk_pmi" -> pmiSqlOver(randomWalksCtes, "wu"),
+
+    // the same panel over the landed SECOND-order corpus: the walk
+    // chain is node2vec_walks' twin verbatim (deterministic, so the
+    // `walks_n2v/` landing equals a from-scratch generation) — one
+    // oracle hash-checks the n2v landing AND its PMI math end to end.
+    "node2vec_pmi" -> pmiSqlOver(node2vecWalkCtes, "wu2"),
 
     // The landed label store serves the SAME fixed point a full rebuild
     // computes (labels are component minima, order-free), so the probe

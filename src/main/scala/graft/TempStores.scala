@@ -26,8 +26,13 @@ object TempStores {
       created.synchronized(created.foreach(deleteRecursively))))
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    // close the listing stream before deleting: an unclosed Files.list
+    // holds a directory handle until GC, and this runs once per scratch
+    // dir per JVM exit AND from long-lived sessions' cleanup paths
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRecursively) finally children.close()
+    }
     try Files.deleteIfExists(p) catch { case _: Throwable => () }
   }
 
@@ -40,24 +45,50 @@ object TempStores {
   }
 
   /** Cheap content fingerprint of a corpus directory: a 64-bit FNV-1a
-    * fold over every regular file's (relative name, size, mtime-millis),
-    * visited in sorted order. Metadata-only — no data bytes are read —
-    * which catches the regeneration case (any rewrite bumps mtime) at
-    * O(files) stat calls. */
+    * fold over every regular file's (relative name, size, mtime-millis)
+    * PLUS a 64-byte head and tail byte sample per file, visited in
+    * sorted order. The byte samples close the metadata-only hazard
+    * (ADVICE r12): a corpus regenerated with identical file sizes
+    * inside the filesystem's mtime granularity would fingerprint equal
+    * on metadata alone and silently serve a stale memoized store.
+    * Parquet head/tail bytes cover the magic + footer (row-group
+    * offsets, column stats), which any data rewrite perturbs. Cost is
+    * O(files) stats + two tiny pread()s per file — still safe to run
+    * on every memoized-operator call. */
   def fingerprint(dir: String): String = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return "absent"
     var h = 0xcbf29ce484222325L
-    def mix(s: String): Unit =
-      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-    val files = Files.walk(root).iterator()
-    val entries = mutable.ArrayBuffer.empty[String]
-    while (files.hasNext) {
-      val p = files.next()
-      if (Files.isRegularFile(p))
-        entries += s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+    def mixBytes(bs: Array[Byte], n: Int): Unit = {
+      var i = 0
+      while (i < n) { h ^= (bs(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
     }
-    entries.sorted.foreach(mix)
+    def mix(s: String): Unit = mixBytes(s.getBytes("UTF-8"), s.getBytes("UTF-8").length)
+    val walk = Files.walk(root)
+    val entries = mutable.ArrayBuffer.empty[Path]
+    try {
+      val files = walk.iterator()
+      while (files.hasNext) {
+        val p = files.next()
+        if (Files.isRegularFile(p)) entries += p
+      }
+    } finally walk.close()
+    entries.sortBy(p => root.relativize(p).toString).foreach { p =>
+      mix(s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val sz = ch.size()
+        val head = java.nio.ByteBuffer.allocate(64)
+        val nh = ch.read(head, 0L)
+        if (nh > 0) mixBytes(head.array(), nh)
+        if (sz > 64) {
+          val tail = java.nio.ByteBuffer.allocate(64)
+          val nt = ch.read(tail, math.max(64L, sz - 64))
+          if (nt > 0) mixBytes(tail.array(), nt)
+        }
+      } finally ch.close()
+    }
     java.lang.Long.toHexString(h)
   }
 }

@@ -644,6 +644,34 @@ object GraphOps {
   val N2vTriadW = 6L    // = P·Q
   val N2vOutW = 2L      // = P
 
+  /** Per-node candidate cap for the second-order walk (r12 verdict's
+    * hub-blowup fix): each step draws from at most this many neighbors
+    * of `cur`, chosen by a deterministic hash permutation
+    * ([[n2vCappedAdjacency]]) — the dedup df-cap convention applied to
+    * adjacency. Without it, n walks parked on one hub materialize
+    * n·deg(hub) candidate rows in a single step (≈ n² on a star); with
+    * it the per-step candidate volume is ≤ walks·cap everywhere, flat
+    * in the corpus. 64 ≫ the walk-mix modulus bias horizon and large
+    * enough that flat-degree graphs are untouched. */
+  val N2vNbrCap = 64
+
+  /** The capped adjacency: per src, the [[N2vNbrCap]] neighbors ranked
+    * first by the Knuth-mix hash permutation ((dst mod 1000003) ·
+    * 2654435761 + src·40503) mod 1000000007 (ties by dst) — a
+    * deterministic pseudo-random subset both engines compute
+    * identically, so hubs keep a spread of neighbors rather than the
+    * lexicographic prefix. Columns (a_src, a_dst) so the walk's
+    * self-joins never collide on attribute ids. */
+  def n2vCappedAdjacency(edges: DataFrame): DataFrame = {
+    val wCap = Window.partitionBy("a_src").orderBy(
+      pmod((col("a_dst") % 1000003L) * 2654435761L + col("a_src") * 40503L,
+        lit(1000000007L)),
+      col("a_dst"))
+    edges.select(col("src").as("a_src"), col("dst").as("a_dst"))
+      .withColumn("hr", row_number().over(wCap))
+      .filter(col("hr") <= N2vNbrCap).drop("hr")
+  }
+
   /** node2vec_walks — SECOND-ORDER biased walks (Grover–Leskovec 2016
     * §3.2) over the co-purchase graph, one walk per node, fully
     * deterministic: at step i from `cur` with predecessor `prev`, each
@@ -658,11 +686,12 @@ object GraphOps {
     * uniform (the node2vec convention).
     *
     * Scale shape per step: one equi-join of the O(nodes) frontier
-    * against the persisted adjacency (O(edges) scanned), one
+    * against the persisted CAPPED adjacency ([[n2vCappedAdjacency]] —
+    * ≤ [[N2vNbrCap]] candidate rows per walk, so total per-step volume
+    * is ≤ walks·cap even when every walk sits on one hub), one
     * LEFT-join edge-existence probe for the triadic test (keyed on
     * (prev, dst) — never a cross product), and two windows PARTITIONED
-    * by walk id over ≤ deg(cur) candidate rows each — bounded by the
-    * max degree, never by the corpus. */
+    * by walk id over ≤ cap candidate rows each. */
   def graphNode2vecWalks(s: SparkSession, dir: String): DataFrame =
     graphNode2vecWalksFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))
 
@@ -691,10 +720,13 @@ object GraphOps {
       .select(col("start"), lit(-1L).as("prev"), col("start").as("cur"))
     var out = frontier.select(col("start"), col("cur").as("node"),
       lit(0L).as("step"))
-    // distinct column names per role: edges feeds BOTH the candidate
-    // expansion and the triadic probe (a self-join Spark would flag as
-    // ambiguous under shared attribute ids)
-    val adj = edges.select(col("src").as("a_src"), col("dst").as("a_dst"))
+    // candidate expansion reads the CAPPED adjacency (≤ N2vNbrCap rows
+    // per node — the hub-blowup bound); the triadic probe keeps the FULL
+    // edge set, because edge existence is a keyed ≤1-row lookup that
+    // must stay exact. Distinct column names per role: a self-join Spark
+    // would flag as ambiguous under shared attribute ids. Persisted:
+    // the ranking window must be paid once, not once per step.
+    val adj = n2vCappedAdjacency(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var i = 1
     while (i <= RwSteps) {
       val cand = frontier.join(adj, frontier("cur") === col("a_src"))
@@ -738,23 +770,21 @@ object GraphOps {
     * linear in the corpus. */
   val RwWindow = 2
 
-  /** Per-JVM memo of landed walk corpora (the [[graphLabelProbe]]
-    * convention): walks are GENERATED once per corpus and landed as a
-    * date-partitioned parquet artifact; every keyed call afterwards is
-    * a pure read. Deterministic walks make the landing replayable — a
-    * rebuild produces byte-identical rows. */
-  private val builtWalkStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Land the walk corpus for `dir` under a scratch store (dated
-    * partition, the parquet_sink key convention) and return the store
-    * path — exposed so jobs can land walks under a real warehouse
-    * path too. */
+  /** Land BOTH walk corpora for `dir` under `base` (dated partitions,
+    * the parquet_sink key convention) and return the store path —
+    * exposed so jobs can land walks under a real warehouse path too.
+    * `walks/` is the first-order corpus, `walks_n2v/` the second-order
+    * node2vec corpus (r12 verdict: the better corpus previously had no
+    * landing and no consumer — node2vec_pmi reads it now). */
   def landWalkCorpus(s: SparkSession, dir: String, base: String): String = {
     graphRandomWalks(s, dir)
       .withColumn("walk_date", current_date())
       .write.mode("overwrite").partitionBy("walk_date")
       .parquet(s"$base/walks")
+    graphNode2vecWalks(s, dir)
+      .withColumn("walk_date", current_date())
+      .write.mode("overwrite").partitionBy("walk_date")
+      .parquet(s"$base/walks_n2v")
     base
   }
 
@@ -776,10 +806,22 @@ object GraphOps {
     * counts are two partial-agg groupBys plus one broadcast single-row
     * total — nothing is quadratic in nodes or edges. */
   def walkPmi(s: SparkSession, dir: String): DataFrame = {
-    val base = builtWalkStores.computeIfAbsent(
-      s"$dir@${graft.TempStores.fingerprint(dir)}",
-      _ => landWalkCorpus(s, dir, graft.TempStores.scratchDir("graft_walkstore")))
+    val base = graphStore(s, dir)
     walkPmiOf(s.read.parquet(s"$base/walks").select("start", "node", "step"))
+  }
+
+  /** node2vec_pmi — the [[walkPmi]] panel over the LANDED second-order
+    * corpus (`walks_n2v/` in the graph store): node2vec's depth/breadth
+    * mix changes which co-occurrences the walks sample, so this is the
+    * PMI matrix a node2vec-parameterized embedding would factorize
+    * (Grover–Leskovec 2016 + Levy–Goldberg 2014), while `walk_pmi`
+    * stays the DeepWalk/uniform one — the two panels side by side show
+    * exactly what the bias buys. Same exact-integer math, same scale
+    * shape: a pure store read, fixed ≤ 5 pairs per walk, two partial
+    * aggs and a broadcast total. */
+  def node2vecPmi(s: SparkSession, dir: String): DataFrame = {
+    val base = graphStore(s, dir)
+    walkPmiOf(s.read.parquet(s"$base/walks_n2v").select("start", "node", "step"))
   }
 
   /** Panel core over any (start, node, step) walk frame. */
@@ -876,17 +918,64 @@ object GraphOps {
   }
   // ---------- landed label store (probe key) ----------
 
-  /** Per-JVM memo of landed label stores (the
+  /** Per-JVM memo of landed GRAPH stores (the
     * [[RetrievalIndexOps.retrievalIndexProbe]] build-memo convention):
     * the store is BUILT once per corpus dir — corpus edges admitted as
     * micro-batch 0, the daily slice as micro-batch 1, through the exact
     * [[graft.streaming.EventStreams.admitGraphBatch]] writer the
-    * streaming twin runs — and every keyed call afterwards is a pure
-    * READ of `labels/`. Bench's warmup pass pays the build; the timed
-    * reps measure the read path, mirroring the retrieval/ANN index
-    * probes. */
-  private val builtLabelStores =
+    * streaming twin runs, then BOTH walk corpora are re-derived from
+    * the landed `edges/` and landed beside it (r12 verdict: the walk
+    * corpus was the one landed artifact not under the store base) —
+    * and every keyed call afterwards is a pure READ of `labels/`,
+    * `walks/` or `walks_n2v/`. Bench's pass-1 rep pays the build; the
+    * warm reps measure the read path, mirroring the retrieval/ANN
+    * index probes. */
+  private val builtGraphStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-or-reuse the landed graph store for `dir`: `labels/` and
+    * `edges/` via streaming admission, `walks/` (first-order) and
+    * `walks_n2v/` (node2vec) re-derived FROM the landed edge set —
+    * deterministic walks make store-derived and from-scratch corpora
+    * row-identical (spec-pinned), so the walk PMI oracles stay the
+    * from-scratch CTE twins verbatim. */
+  def graphStore(s: SparkSession, dir: String): String =
+    builtGraphStores.computeIfAbsent(
+      s"$dir@${graft.TempStores.fingerprint(dir)}", _ => {
+      val b = graft.TempStores.scratchDir("graft_graphstore")
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_orderkey"),
+          (col("o_custkey") * 2).as("doc_a"), (col("l_suppkey") * 2 + 1).as("doc_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val corpus = pairs.filter(pmod(col("o_orderkey"), lit(IncrBatchMod)) =!= 0)
+        .select("doc_a", "doc_b").distinct()
+      val batch = pairs.filter(pmod(col("o_orderkey"), lit(IncrBatchMod)) === 0)
+        .select("doc_a", "doc_b").distinct()
+      graft.streaming.EventStreams.admitGraphBatch(corpus, 0L, b)
+      graft.streaming.EventStreams.admitGraphBatch(batch, 1L, b)
+      pairs.unpersist()
+      landWalksFromEdges(s, b)
+      b
+    })
+
+  /** Land both walk corpora under `base` from `base/edges` — the landed
+    * edge set is the walks' single source of truth, so the corpora
+    * survive exactly the replays and re-admissions the edge store
+    * does. */
+  def landWalksFromEdges(s: SparkSession, base: String): String = {
+    val landed = s.read.parquet(s"$base/edges")
+    randomWalksOnPairs(landed)
+      .withColumn("walk_date", current_date())
+      .write.mode("overwrite").partitionBy("walk_date")
+      .parquet(s"$base/walks")
+    node2vecWalksOnPairs(landed)
+      .withColumn("walk_date", current_date())
+      .write.mode("overwrite").partitionBy("walk_date")
+      .parquet(s"$base/walks_n2v")
+    base
+  }
 
   /** graph_label_probe — the landed graph-label store as a first-class
     * key: serve component lookups from the `labels/` artifact the
@@ -908,24 +997,7 @@ object GraphOps {
     // at the same path within one JVM must MISS the memo and rebuild, not
     // silently serve stale labels; scratchDir registers the store for
     // deletion at JVM exit (both per ADVICE r11).
-    val base = builtLabelStores.computeIfAbsent(
-      s"$dir@${graft.TempStores.fingerprint(dir)}", _ => {
-      val b = graft.TempStores.scratchDir("graft_labelstore")
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select(col("o_orderkey"),
-          (col("o_custkey") * 2).as("doc_a"), (col("l_suppkey") * 2 + 1).as("doc_b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val corpus = pairs.filter(pmod(col("o_orderkey"), lit(IncrBatchMod)) =!= 0)
-        .select("doc_a", "doc_b").distinct()
-      val batch = pairs.filter(pmod(col("o_orderkey"), lit(IncrBatchMod)) === 0)
-        .select("doc_a", "doc_b").distinct()
-      graft.streaming.EventStreams.admitGraphBatch(corpus, 0L, b)
-      graft.streaming.EventStreams.admitGraphBatch(batch, 1L, b)
-      pairs.unpersist()
-      b
-    })
+    val base = graphStore(s, dir)
     componentPanel(s.read.parquet(s"$base/labels")
       .select(col("id").as("node_id"), col("label").as("component")))
   }
