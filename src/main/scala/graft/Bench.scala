@@ -63,7 +63,7 @@ object Bench {
       "graph_components_incremental", "graph_triangles",
       "graph_label_prop", "graph_bfs", "graph_label_probe", "link_prediction",
       "link_prediction_indexed", "graph_ppr", "graph_random_walks", "walk_pmi",
-      "node2vec_walks", "node2vec_pmi", "viterbi_segment",
+      "node2vec_walks", "node2vec_pmi", "pmi_ann_agreement", "viterbi_segment",
       "ann_ivf_sq", "span_scrub", "dedup_clusters",
       "dedup_survivors", "hybrid_retrieval", "hybrid_retrieval_ivf",
       "mmr_diversify", "maxsim_retrieval", "retrieval_index_probe",

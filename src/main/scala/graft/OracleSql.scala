@@ -585,7 +585,18 @@ object OracleSql {
     * engines compute the identical CDF and draw. Step 1 runs with
     * prev = -1 (matches nothing -> uniform outward weights), the
     * node2vec convention. */
-  private def node2vecWalkCtes: String = {
+  private def node2vecWalkCtes: String =
+    s"""p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+       |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+       |$node2vecStepsOverEdges""".stripMargin
+
+  /** The walk body alone — tri, the hash-capped adjc, f0 and the step
+    * CTEs through `wu2` — over whatever symmetrized `edges(src, dst)`
+    * CTE precedes it, so composed twins (pmi_ann_agreement) can walk a
+    * DIFFERENT edge substrate (the landed-index kNN graph) through the
+    * identical chain. */
+  private def node2vecStepsOverEdges: String = {
     val (rw, tw, ow) = (graft.operators.GraphOps.N2vReturnW,
       graft.operators.GraphOps.N2vTriadW, graft.operators.GraphOps.N2vOutW)
     val cap = graft.operators.GraphOps.N2vNbrCap
@@ -606,10 +617,7 @@ object OracleSql {
       (1 to graft.operators.GraphOps.RwSteps).map(k =>
         s"SELECT start, cur AS node, CAST($k AS BIGINT) AS step FROM f$k"))
       .mkString("\nUNION ALL ")
-    s"""p AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
-       |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-       |edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
-       |tri AS (SELECT src AS p, dst AS d FROM edges),
+    s"""tri AS (SELECT src AS p, dst AS d FROM edges),
        |adjc AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER
        |  (PARTITION BY src ORDER BY ((dst % 1000003) * 2654435761 + src * 40503) % 1000000007, dst) AS hr
        |  FROM edges) WHERE hr <= $cap),
@@ -622,21 +630,30 @@ object OracleSql {
   /** The skip-gram-pairs → exact-integer-PMI tail over any (start,
     * node, step) walk CTE chain — shared by `walk_pmi` (first-order
     * corpus, `wu`) and `node2vec_pmi` (second-order corpus, `wu2`). */
-  private def pmiSqlOver(walkCtes: String, wu: String): String = {
-    val w = graft.operators.GraphOps.RwWindow
+  private def pmiSqlOver(walkCtes: String, wu: String): String =
     s"""WITH $walkCtes,
-       |pairs AS (SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b
+       |${pmiCtesOver(wu)}
+       |SELECT a, b, pair_count, cnt_a, cnt_b, pmi_ratio_e6 FROM pmif
+       |ORDER BY a, b""".stripMargin
+
+  /** The PMI body alone, ending at `pmif(a, b, pair_count, cnt_a,
+    * cnt_b, pmi_ratio_e6)` — exposed so the agreement twin can rank the
+    * panel instead of selecting it. */
+  private def pmiCtesOver(wu: String): String = {
+    // sg-prefixed names: the agreement twin splices this after the
+    // IVF-PQ chain, whose own CTEs already claim `pc` etc.
+    val w = graft.operators.GraphOps.RwWindow
+    s"""sgp AS (SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b
        |  FROM $wu x JOIN $wu y ON x.start = y.start
        |  AND y.step > x.step AND y.step <= x.step + $w AND x.node <> y.node),
-       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
-       |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_count FROM pairs GROUP BY 1, 2),
-       |cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM
-       |  (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1)
-       |SELECT pc.a, pc.b, pc.pair_count, ca.c AS cnt_a, cb.c AS cnt_b,
-       |  (pc.pair_count * tot.n * 1000000) // (ca.c * cb.c) AS pmi_ratio_e6
-       |FROM pc CROSS JOIN tot
-       |JOIN cnt ca ON ca.node = pc.a JOIN cnt cb ON cb.node = pc.b
-       |ORDER BY a, b""".stripMargin
+       |sgt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sgp),
+       |sgc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_count FROM sgp GROUP BY 1, 2),
+       |sgn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM
+       |  (SELECT a AS node FROM sgp UNION ALL SELECT b FROM sgp) GROUP BY 1),
+       |pmif AS (SELECT sgc.a, sgc.b, sgc.pair_count, ca.c AS cnt_a, cb.c AS cnt_b,
+       |  (sgc.pair_count * sgt.n * 1000000) // (ca.c * cb.c) AS pmi_ratio_e6
+       |FROM sgc CROSS JOIN sgt
+       |JOIN sgn ca ON ca.node = sgc.a JOIN sgn cb ON cb.node = sgc.b)""".stripMargin
   }
 
   /** The link-prediction wedge-scoring tail over a `topk(src, nb)` CTE —
@@ -2758,6 +2775,35 @@ object OracleSql {
          |topk AS (SELECT q_id AS src, n_id AS nb FROM rk
          |  WHERE rnk <= ${graft.operators.GraphOps.KnnK}),
          |$lpScoreTail""".stripMargin,
+
+    // walks → PMI → agreement against the index's own edges, all in one
+    // id space: the IVF-PQ twin's kNN substrate is symmetrized, the
+    // capped second-order walk chain runs over it verbatim, the PMI body
+    // ranks each node's partners, and the tail LEFT-joins each node's
+    // top-T back against the direct edge set — exact integers end to
+    // end, so one hash checks the whole walks→PMI→embedding-eval loop.
+    "pmi_ann_agreement" -> {
+      val t = graft.operators.GraphOps.PmiTopT
+      s"""${annIvfPqCtes("TRUE", "TRUE")},
+         |e AS MATERIALIZED (SELECT DISTINCT least(q_id, n_id) AS u, greatest(q_id, n_id) AS v
+         |  FROM rk WHERE rnk <= ${graft.operators.GraphOps.KnnK}),
+         |edges AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+         |$node2vecStepsOverEdges,
+         |${pmiCtesOver("wu2")},
+         |sympmi AS (SELECT a AS node, b AS nb, pmi_ratio_e6 FROM pmif
+         |  UNION ALL SELECT b, a, pmi_ratio_e6 FROM pmif),
+         |topp AS (SELECT node, nb FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY node ORDER BY pmi_ratio_e6 DESC, nb) AS rn FROM sympmi)
+         |  WHERE rn <= $t)
+         |SELECT t.node, CAST(COUNT(*) AS BIGINT) AS top_pmi,
+         |  CAST(SUM(CASE WHEN ed.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ann_hits,
+         |  (CAST(SUM(CASE WHEN ed.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(COUNT(*) AS BIGINT) AS agreement_e6
+         |FROM topp t LEFT JOIN e ed
+         |  ON ed.u = least(t.node, t.nb) AND ed.v = greatest(t.node, t.nb)
+         |GROUP BY t.node
+         |ORDER BY node""".stripMargin
+    },
 
     // the incremental key's contract IS "equals a full rebuild": landed
     // labels are component minima, so contracting a batch against them

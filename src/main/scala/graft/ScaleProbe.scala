@@ -241,6 +241,25 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // ---- node2vec_walks: GROWING-HUB star (the cap's adversary) ----
+    // Not disjoint replicas: the hub's degree itself grows kx, the one
+    // topology where uncapped candidate expansion is quadratic (every
+    // walk parked on the hub materializes deg(hub) rows per step →
+    // (Lk)² at scale k). With the N2vNbrCap'd adjacency the per-step
+    // volume is ≤ walks·cap, so wall and rows must grow ~LINEARLY in k;
+    // output rows are exactly walks·(RwSteps+1). Any super-linear wall
+    // here means the cap stopped binding.
+    if (only.forall(_.contains("node2vec_star"))) {
+      val leavesBase = 2000L
+      for (k <- Seq(1, 4, factor)) {
+        val leaves = spark.range(leavesBase * k)
+          .select(lit(1L).as("c"), (col("id") + 10L).as("s"))
+        time("node2vec_star", k,
+          graft.operators.GraphOps.node2vecWalksOnPairs(leaves))
+        spark.catalog.clearCache()
+      }
+    }
+
     // ---- link_prediction: disjoint kNN-graph growth ----
     // The operator's scale claim is about the SCORING side (wedges +
     // partial agg + anti-join are degree-bounded, O(n·K²)); the brute kNN

@@ -848,6 +848,64 @@ object GraphOps {
       .orderBy("a", "b")
   }
 
+  /** Top-PMI neighbors per node entering the agreement panel — small
+    * and fixed (the KnnK convention): the diagnostic asks whether the
+    * STRONGEST diffusion signals agree with the index edges, not
+    * whether the long tail does. */
+  val PmiTopT = 3
+
+  /** pmi_ann_agreement — the embedding-vs-graph agreement diagnostic
+    * closing the walks → PMI → embedding-eval loop (r12 verdict #7):
+    * second-order walks run over the LANDED IVF-PQ index's kNN edge
+    * substrate (the identical [[linkPredictIndexed]] edge source), the
+    * exact-integer PMI panel ranks each node's strongest co-occurrence
+    * partners, and the panel scores how many of each node's top-
+    * [[PmiTopT]] PMI neighbors are DIRECT index edges — per node:
+    * (top_pmi, ann_hits, agreement_e6). High agreement = the graph's
+    * diffusion structure and the embedding's nearest-neighbor structure
+    * rank the same partners; low agreement flags nodes whose embedding
+    * neighborhood disagrees with multi-hop graph evidence — at 100 TB,
+    * exactly the rows a curation pass would audit. Both structures live
+    * in ONE id space (vec_id) by construction, so the overlap is
+    * meaningful, and everything is exact BIGINT end to end — the oracle
+    * composes the unrolled IVF-PQ twin, the capped-walk twin and the
+    * PMI twin, hash-checking the whole loop cross-engine.
+    *
+    * Scale shape: edge substrate from the landed index (probe-bounded,
+    * never a pair scan); walks O(nodes·steps) over the capped
+    * adjacency; PMI two partial aggs; the agreement tail one window
+    * over ≤ 2·pmi rows and one keyed LEFT join against the edge set. */
+  def pmiAnnAgreement(s: SparkSession, dir: String): DataFrame = {
+    val idx = AnnIndexOps.fullIndex(s, dir)
+    val nn = AnnIndexOps.probeAnnIndex(s, idx, Tables.embeddings(s, dir),
+      topK = KnnK, allQueries = true)
+    pmiAgreementOnEdges(
+      nn.select(least(col("q_id"), col("n_id")).as("u"),
+        greatest(col("q_id"), col("n_id")).as("v")).distinct())
+  }
+
+  /** Agreement core over canonical (u < v) undirected edges — exposed
+    * for planted-graph specs. */
+  def pmiAgreementOnEdges(e0: DataFrame): DataFrame = {
+    val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val pmi = walkPmiOf(node2vecWalksOnPairs(e).select("start", "node", "step"))
+    val sym = pmi.select(col("a").as("node"), col("b").as("nb"), col("pmi_ratio_e6"))
+      .union(pmi.select(col("b").as("node"), col("a").as("nb"), col("pmi_ratio_e6")))
+    val w = Window.partitionBy("node").orderBy(col("pmi_ratio_e6").desc, col("nb"))
+    val top = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PmiTopT)
+    top
+      .select(col("node"), least(col("node"), col("nb")).as("u"),
+        greatest(col("node"), col("nb")).as("v"))
+      .join(e.withColumn("is_edge", lit(1L)), Seq("u", "v"), "left")
+      .groupBy("node")
+      .agg(count(lit(1)).as("top_pmi"),
+        sum(coalesce(col("is_edge"), lit(0L))).as("ann_hits"))
+      .select(col("node"), col("top_pmi"), col("ann_hits"),
+        expr("(ann_hits * 1000000) div top_pmi").as("agreement_e6"))
+      .orderBy("node")
+  }
+
   /** Power iteration in e12 fixed point over an explicit (src, dst) edge
     * frame. Every node must appear as a src (symmetrize first): the
     * node set, degrees, and seed ranks all derive from the edge list.

@@ -123,6 +123,35 @@ class Round13OpsSpec extends AnyFunSuite {
       "second-order PMI must differ from the first-order panel")
   }
 
+  test("pmi_ann_agreement tail: replay against an independent top-T overlap") {
+    import s.implicits._
+    // bridge-of-triangles: window-2 skip-gram pairs put 2-hop partners
+    // in the PMI panel, so tops contain both direct edges (hits) and
+    // non-edges (misses) — both branches of the LEFT join exercised
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("u", "v")
+    val out = GraphOps.pmiAgreementOnEdges(e).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent tail: collect the (separately spec-pinned) PMI panel,
+    // rank per node in plain Scala, overlap against the edge set
+    val pmi = GraphOps.walkPmiOf(
+      GraphOps.node2vecWalksOnPairs(e).select("start", "node", "step"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    s.catalog.clearCache()
+    val eset = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val sym = pmi.flatMap { case (a, b, p) => Seq((a, b, p), (b, a, p)) }
+    val expected = sym.groupBy(_._1).map { case (node, rows) =>
+      val top = rows.sortBy { case (_, nb, p) => (-p, nb) }.take(GraphOps.PmiTopT)
+      val hits = top.count { case (n, nb, _) =>
+        eset((math.min(n, nb), math.max(n, nb))) }
+      node -> ((top.length.toLong, hits.toLong,
+        hits.toLong * 1000000L / top.length))
+    }
+    assert(out === expected)
+    assert(out.values.exists { case (t, h, _) => h < t }, "a miss must occur")
+    assert(out.values.exists { case (_, h, _) => h > 0 }, "a hit must occur")
+  }
+
   test("Bench.warmOrder: cheapest-first, failures excluded") {
     val p1 = Seq(("heavy", 20.0), ("cheap", 0.5), ("mid", 3.0),
       ("broken", -1.0), ("cheap2", 0.5))

@@ -53,8 +53,9 @@ BPASSES="${SPARK_GRAFT_BENCH_PASSES:-1}"
 BTOTALS=""
 for P in $(seq 1 "$BPASSES"); do
   echo "-- Bench sf0.1 (pass $P/$BPASSES)"
+  # no budget default here: Bench's own surface-scaled default
+  # (max(1500, 8*|queries|)) governs unless the caller pins one
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-    SPARK_GRAFT_BENCH_BUDGET="${SPARK_GRAFT_BENCH_BUDGET:-1200}" \
     SPARK_GRAFT_BENCH_OUT="$OUT/bench$P.full.json" \
     sbt -batch "runMain graft.Bench" \
     >"$OUT/bench$P.out" 2>"$OUT/bench$P.err" || FAIL="$FAIL bench$P"
