@@ -307,14 +307,21 @@ object AnnIndexOps {
     * count pass once a batch has landed; a FAILED admission un-memoizes
     * so the next call replays and heals. */
   private val admittedOnce =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** BLOCKING once-per-store admission (r13): computeIfAbsent makes a
+    * concurrent second key WAIT until the first finishes admitting —
+    * the old non-blocking Set.add let a sibling key read the store
+    * mid-admission under Verify's parallel batches (caught as a
+    * retrieval_index_stats hash flake: admitted-doc rows read 0 while
+    * the admit was in flight). A FAILED admission records no mapping,
+    * so the next keyed call replays and heals — the at-least-once
+    * contract unchanged. */
   private def ensureAdmitted(s: SparkSession, idx: String)(
       batch: => DataFrame): Unit =
-    if (admittedOnce.add(idx)) {
-      try admitToIndex(s, idx, batch)
-      catch { case e: Throwable => admittedOnce.remove(idx); throw e }
-    }
+    admittedOnce.computeIfAbsent(idx, _ => {
+      admitToIndex(s, idx, batch); java.lang.Boolean.TRUE
+    })
 
   /** ann_index_probe_admitted — the GROW-THEN-SEARCH loop end to end:
     * the index artifacts froze on the corpus slice (vec_id < SemSplit),

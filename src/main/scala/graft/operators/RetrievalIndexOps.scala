@@ -283,14 +283,20 @@ object RetrievalIndexOps {
     * the next keyed call replays and heals — exactly the at-least-once
     * contract the per-artifact anti-joins exist for. */
   private val admittedOnce =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** BLOCKING once-per-store admission (r13): computeIfAbsent makes a
+    * concurrent second key WAIT until the first finishes admitting —
+    * the old non-blocking Set.add let retrieval_index_stats read the
+    * shared "grown" store mid-admission under Verify's parallel
+    * batches (its admitted-doc rows read 0 vs the oracle's 100). A
+    * FAILED admission records no mapping, so the next keyed call
+    * replays and heals — the at-least-once contract unchanged. */
   private def ensureAdmitted(s: SparkSession, idx: String)(
       batch: => DataFrame): Unit =
-    if (admittedOnce.add(idx)) {
-      try admitToRetrievalIndex(s, idx, batch)
-      catch { case e: Throwable => admittedOnce.remove(idx); throw e }
-    }
+    admittedOnce.computeIfAbsent(idx, _ => {
+      admitToRetrievalIndex(s, idx, batch); java.lang.Boolean.TRUE
+    })
 
   /** retrieval_index_probe_admitted — the grow-then-search loop for
     * text: artifacts frozen on the corpus slice (doc_id <
