@@ -318,10 +318,14 @@ object AnnIndexOps {
     * so the next keyed call replays and heals — the at-least-once
     * contract unchanged. */
   private def ensureAdmitted(s: SparkSession, idx: String)(
-      batch: => DataFrame): Unit =
+      batch: => DataFrame): Unit = {
     admittedOnce.computeIfAbsent(idx, _ => {
       admitToIndex(s, idx, batch); java.lang.Boolean.TRUE
     })
+    // invalidate any cached file listing of the store for this caller
+    // before it reads — the RetrievalIndexOps.ensureAdmitted rationale
+    s.catalog.refreshByPath(idx)
+  }
 
   /** ann_index_probe_admitted — the GROW-THEN-SEARCH loop end to end:
     * the index artifacts froze on the corpus slice (vec_id < SemSplit),
@@ -390,6 +394,9 @@ object AnnIndexOps {
     ensureAdmitted(s, idx)(
       Tables.embeddings(s, dir).filter(col("vec_id") >= split))
     compactAnnIndex(s, idx)
+    // compaction renames files in place — drop cached listings before
+    // the probe (the ensureAdmitted rationale)
+    s.catalog.refreshByPath(idx)
     probeAnnIndex(s, idx, Tables.embeddings(s, dir))
   }
 

@@ -293,10 +293,20 @@ object RetrievalIndexOps {
     * FAILED admission records no mapping, so the next keyed call
     * replays and heals — the at-least-once contract unchanged. */
   private def ensureAdmitted(s: SparkSession, idx: String)(
-      batch: => DataFrame): Unit =
+      batch: => DataFrame): Unit = {
     admittedOnce.computeIfAbsent(idx, _ => {
       admitToRetrievalIndex(s, idx, batch); java.lang.Boolean.TRUE
     })
+    // EVERY caller — the admitting thread and the skip path alike —
+    // drops any cached file listing of the store before reading it:
+    // under concurrent sessions-worth of listing traffic, a listing
+    // load in flight across an append's own invalidation can re-cache
+    // the pre-append file set (observed once at the full parallel
+    // surface: a stats panel read 0 admitted docs in every artifact
+    // while the admit had completed). refreshByPath is a cheap
+    // in-memory invalidation — correctness insurance, not a rebuild.
+    s.catalog.refreshByPath(idx)
+  }
 
   /** retrieval_index_probe_admitted — the grow-then-search loop for
     * text: artifacts frozen on the corpus slice (doc_id <
@@ -472,6 +482,9 @@ object RetrievalIndexOps {
     ensureAdmitted(s, idx)(
       Tables.documents(s, dir).filter(col("doc_id") >= split))
     compactRetrievalIndex(s, idx)
+    // compaction renames files in place — drop cached listings before
+    // the probe (the ensureAdmitted rationale)
+    s.catalog.refreshByPath(idx)
     probeRetrievalIndex(s, idx)
   }
 }
