@@ -2730,6 +2730,21 @@ object OracleSql {
          |SELECT start, node, step FROM wu2
          |ORDER BY start, step""".stripMargin,
 
+    // incremental refresh across the IncrBatchMod admission split must
+    // equal walking the grown graph from scratch (the replay theorem:
+    // untouched-visiting walks replay bit-identically; invalidated and
+    // new starts re-derive on the full adjacency) — so each incremental
+    // key's oracle is its full-walk twin VERBATIM, and the hash check
+    // IS the keep/redo-union correctness proof.
+    "walks_incremental" ->
+      s"""WITH $randomWalksCtes
+         |SELECT start, node, step FROM wu
+         |ORDER BY start, step""".stripMargin,
+    "walks_n2v_incremental" ->
+      s"""WITH $node2vecWalkCtes
+         |SELECT start, node, step FROM wu2
+         |ORDER BY start, step""".stripMargin,
+
     // walks -> skip-gram pairs -> exact-integer PMI ratio: the walk
     // chain is graph_random_walks' twin verbatim (the landed store
     // equals a from-scratch generation — walks are deterministic), and

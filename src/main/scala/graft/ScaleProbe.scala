@@ -260,6 +260,34 @@ object ScaleProbe {
       }
     }
 
+    // ---- walk_refresh: FIXED one-edge delta on a growing corpus ----
+    // The incremental-maintenance claim: redo volume is bounded by walks
+    // through the delta's endpoints, never by the corpus — so under k×
+    // corpus growth (disjoint 2-node components) with the same one-edge
+    // delta, the printed redo set must stay CONSTANT while output rows
+    // grow exactly k× (the kept side is a pure anti-join scan of the
+    // landed corpus; any redo growth means invalidation is leaking).
+    if (only.forall(_.contains("walk_refresh"))) {
+      val base = 20000L
+      for (k <- Seq(1, 4, factor)) {
+        val corpus = spark.range(base * k)
+          .select((col("id") * 2).as("c"), (col("id") * 2 + 1).as("s"))
+        val batch = spark.range(1)
+          .select(lit(0L).as("c"), lit(999999999L).as("s"))
+        // checkpointed: the timed section is the REFRESH, not the
+        // landed corpus's own derivation
+        val old = graft.operators.GraphOps.randomWalksOnPairs(corpus)
+          .localCheckpoint()
+        val redo = graft.operators.GraphOps
+          .invalidatedWalkStarts(old, batch).count()
+        println(s"""{"probe":"walk_refresh_redo","scale":$k,"redo_starts":$redo}""")
+        time("walk_refresh", k,
+          graft.operators.GraphOps.refreshWalksIncremental(old, corpus,
+            batch, graft.operators.GraphOps.randomWalksOnPairs(_, _)))
+        spark.catalog.clearCache()
+      }
+    }
+
     // ---- link_prediction: disjoint kNN-graph growth ----
     // The operator's scale claim is about the SCORING side (wedges +
     // partial agg + anti-join are degree-bounded, O(n·K²)); the brute kNN

@@ -605,8 +605,11 @@ object GraphOps {
     * walks can re-derive from the LANDED edge store (the streaming
     * admission twin lands `edges/` alongside `labels/`; deterministic
     * walks mean store-derived and from-scratch corpora are equal,
-    * spec-pinned). */
-  def randomWalksOnPairs(pairFrame: DataFrame): DataFrame = {
+    * spec-pinned). `starts` restricts which nodes walk (the incremental
+    * refresh re-derives only invalidated starts); None = every node,
+    * the full-corpus behavior. */
+  def randomWalksOnPairs(pairFrame: DataFrame,
+      starts: Option[DataFrame] = None): DataFrame = {
     val pairs = pairFrame.toDF("c", "s")
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
@@ -615,7 +618,9 @@ object GraphOps {
       .withColumn("nb_rank", (row_number().over(wAdj) - 1).cast("long"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var walk = adj.select(col("src").as("start")).distinct()
+    val allStarts = adj.select(col("src").as("start")).distinct()
+    var walk = starts.map(st => allStarts.join(st.select("start"), Seq("start")))
+      .getOrElse(allStarts)
       .select(col("start"), col("start").as("node"), lit(0L).as("step"))
     var out = walk
     var i = 1
@@ -706,8 +711,11 @@ object GraphOps {
     node2vecWalksOnPairs(pairs)
   }
 
-  /** Walk core over any two-column canonical pair frame. */
-  def node2vecWalksOnPairs(pairFrame: DataFrame): DataFrame = {
+  /** Walk core over any two-column canonical pair frame. `starts`
+    * restricts which nodes walk (the incremental refresh re-derives
+    * only invalidated starts); None = every node. */
+  def node2vecWalksOnPairs(pairFrame: DataFrame,
+      starts: Option[DataFrame] = None): DataFrame = {
     val pairs = pairFrame.toDF("c", "s")
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
@@ -716,7 +724,10 @@ object GraphOps {
     // collide with the candidate columns
     val tri = edges.select(col("src").as("p"), col("dst").as("d"),
       lit(1L).as("is_tri"))
-    var frontier = edges.select(col("src").as("start")).distinct()
+    val allStarts = edges.select(col("src").as("start")).distinct()
+    var frontier = starts
+      .map(st => allStarts.join(st.select("start"), Seq("start")))
+      .getOrElse(allStarts)
       .select(col("start"), lit(-1L).as("prev"), col("start").as("cur"))
     var out = frontier.select(col("start"), col("cur").as("node"),
       lit(0L).as("step"))
@@ -759,6 +770,108 @@ object GraphOps {
       i += 1
     }
     out.orderBy("start", "step")
+  }
+
+  // ---------- incremental walk-corpus maintenance ----------
+
+  /** Starts whose landed walk is INVALIDATED by `deltaPairs` landing:
+    * any walk that VISITS an endpoint of a genuinely new edge at a
+    * choice step (step < [[RwSteps]] — the step-i draw reads the
+    * adjacency of the node at step i−1, so a touched node reached only
+    * at the final position decides nothing). The converse is the
+    * replay theorem that makes incremental maintenance EXACT for
+    * deterministic walks, first- and second-order alike: every draw
+    * depends only on visited nodes' neighbor sets (first-order: cur's
+    * dst-ordered ranks and degree; node2vec: cur's capped candidate
+    * list plus edge-existence probes keyed on prev — all edges OF
+    * visited nodes), and an added edge (u,v) changes no adjacency but
+    * u's and v's — so a walk whose visited choice-step nodes are all
+    * untouched replays bit-identically on the grown graph, by
+    * induction over steps. Cost: one broadcast semi-join of the walk
+    * corpus against the delta's endpoints — O(corpus) scanned, output
+    * bounded by walks-through-touched, never corpus-sized. */
+  def invalidatedWalkStarts(oldWalks: DataFrame,
+      deltaPairs: DataFrame): DataFrame = {
+    val d = deltaPairs.toDF("c", "s")
+    val touched = d.select(col("c").as("t"))
+      .union(d.select(col("s").as("t"))).distinct()
+    oldWalks.filter(col("step") < RwSteps)
+      .join(broadcast(touched), col("node") === col("t"), "left_semi")
+      .select("start").distinct()
+  }
+
+  /** Incrementally refresh a landed walk corpus after an edge batch:
+    * keep every walk the replay theorem proves unchanged, re-derive
+    * exactly the invalidated starts plus the batch's brand-new nodes
+    * on the grown adjacency — the result is row-identical to
+    * re-walking the whole graph (the keyed queries' oracle IS the
+    * full-walk twin, and the planted spec pins the untouched-component
+    * walks as kept, not recomputed). At 100 TB this is the difference
+    * between O(walks through the touched neighborhood) per ingest
+    * batch and re-deriving a corpus-sized artifact: the walker runs
+    * with its frontier filtered to the redo set, so every per-step
+    * join is redo-sized, while the kept side is a pure anti-join scan
+    * of the landed corpus. `walker` is [[randomWalksOnPairs]] or
+    * [[node2vecWalksOnPairs]] — the rule is order-agnostic. */
+  def refreshWalksIncremental(oldWalks: DataFrame, corpusPairs: DataFrame,
+      batchPairs: DataFrame,
+      walker: (DataFrame, Option[DataFrame]) => DataFrame): DataFrame = {
+    val old = oldWalks.persist(StorageLevel.MEMORY_AND_DISK)
+    // only GENUINELY new edges invalidate (an at-least-once re-admission
+    // of landed pairs must be a no-op — the store convention)
+    val delta = batchPairs.toDF("c", "s")
+      .join(corpusPairs.toDF("c", "s"), Seq("c", "s"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val full = corpusPairs.toDF("c", "s")
+      .union(batchPairs.toDF("c", "s")).distinct()
+    val invalid = invalidatedWalkStarts(old, delta)
+    // nodes whose FIRST edge arrived in the delta walk for the first
+    // time — bounded by the delta's endpoints, never the node set
+    val newStarts = delta.select(col("c").as("start"))
+      .union(delta.select(col("s").as("start"))).distinct()
+      .join(old.select("start").distinct(), Seq("start"), "left_anti")
+    val redo = invalid.union(newStarts).distinct()
+    val kept = old.join(redo, Seq("start"), "left_anti")
+    kept.unionByName(walker(full, Some(redo))).orderBy("start", "step")
+  }
+
+  /** walks_incremental — the first-order walk corpus maintained
+    * INCREMENTALLY across the store's corpus/batch admission split
+    * ([[IncrBatchMod]], the shared convention): walk the corpus
+    * slice, land the batch, refresh via [[refreshWalksIncremental]].
+    * The oracle is `graph_random_walks`' unrolled twin VERBATIM —
+    * kept-plus-redone must equal walking the grown graph from
+    * scratch, which is the whole correctness claim. */
+  def walksIncremental(s: SparkSession, dir: String): DataFrame =
+    walksIncrementalFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))(
+      randomWalksOnPairs(_, _))
+
+  /** walks_n2v_incremental — [[walksIncremental]] for the SECOND-ORDER
+    * node2vec corpus: same invalidation rule (the triadic probe reads
+    * edges of `prev`, a visited node, so the replay theorem covers the
+    * second-order draw too), oracle = `node2vec_walks`' capped-CDF
+    * twin verbatim. */
+  def node2vecWalksIncremental(s: SparkSession, dir: String): DataFrame =
+    walksIncrementalFrames(Tables.lineitem(s, dir), Tables.orders(s, dir))(
+      node2vecWalksOnPairs(_, _))
+
+  /** Core on any lineitem/orders-shaped frames: corpus/batch pairs by
+    * the [[IncrBatchMod]] orderkey split (both sides distinct AFTER the
+    * split, so a pair present in both slices is a re-admission, not a
+    * delta). */
+  def walksIncrementalFrames(lineitem: DataFrame, orders: DataFrame)(
+      walker: (DataFrame, Option[DataFrame]) => DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_suppkey")
+    val ord = orders.select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_orderkey"),
+        (col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpus = pairs.filter(pmod(col("o_orderkey"), lit(IncrBatchMod)) =!= 0)
+      .select("c", "s").distinct()
+    val batch = pairs.filter(pmod(col("o_orderkey"), lit(IncrBatchMod)) === 0)
+      .select("c", "s").distinct()
+    refreshWalksIncremental(walker(corpus, None), corpus, batch, walker)
   }
 
   // ---------- landed walk corpus + skip-gram PMI panel ----------
