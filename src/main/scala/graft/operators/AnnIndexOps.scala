@@ -7,7 +7,8 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.operators.ClusterOps.{CoarseCells, CoarseRounds, PqK, PqM,
-  PqNprobe, PqRounds, assign, dist2, kmeansCentroids, quantized}
+  PqNprobe, PqRounds, argminStruct, centArray, dist2, kmeansCentroids,
+  quantized}
 
 /** The LANDED IVF-PQ index — the production read path for ANN search.
   *
@@ -85,21 +86,28 @@ object AnnIndexOps {
     qAll.sparkSession.range(1)
       .select(lit(nCells.toLong).as("cells"), lit(builtVecs).as("built_vecs"))
       .write.mode("overwrite").parquet(s"$baseDir/meta")
-    val cellOf = assign(qAll, coarse)
-      .select(col("vec_id"), col("cluster").as("cell"))
-    val subs = (0 until m).map { i =>
-      val q = qAll.select(col("vec_id"),
-        slice(col("v"), i * dimsPer + 1, dimsPer).as("v"))
-      // two consumers (codebook sink + code assignment) — checkpoint the
-      // k-row codebook so training lineage isn't duplicated into both
-      val cent = kmeansCentroids(q, k, rounds).localCheckpoint()
-      (cent, assign(q, cent).select(col("vec_id"), col("cluster").as(s"c$i")))
-    }
-    subs.zipWithIndex.map { case ((cent, _), i) =>
-        cent.select(lit(i).as("subspace"), col("cluster"), col("c")) }
-      .reduce(_ unionByName _)
+    // the M subspace codebooks train in ONE round loop
+    // (kmeansCentroidsMulti — the checkpointed result serves the
+    // codebook sink AND the code assignment); coarse trains separately
+    // here because its cell count is adaptive and its artifact lands
+    // first
+    val centMulti = ClusterOps.kmeansCentroidsMulti(
+      ClusterOps.pqTrainFrame(qAll, m, dimsPer, withCoarse = false),
+      (0 until m).map(i => i -> k).toMap, rounds)
+    centMulti.select(col("sub").as("subspace"), col("cluster"), col("c"))
       .write.mode("overwrite").parquet(s"$baseDir/codebooks")
-    subs.map(_._2).foldLeft(cellOf)((a, b) => a.join(b, "vec_id"))
+    // cell + all M codes land from ONE map-side projection over the
+    // persisted scan (the old shape shuffled the coarse assignment and
+    // M per-subspace assignments, then joined all M+1 on vec_id)
+    def sub(i: Int) = slice(col("v"), i * dimsPer + 1, dimsPer)
+    val model = centArray(coarse).select(col("cents").as("ccents"))
+      .crossJoin(ClusterOps.pqModelRow(centMulti, m, withCoarse = false))
+    qAll.crossJoin(broadcast(model))
+      .select(col("vec_id") +:
+        argminStruct(col("v"), col("ccents")).getField("cluster").as("cell") +:
+        (0 until m).map(i =>
+          argminStruct(sub(i), col(s"cents$i")).getField("cluster")
+            .as(s"c$i")): _*)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$baseDir/codes")
     qAll.unpersist()
@@ -125,37 +133,45 @@ object AnnIndexOps {
     val books = s.read.parquet(s"$indexDir/codebooks")
     val codes = readCodes(s, indexDir, m)
       .withColumnRenamed("vec_id", "n_id")
-    // persisted: the probe pass + M LUT builds all read the quantized
-    // queries (callers clear the cache after consuming, as elsewhere).
-    // allQueries = every corpus vector probes (the kNN-graph build for
-    // link_prediction_indexed); default = the isQuery slice convention.
-    val q = quantized(emb, normalize = true)
+    def sub(i: Int) = slice(col("v"), i * dimsPer + 1, dimsPer)
+    // the landed artifacts collapse to ONE broadcast model row (coarse
+    // cells + M codebooks as arrays). allQueries = every corpus vector
+    // probes (the kNN-graph build for link_prediction_indexed);
+    // default = the isQuery slice convention.
+    val model = (centArray(coarse).select(col("cents").as("ccents")) +:
+      (0 until m).map(i =>
+        centArray(books.filter(col("subspace") === i).select("cluster", "c"))
+          .select(col("cents").as(s"cents$i"))))
+      .reduce(_ crossJoin _)
+    // query side in ONE map-side projection: top-nprobe probed cells
+    // (array_sort on (cd, cell) = the old window's total order, without
+    // its |Q|·cells exchange) + the M ADC LUT maps. The old shape built
+    // M separate broadcast LUT frames and joined each against the
+    // candidates, then re-aggregated the M-way union on (q_id, n_id);
+    // adist is now a map-side sum of M lookups and the only exchange
+    // left after the cell join is the per-query top-k window.
+    val probes = quantized(emb, normalize = true)
       .filter(if (allQueries) lit(true) else SimilarityOps.isQuery(col("vec_id")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val w0 = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
-    val probed = q.crossJoin(broadcast(coarse))
-      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
-        dist2(col("v"), col("c")).as("cd"))
-      .withColumn("pr", row_number().over(w0)).filter(col("pr") <= nprobe)
-      .select("q_id", "cell")
+      .crossJoin(broadcast(model))
+      .select(col("vec_id").as("q_id") +:
+        transform(slice(array_sort(transform(col("ccents"), ct =>
+          struct(dist2(col("v"), ct.getField("c")).as("cd"),
+            ct.getField("cluster").as("cell")))), 1, nprobe),
+          pc => pc.getField("cell")).as("pcells") +:
+        (0 until m).map(i =>
+          map_from_entries(transform(col(s"cents$i"), ct =>
+            struct(ct.getField("cluster"), dist2(sub(i), ct.getField("c")))))
+            .as(s"lut$i")): _*)
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
     // candidates: members of the probed cells only — the equi-join on
     // the partition column is what keeps the scan at nprobe/cells of
     // the corpus files
-    val cand = probed.join(codes, Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-    val parts = (0 until m).map { i =>
-      val lut = q.select(col("vec_id").as("q_id"),
-          slice(col("v"), i * dimsPer + 1, dimsPer).as("qv"))
-        .crossJoin(broadcast(books.filter(col("subspace") === i)
-          .select(col("cluster").as("code"), col("c"))))
-        .select(col("q_id"), col("code"), dist2(col("qv"), col("c")).as("d"))
-      cand.select(col("q_id"), col("n_id"), col(s"c$i").as("code"))
-        .join(broadcast(lut), Seq("q_id", "code"))
-        .select("q_id", "n_id", "d")
-    }
     val w = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
-    parts.reduce(_ unionByName _)
-      .groupBy("q_id", "n_id").agg(sum(col("d")).cast("long").as("adist"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(i => element_at(col(s"lut$i"), col(s"c$i")))
+          .reduce(_ + _).as("adist"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
       .orderBy("q_id", "rnk")
@@ -170,19 +186,24 @@ object AnnIndexOps {
     val dimsPer = 64 / m
     val coarse = s.read.parquet(s"$indexDir/coarse")
     val books = s.read.parquet(s"$indexDir/codebooks")
-    val q = quantized(batch, normalize = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cellA = assign(q, coarse).select(col("vec_id"), col("cluster").as("cell"))
-    val subs = (0 until m).map { i =>
-      val qi = q.select(col("vec_id"),
-        slice(col("v"), i * dimsPer + 1, dimsPer).as("v"))
-      assign(qi, books.filter(col("subspace") === i).select("cluster", "c"))
-        .select(col("vec_id"), col("cluster").as(s"c$i"), col("dist2").as(s"d$i"))
-    }
-    val joined = subs.foldLeft(cellA)((a, b) => a.join(b, "vec_id"))
-    joined.select(col("vec_id") +: col("cell") +:
-        (0 until m).map(i => col(s"c$i")) :+
-        (0 until m).map(i => col(s"d$i")).reduce(_ + _).as("err"): _*)
+    def sub(i: Int) = slice(col("v"), i * dimsPer + 1, dimsPer)
+    // cell + M codes + reconstruction error in ONE map-side projection
+    // against the frozen artifacts (the old shape shuffled M+1 separate
+    // assignments and joined them all back on vec_id) — assignment is
+    // now a zero-exchange scan of the batch, no persist needed
+    val model = (centArray(coarse).select(col("cents").as("ccents")) +:
+      (0 until m).map(i =>
+        centArray(books.filter(col("subspace") === i).select("cluster", "c"))
+          .select(col("cents").as(s"cents$i"))))
+      .reduce(_ crossJoin _)
+    quantized(batch, normalize = true)
+      .crossJoin(broadcast(model))
+      .select(col("vec_id") +:
+        argminStruct(col("v"), col("ccents")).getField("cluster").as("cell") +:
+        (0 until m).map(i => argminStruct(sub(i), col(s"cents$i")).as(s"m$i")): _*)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(i => col(s"m$i.cluster").as(s"c$i")) :+
+        (0 until m).map(i => col(s"m$i.d")).reduce(_ + _).as("err"): _*)
       .orderBy("vec_id")
   }
 

@@ -70,18 +70,65 @@ object ClusterOps {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
 
-  /** Argmin assignment of every vector to its nearest centroid:
-    * broadcast the k-row centroid frame, score k candidates per vector
-    * map-side, keep min(struct(dist, cluster)) — the struct min IS the
-    * total-order argmin (distance, then lowest cluster id), so ties are
-    * deterministic in both engines. */
+  /** The e6 quantization of an embedding column as a reusable expression
+    * (the [[quantized]] lambda) — lets consumers attach `v` to a wider
+    * frame instead of joining two scans of the same table on vec_id. */
+  private[operators] def v6Arr(emb: Column): Column =
+    transform(slice(emb, 1, 64), v6 _)
+
+  /** The k-row centroid frame collapsed to ONE cluster-ascending
+    * array-of-structs row — the broadcastable "model" every map-side
+    * argmin / probe / ADC-LUT consumer reads. (array_sort on
+    * struct(cluster, c) sorts by cluster first; the order only needs to
+    * be deterministic, argmin and map lookups are order-insensitive.) */
+  private[operators] def centArray(cent: DataFrame): DataFrame =
+    cent.agg(array_sort(collect_list(struct(col("cluster"), col("c"))))
+      .as("cents"))
+
+  /** (dist2, cluster) argmin struct of vector `v` over a centroid-array
+    * column — array_min's struct ordering IS the (distance, then lowest
+    * cluster id) total order the old min(struct) aggregation used, so
+    * ties are deterministic in both engines. */
+  private[operators] def argminStruct(v: Column, cents: Column): Column =
+    array_min(transform(cents,
+      ct => struct(dist2(v, ct.getField("c")).as("d"),
+        ct.getField("cluster").as("cluster"))))
+
+  /** Argmin assignment of every vector to its nearest centroid — computed
+    * entirely MAP-SIDE (guide §2.4, "remove shuffles outright"): the
+    * k-row centroid frame collapses to one broadcast array row and every
+    * vector reduces its k (dist, cluster) structs with array_min. The
+    * previous shape (crossJoin with the k-row frame + groupBy(vec_id)
+    * min) paid one corpus-sized exchange PER CALL — once per Lloyd round
+    * per consumer; this pays zero. Same arithmetic, same total-order
+    * tie-break, bit-identical output. */
   private[operators] def assign(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"),
-        struct(dist2(col("v"), col("c")).as("d"), col("cluster")).as("dc"))
-      .groupBy("vec_id")
-      .agg(min(col("dc")).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.d").as("dist2"))
+    assignKeep(e, cent).select("vec_id", "cluster", "dist2")
+
+  /** [[assign]] keeping every input column of `e` — being map-side it
+    * can carry the caller's payload through, so consumers that used to
+    * join the assignment back on vec_id (one more corpus shuffle) now
+    * read one projection. */
+  private[operators] def assignKeep(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centArray(cent)))
+      .withColumn("__m", argminStruct(col("v"), col("cents")))
+      .select(e.columns.map(col) :+ col("__m.cluster").as("cluster") :+
+        col("__m.d").as("dist2"): _*)
+
+  /** Explode each row of `q` into its top-`nprobe` nearest cells by exact
+    * integer L2 against `cent` — map-side: array_sort over the
+    * (cd, cell) structs is the same total order the old per-query
+    * row_number window used, without the |Q|·cells exchange the window
+    * paid. Keeps every input column of `q`, appends `cell`. */
+  private[operators] def probeCellsKeep(q: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(centArray(cent)))
+      .withColumn("cell", explode(transform(
+        slice(array_sort(transform(col("cents"), ct =>
+          struct(dist2(col("v"), ct.getField("c")).as("cd"),
+            ct.getField("cluster").as("cell")))), 1, nprobe),
+        pc => pc.getField("cell"))))
+      .select(q.columns.map(col) :+ col("cell"): _*)
 
   /** embedding_kmeans — exact Lloyd's iterations over the embeddings
     * table. Init: centroids = the vectors with vec_id 0..k−1 (data-
@@ -110,11 +157,13 @@ object ClusterOps {
       .localCheckpoint(false)
     var r = 0
     while (r < rounds) {
-      val a = assign(train, cent).select("vec_id", "cluster")
       // ONE (cluster, dim) partial-agg shuffle: k×dims groups whatever
-      // the corpus size. Rebuild the centroid array deterministically
-      // with an in-group sort by dim (bounded: dims elements).
-      val upd = a.join(train, "vec_id")
+      // the corpus size. The map-side assignKeep carries `v` through, so
+      // the old per-round assignment⋈train join on vec_id (a second
+      // corpus exchange per round) is gone. Rebuild the centroid array
+      // deterministically with an in-group sort by dim (bounded: dims
+      // elements).
+      val upd = assignKeep(train, cent)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5))
@@ -133,6 +182,82 @@ object ClusterOps {
       r += 1
     }
     cent
+  }
+
+  /** Lloyd training for SEVERAL independent kmeans instances in ONE
+    * round loop: `train` is (vec_id, sub, v) with `sub` keying the
+    * instance (one per PQ subspace, optionally the coarse quantizer as
+    * sub = −1) and `kOf` each instance's cluster count. Per round the
+    * work is ONE broadcast join + ONE (sub, cluster, dim) partial-agg
+    * shuffle covering ALL instances — M separate [[kmeansCentroids]]
+    * loops previously paid M× the per-round fixed cost (guide §1.2:
+    * fix the distributed algorithm first). Instances never interact
+    * (every group key carries `sub`), and init / argmin / update /
+    * empty-cluster rules are [[kmeansCentroids]]' verbatim, so the
+    * returned (sub, cluster, c) table is bit-identical to training each
+    * instance alone — the per-subspace unrolled oracles are untouched.
+    * Eagerly checkpointed: one job runs the whole training and every
+    * downstream consumer (codes, LUTs, artifact sinks) reads the tiny
+    * cached result. */
+  private[graft] def kmeansCentroidsMulti(train: DataFrame,
+      kOf: Map[Int, Int], rounds: Int): DataFrame = {
+    val kMap = map(kOf.toSeq.sortBy(_._1).flatMap { case (sb, kk) =>
+      Seq(lit(sb), lit(kk.toLong)) }: _*)
+    var cent = train.filter(col("vec_id") < element_at(kMap, col("sub")))
+      .select(col("sub"), col("vec_id").as("cluster"), col("v").as("c"))
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      val centsBySub = cent.groupBy("sub")
+        .agg(array_sort(collect_list(struct(col("cluster"), col("c"))))
+          .as("cents"))
+      val upd = train.join(broadcast(centsBySub), Seq("sub"))
+        .select(col("sub"),
+          argminStruct(col("v"), col("cents")).getField("cluster")
+            .as("cluster"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("sub", "cluster", "pos")
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("m"))
+        .groupBy("sub", "cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("cn"))
+      val next = cent.join(upd, Seq("sub", "cluster"), "left")
+        .select(col("sub"), col("cluster"), coalesce(col("cn"), col("c")).as("c"))
+      cent = if (r % 2 == 1 && r != rounds - 1) next.localCheckpoint() else next
+      r += 1
+    }
+    cent.localCheckpoint()
+  }
+
+  /** The M-subspace PQ training frame: one row per (vector, subspace)
+    * slice — plus the full vector as sub = −1 when `withCoarse`, so the
+    * coarse quantizer trains in the same loop. */
+  private[operators] def pqTrainFrame(qAll: DataFrame, m: Int, dimsPer: Int,
+      withCoarse: Boolean): DataFrame = {
+    val slices = (0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("v"), i * dimsPer + 1, dimsPer).as("v")))
+    val all = if (withCoarse)
+      struct(lit(-1).as("sub"), col("v").as("v")) +: slices else slices
+    qAll.select(col("vec_id"), explode(array(all: _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+  }
+
+  /** The (sub, cluster, c) multi-training result collapsed to ONE model
+    * row: a `cents$i` array per subspace (plus `ccents` for sub = −1
+    * when present) — conditional collect_list skips nulls, array_sort
+    * makes the layout deterministic. One aggregation over the tiny
+    * checkpointed centroid table. */
+  private[operators] def pqModelRow(centMulti: DataFrame, m: Int,
+      withCoarse: Boolean): DataFrame = {
+    val subs = (0 until m).map(i =>
+      array_sort(collect_list(when(col("sub") === i,
+        struct(col("cluster"), col("c"))))).as(s"cents$i"))
+    val aggs = if (withCoarse)
+      array_sort(collect_list(when(col("sub") === -1,
+        struct(col("cluster"), col("c"))))).as("ccents") +: subs
+    else subs
+    centMulti.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Core on any (vec_id, embedding) frame — lets ScaleProbe grow the
@@ -175,10 +300,15 @@ object ClusterOps {
 
   def semanticDedupFrom(emb: DataFrame, threshold: Double = SemThreshold,
       k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame = {
-    val a = kmeansAssign(emb, k, rounds).select("vec_id", "cluster")
-    val e = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
-        normE12(col("embedding")).as("nrm"))
-      .join(a, "vec_id")
+    // ONE scan carries embedding + norm + the quantized training vector,
+    // so the final assignment attaches map-side — the old shape joined a
+    // separately-shuffled kmeansAssign output back on vec_id
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"), normE12(col("embedding")).as("nrm"),
+        v6Arr(col("embedding")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // training rounds re-read it
+    val cent = kmeansCentroids(base.select("vec_id", "v"), k, rounds)
+    val e = assignKeep(base, cent).drop("v", "dist2")
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the pair join
     val dup = e.as("x").join(e.as("y"),
         col("x.cluster") === col("y.cluster") &&
@@ -224,17 +354,25 @@ object ClusterOps {
     // (M separate quantized() calls would re-read parquet M times)
     val qAll = quantized(emb, normalize = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val subs = (0 until m).map { i =>
-      val q = qAll.select(col("vec_id"),
-        slice(col("v"), i * dimsPer + 1, dimsPer).as("v"))
-      assign(q, kmeansCentroids(q, k, rounds))
-        .select(col("vec_id"), col("cluster").as(s"c$i"),
-          col("dist2").as(s"d$i"))
-    }
-    val joined = subs.reduce((a, b) => a.join(b, "vec_id"))
-    joined.select(
-        col("vec_id") +: (0 until m).map(i => col(s"c$i")) :+
-          (0 until m).map(i => col(s"d$i")).reduce(_ + _).as("err"): _*)
+    def sub(i: Int) = slice(col("v"), i * dimsPer + 1, dimsPer)
+    // ALL M codebooks train in ONE round loop (kmeansCentroidsMulti) and
+    // collapse into ONE broadcast model row; codes + reconstruction
+    // errors for all M subspaces are a single map-side projection. The
+    // old shape trained M separate loops (M× the per-round stages),
+    // assigned each subspace separately (M corpus shuffles) and
+    // re-joined the M outputs on vec_id (M−1 more) — this plan has ZERO
+    // corpus exchanges after training (guide §2.4; measured 154
+    // Exchange → see plans/r13/).
+    val centMulti = kmeansCentroidsMulti(
+      pqTrainFrame(qAll, m, dimsPer, withCoarse = false),
+      (0 until m).map(i => i -> k).toMap, rounds)
+    val model = pqModelRow(centMulti, m, withCoarse = false)
+    qAll.crossJoin(broadcast(model))
+      .select(col("vec_id") +: (0 until m).map(i =>
+        argminStruct(sub(i), col(s"cents$i")).as(s"m$i")): _*)
+      .select(
+        col("vec_id") +: (0 until m).map(i => col(s"m$i.cluster").as(s"c$i")) :+
+          (0 until m).map(i => col(s"m$i.d")).reduce(_ + _).as("err"): _*)
       .orderBy("vec_id")
   }
 
@@ -262,25 +400,36 @@ object ClusterOps {
     // same shared-scan layout as embeddingPqFrom
     val qAll = quantized(emb, normalize = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val parts = (0 until m).map { i =>
-      val q = qAll.select(col("vec_id"),
-        slice(col("v"), i * dimsPer + 1, dimsPer).as("v"))
-      // TWO consumers (corpus codes + query LUT) — checkpoint the k-row
-      // codebook so the training lineage isn't duplicated into both
-      val cent = kmeansCentroids(q, k, rounds).localCheckpoint()
-      val codes = assign(q, cent)
-        .select(col("vec_id").as("n_id"), col("cluster").as("code"))
-      val lut = q.filter(SimilarityOps.isQuery(col("vec_id")))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id").as("q_id"), col("cluster").as("code"),
-          dist2(col("v"), col("c")).as("d"))
-      codes.join(broadcast(lut), Seq("code"))
-        .filter(col("q_id") =!= col("n_id"))
-        .select("q_id", "n_id", "d")
-    }
+    def sub(i: Int) = slice(col("v"), i * dimsPer + 1, dimsPer)
+    // ALL M codebooks train in ONE round loop; the checkpointed multi
+    // result serves both consumers (corpus codes + query LUTs) so the
+    // training lineage runs once, not once per consumer
+    val model = pqModelRow(
+      kmeansCentroidsMulti(pqTrainFrame(qAll, m, dimsPer, withCoarse = false),
+        (0 until m).map(i => i -> k).toMap, rounds),
+      m, withCoarse = false)
+    // corpus codes: all M argmins in one map-side projection (the old
+    // shape shuffled each subspace's assignment separately)
+    val codes = qAll.crossJoin(broadcast(model))
+      .select(col("vec_id").as("n_id") +: (0 until m).map(i =>
+        argminStruct(sub(i), col(s"cents$i")).getField("cluster")
+          .as(s"c$i")): _*)
+    // per-query ADC tables as M (code → dist²) MAP columns: one
+    // broadcast row per query replaces M per-subspace (q_id, code) join
+    // legs + the M-way union + the (q_id, n_id) re-aggregation shuffle —
+    // adist is now a pure map-side sum of M lookups, and the only
+    // remaining exchange is the per-query top-k window (guide §2.4).
+    val qlut = qAll.filter(SimilarityOps.isQuery(col("vec_id")))
+      .crossJoin(broadcast(model))
+      .select(col("vec_id").as("q_id") +: (0 until m).map(i =>
+        map_from_entries(transform(col(s"cents$i"), ct =>
+          struct(ct.getField("cluster"), dist2(sub(i), ct.getField("c")))))
+          .as(s"lut$i")): _*)
     val w = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
-    parts.reduce(_ unionByName _)
-      .groupBy("q_id", "n_id").agg(sum(col("d")).cast("long").as("adist"))
+    codes.join(broadcast(qlut), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(i => element_at(col(s"lut$i"), col(s"c$i")))
+          .reduce(_ + _).as("adist"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
       .orderBy("q_id", "rnk")
@@ -312,40 +461,59 @@ object ClusterOps {
     val dimsPer = 64 / m
     val qAll = quantized(emb, normalize = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // coarse quantizer: cells over the FULL normalized vector
-    val coarseCent = kmeansCentroids(qAll, cells, crounds).localCheckpoint()
-    val cellOf = assign(qAll, coarseCent)
-      .select(col("vec_id").as("n_id"), col("cluster").as("cell"))
-    val w0 = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
-    val probed = qAll.filter(SimilarityOps.isQuery(col("vec_id")))
-      .crossJoin(broadcast(coarseCent))
-      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
-        dist2(col("v"), col("c")).as("cd"))
-      .withColumn("pr", row_number().over(w0)).filter(col("pr") <= nprobe)
-      .select("q_id", "cell")
-    // candidate pairs: corpus members of the probed cells — consumed by
-    // all M subspace joins, so cut the coarse lineage once
-    val cand = probed.join(cellOf, Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id")
-      .localCheckpoint()
-    val parts = (0 until m).map { i =>
-      val q = qAll.select(col("vec_id"),
-        slice(col("v"), i * dimsPer + 1, dimsPer).as("v"))
-      val cent = kmeansCentroids(q, k, rounds).localCheckpoint()
-      val codes = assign(q, cent)
-        .select(col("vec_id").as("n_id"), col("cluster").as("code"))
-      val lut = q.filter(SimilarityOps.isQuery(col("vec_id")))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id").as("q_id"), col("cluster").as("code"),
-          dist2(col("v"), col("c")).as("d"))
-      cand.join(codes, Seq("n_id"))
-        .join(broadcast(lut), Seq("q_id", "code"))
-        .select("q_id", "n_id", "d")
+    def sub(i: Int) = slice(col("v"), i * dimsPer + 1, dimsPer)
+    // coarse quantizer (cells over the FULL normalized vector) + M
+    // subspace codebooks → ONE broadcast model row. When the round
+    // counts agree (they do at the keyed defaults) all M+1 instances
+    // train in ONE round loop (sub = −1 carries the full vector); the
+    // checkpointed multi result serves both the corpus and query sides,
+    // so training runs once, not once per consumer.
+    val model = if (crounds == rounds) {
+      pqModelRow(
+        kmeansCentroidsMulti(pqTrainFrame(qAll, m, dimsPer, withCoarse = true),
+          (0 until m).map(i => i -> k).toMap + (-1 -> cells), rounds),
+        m, withCoarse = true)
+    } else {
+      (centArray(kmeansCentroids(qAll, cells, crounds))
+          .select(col("cents").as("ccents")) +:
+        (0 until m).map { i =>
+          centArray(kmeansCentroids(
+              qAll.select(col("vec_id"), sub(i).as("v")), k, rounds))
+            .select(col("cents").as(s"cents$i"))
+        }).reduce(_ crossJoin _).localCheckpoint()
     }
+    // corpus side: cell + all M codes in ONE map-side projection (the
+    // old shape paid a coarse-assignment shuffle, a probed⋈cellOf
+    // exchange, a checkpoint, and M code joins keyed on n_id)
+    val codes = qAll.crossJoin(broadcast(model))
+      .select(col("vec_id").as("n_id") +:
+        argminStruct(col("v"), col("ccents")).getField("cluster").as("cell") +:
+        (0 until m).map(i =>
+          argminStruct(sub(i), col(s"cents$i")).getField("cluster")
+            .as(s"c$i")): _*)
+    // query side: top-nprobe probed cells (array_sort = the (cd, cell)
+    // tie-break the old window used) + the M ADC LUT maps, one map-side
+    // projection, exploded per probed cell and broadcast — the per-pair
+    // adist is a pure map-side sum of M lookups and the only remaining
+    // exchange is the per-query top-k window.
+    val probes = qAll.filter(SimilarityOps.isQuery(col("vec_id")))
+      .crossJoin(broadcast(model))
+      .select(col("vec_id").as("q_id") +:
+        transform(slice(array_sort(transform(col("ccents"), ct =>
+          struct(dist2(col("v"), ct.getField("c")).as("cd"),
+            ct.getField("cluster").as("cell")))), 1, nprobe),
+          pc => pc.getField("cell")).as("pcells") +:
+        (0 until m).map(i =>
+          map_from_entries(transform(col(s"cents$i"), ct =>
+            struct(ct.getField("cluster"), dist2(sub(i), ct.getField("c")))))
+            .as(s"lut$i")): _*)
+      .withColumn("cell", explode(col("pcells"))).drop("pcells")
     val w = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
-    parts.reduce(_ unionByName _)
-      .groupBy("q_id", "n_id").agg(sum(col("d")).cast("long").as("adist"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(i => element_at(col(s"lut$i"), col(s"c$i")))
+          .reduce(_ + _).as("adist"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
       .orderBy("q_id", "rnk")
@@ -371,10 +539,9 @@ object ClusterOps {
     // token otherwise
     val fv = TextOps.docEmbedVectors(s, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ints = fv.select("vec_id", "v")
-    val cent = kmeansCentroids(ints, k, rounds)
-    val assigned = assign(ints, cent).select("vec_id", "cluster")
-    val e = fv.join(assigned, "vec_id")
+    val cent = kmeansCentroids(fv.select("vec_id", "v"), k, rounds)
+    // map-side assignment keeps (v, nrm) — no join back on vec_id
+    val e = assignKeep(fv, cent).drop("dist2")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dot = aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b),
       lit(0L), (acc, d) => acc + d)
@@ -419,12 +586,16 @@ object ClusterOps {
   def semanticDedupIncrementalFrom(emb: DataFrame, split: Long,
       threshold: Double = SemThreshold, k: Int = KmeansK,
       rounds: Int = KmeansRounds): DataFrame = {
-    val q = quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    val cent = kmeansCentroids(q.filter(col("vec_id") < split), k, rounds)
-    val assigned = assign(q, cent).select("vec_id", "cluster")
-    val e = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
-        normE12(col("embedding")).as("nrm"))
-      .join(assigned, "vec_id")
+    // one scan carries embedding + norm + quantized v; the frozen-corpus
+    // training reads the < split slice of it, and the batch+corpus
+    // assignment attaches map-side (no join back on vec_id)
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"), normE12(col("embedding")).as("nrm"),
+        v6Arr(col("embedding")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cent = kmeansCentroids(
+      base.filter(col("vec_id") < split).select("vec_id", "v"), k, rounds)
+    val e = assignKeep(base, cent).drop("v", "dist2")
       .persist(StorageLevel.MEMORY_AND_DISK) // corpus + both batch sides
     semanticVerdicts(e.filter(col("vec_id") >= split),
       e.filter(col("vec_id") < split), threshold)
@@ -470,9 +641,10 @@ object ClusterOps {
   /** Attach (nrm, cluster) to a raw (vec_id, embedding) frame against a
     * FROZEN centroid frame — the assignment step of the streaming path. */
   private[graft] def assignAgainst(emb: DataFrame, cent: DataFrame): DataFrame =
-    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
-        normE12(col("embedding")).as("nrm"))
-      .join(assign(quantized(emb), cent).select("vec_id", "cluster"), "vec_id")
+    assignKeep(emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"), normE12(col("embedding")).as("nrm"),
+        v6Arr(col("embedding")).as("v")), cent)
+      .drop("v", "dist2")
 
   /** Land the frozen semantic-admission artifacts: the corpus-trained
     * quantizer (`centroids`) and the assigned corpus index (`index`) —

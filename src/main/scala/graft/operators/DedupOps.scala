@@ -499,8 +499,12 @@ object DedupOps {
       // pointer jump (path halving): also adopt the label OF my label —
       // labels reach fixpoint in O(log diameter) rounds instead of
       // O(diameter), so a long path can never exhaust maxIter
+      // the pointer side is the same O(nodes) label state — broadcast it
+      // below the shared bound too, or the self-join shuffles AND sorts
+      // both sides every round
       val viaParent = labels.as("a")
-        .join(labels.select(col("id").as("label"), col("label").as("ll")).as("b"),
+        .join(maybeBc(
+          labels.select(col("id").as("label"), col("label").as("ll")).as("b")),
           Seq("label"))
         .select(col("id"), col("ll").as("label"))
       // provenance-tagged union: the row's OWN previous label rides the

@@ -188,8 +188,12 @@ object GraphOps {
       .select("doc_a", "doc_b").distinct()
     val batch = pairs.filter(pmod(col("o_orderkey"), lit(IncrBatchMod)) === 0)
       .select("doc_a", "doc_b").distinct()
+    // checkpointed: componentPanel reads its input TWICE (size agg +
+    // join back), and the merge tail above is plain lineage — without
+    // the cut it would execute twice
     componentPanel(incrementalComponents(corpus, batch)
-      .select(col("id").as("node_id"), col("label").as("component")))
+      .select(col("id").as("node_id"), col("label").as("component"))
+      .localCheckpoint())
   }
 
   /** Incremental CC core: fold a batch edge frame into an existing
@@ -231,8 +235,13 @@ object GraphOps {
       .union(batchEdges.select(col("doc_b").as("id"))).distinct()
       .join(labels0.select("id"), Seq("id"), "left_anti")
       .withColumn("label", col("id"))
+    // merged is CC over the CONTRACTED graph — batch-bounded by the
+    // contract above, and checkpointed (no size statistics), so without
+    // the explicit broadcast Catalyst sort-merge-joins the corpus-sized
+    // label table against it (the BroadcastNodesMax rationale; the
+    // corpus side is the frame that must never shuffle here)
     labels0.union(batchNodes)
-      .join(merged.select(col("id").as("label"), col("label").as("l2")),
+      .join(broadcast(merged.select(col("id").as("label"), col("label").as("l2"))),
         Seq("label"), "left")
       .select(col("id"), coalesce(col("l2"), col("label")).as("label"))
   }
@@ -329,7 +338,12 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one cheap count over the persisted frame decides both join
     // strategies; the wedge side carries the dord struct so its bound is
-    // the lower one
+    // the lower one. (Optimization round r13 measured two "obvious"
+    // improvements here as regressions and reverted them: checkpointing
+    // eo/deg to flatten the printed plan — the giant explain tree is
+    // InMemoryRelation RENDERING, not planner cost, and the columnar
+    // cache's pruned reads beat checkpoint row scans, 10.5 → 13 s — so
+    // the persist layout stays.)
     val edgeCount = eo.count()
     def bcastIf(ok: Boolean)(df: DataFrame) = if (ok) broadcast(df) else df
     val wedges = eo.as("x").join(
@@ -401,7 +415,16 @@ object GraphOps {
     * component up to [[BfsMaxDepth]]. */
   def bfsOnEdges(edges: DataFrame): DataFrame = {
     val adj = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val src0 = adj.agg(min("src")).head().getLong(0)
+    // one aggregation job yields the seed AND the node count that
+    // decides the per-round join strategy: frontier/visited are
+    // checkpointed (no size statistics), so Catalyst would otherwise
+    // sort-merge-join — and re-sort — the persisted adjacency EVERY
+    // round (the pagerank BroadcastNodesMax rationale); both frames are
+    // O(nodes), so below the bound they broadcast.
+    val st = adj.agg(min("src"), countDistinct("src")).head()
+    val src0 = st.getLong(0)
+    val bcState = st.getLong(1) <= BroadcastNodesMax
+    def maybeBc(df: DataFrame): DataFrame = if (bcState) broadcast(df) else df
     val sp = adj.sparkSession
     import sp.implicits._
     var visited = Seq((src0, 0L)).toDF("node", "dist").localCheckpoint()
@@ -409,9 +432,10 @@ object GraphOps {
     var d = 0L
     var done = false
     while (!done && d < BfsMaxDepth) {
-      val next = adj.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+      val next = adj.join(maybeBc(frontier.withColumnRenamed("node", "src")),
+          Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(maybeBc(visited.select("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(d + 1L))
         .localCheckpoint()
       if (next.isEmpty) done = true
@@ -449,9 +473,17 @@ object GraphOps {
   /** Core on any lineitem/orders-shaped frames (ScaleProbe entry point). */
   def graphLabelPropFrames(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val e = supplierEdges(lineitem, orders)
-    labelPropOnEdges(e, LpaRounds)
-      .withColumn("community_size",
-        count(lit(1)).over(Window.partitionBy("community")))
+    // checkpointed: the size agg and the join both read the final labels
+    val lp = labelPropOnEdges(e, LpaRounds).localCheckpoint()
+    // size annotation via partial-agg groupBy + join back — NOT a
+    // community-keyed count window: real co-supply graphs concentrate in
+    // few giant communities, and a window ships each whole community
+    // into ONE task (the componentPanel lesson, guide §2.5). Shuffle
+    // bytes become O(#communities), the join is balanced by the node
+    // side. Same result.
+    val sizes = lp.groupBy("community")
+      .agg(count(lit(1)).as("community_size"))
+    lp.join(sizes, "community")
       .select(col("node").as("suppkey"), col("community"), col("community_size"))
       .orderBy("suppkey")
   }
@@ -465,17 +497,28 @@ object GraphOps {
     var labels = adj.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    val w = Window.partitionBy("node")
-      .orderBy(col("votes").desc, col("label"))
+    // label state is two longs per node: below the shared bound,
+    // broadcast it into the per-round join — a checkpointed frame
+    // carries NO size statistics, so Catalyst would otherwise
+    // sort-merge-join (and re-sort) the ADJACENCY side every round (the
+    // pagerank / connectedComponents BroadcastNodesMax rationale)
+    val broadcastLabels = labels.count() <= BroadcastNodesMax
+    def maybeBc(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
     var i = 0
     while (i < rounds) {
+      // per-node argmax as a partial-agg groupBy min(struct(−votes,
+      // label)) — the same (votes desc, label asc) total order the old
+      // row_number window used, WITHOUT the window's single-task sort
+      // of a hub node's whole vote list (guide §2.5) and with map-side
+      // combine on the node key
       val next = adj
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .join(maybeBc(labels.withColumnRenamed("node", "dst")), Seq("dst"))
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("votes"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("node", "label")
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("nv"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
       labels = if (i == rounds - 1) next else next.localCheckpoint()
       i += 1
     }
@@ -619,18 +662,31 @@ object GraphOps {
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val allStarts = adj.select(col("src").as("start")).distinct()
+    // the frontier is O(walks) rows of two longs and (post-step-1) a
+    // join product with no usable size statistics — below the node
+    // bound broadcast it, so each step probes the persisted rank
+    // adjacency without re-shuffling and re-sorting it (the pagerank
+    // BroadcastNodesMax rationale). The count job reads the persisted
+    // adjacency it would materialize anyway.
+    val bcFrontier = allStarts.count() <= BroadcastNodesMax
     var walk = starts.map(st => allStarts.join(st.select("start"), Seq("start")))
       .getOrElse(allStarts)
       .select(col("start"), col("start").as("node"), lit(0L).as("step"))
     var out = walk
     var i = 1
     while (i <= RwSteps) {
-      val next = walk.join(adj,
-          walk("node") === adj("src") &&
+      val wb = if (bcFrontier) broadcast(walk) else walk
+      val next = wb.join(adj,
+          wb("node") === adj("src") &&
           adj("nb_rank") === pmod(
-            (walk("node") % 1000003L) * 2654435761L + lit(i.toLong * 40503L),
+            (wb("node") % 1000003L) * 2654435761L + lit(i.toLong * 40503L),
             adj("deg")))
         .select(col("start"), col("dst").as("node"), lit(i.toLong).as("step"))
+        // eager per-step checkpoint (the node2vec walker's lesson): the
+        // frontier feeds the next step's join AND the output union —
+        // without it step k replays steps 1..k−1 and the union replays
+        // the whole triangle; frontier is O(walks) rows, the cheap side
+        .localCheckpoint()
       out = out.union(next)
       walk = next
       i += 1
@@ -720,6 +776,15 @@ object GraphOps {
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one count job (over the persisted frame the walk materializes
+    // anyway) decides the per-step join strategies: the checkpointed
+    // frontier and the edge-projection tri side carry no size
+    // statistics, so Catalyst would otherwise sort-merge-join — and
+    // re-sort — both per step (the pagerank BroadcastNodesMax
+    // rationale). Below the edge bound both broadcast; past it the
+    // keyed shuffle joins are the right plan.
+    val bcSmall = edges.count() <= BroadcastEdgesMax
+    def maybeBc(df: DataFrame): DataFrame = if (bcSmall) broadcast(df) else df
     // triadic probe side: (p, d) so the existence join keys don't
     // collide with the candidate columns
     val tri = edges.select(col("src").as("p"), col("dst").as("d"),
@@ -740,7 +805,12 @@ object GraphOps {
     val adj = n2vCappedAdjacency(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var i = 1
     while (i <= RwSteps) {
-      val cand = frontier.join(adj, frontier("cur") === col("a_src"))
+      // tri stays a keyed shuffle join: it is EDGE-sized, and a per-step
+      // broadcast would rebuild an O(edges) relation on the driver once
+      // per step per walker invocation (measured: walks_n2v_incremental
+      // +25% with broadcast(tri)); the frontier is the small side worth
+      // broadcasting
+      val cand = maybeBc(frontier).join(adj, frontier("cur") === col("a_src"))
         .join(tri, col("prev") === col("p") && col("a_dst") === col("d"),
           "left")
         .select(col("start"), col("prev"), col("cur"), col("a_dst").as("dst"),
@@ -822,17 +892,54 @@ object GraphOps {
     val delta = batchPairs.toDF("c", "s")
       .join(corpusPairs.toDF("c", "s"), Seq("c", "s"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // consumed by the reach rounds, both restriction semi-joins — and,
+    // through them, the redo walker
     val full = corpusPairs.toDF("c", "s")
       .union(batchPairs.toDF("c", "s")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val invalid = invalidatedWalkStarts(old, delta)
     // nodes whose FIRST edge arrived in the delta walk for the first
     // time — bounded by the delta's endpoints, never the node set
     val newStarts = delta.select(col("c").as("start"))
       .union(delta.select(col("s").as("start"))).distinct()
       .join(old.select("start").distinct(), Seq("start"), "left_anti")
-    val redo = invalid.union(newStarts).distinct()
+    // three consumers (kept anti-join, reach seed, walker frontier)
+    val redo = invalid.union(newStarts).distinct().localCheckpoint()
     val kept = old.join(redo, Seq("start"), "left_anti")
-    kept.unionByName(walker(full, Some(redo))).orderBy("start", "step")
+    // Restrict the grown graph to the redo walks' REACHABLE NEIGHBORHOOD
+    // before handing it to the walker: a step-i draw reads only the
+    // adjacency (and, second-order, the edge-existence probes keyed on
+    // prev) of the node visited at step i−1, i.e. of nodes within
+    // RwSteps−1 hops of a redo start. Keeping every pair with an
+    // endpoint in that set preserves those nodes' COMPLETE symmetric
+    // neighbor lists, so ranks/degrees/capped lists/triadic probes — and
+    // therefore every draw — are bit-identical to walking the full grown
+    // graph (the oracle hash-checks exactly this). What it buys: the
+    // walker's adjacency ranking pays O(redo neighborhood) instead of
+    // re-sorting the whole grown edge set — at 100 TB the difference
+    // between a daily-batch-sized refresh and an O(E log E) re-rank.
+    // the reach set is checkpointed node ids (no statistics) — broadcast
+    // it below the shared edge bound, keyed shuffle semi-joins past it
+    val bcReach = full.count() <= BroadcastEdgesMax
+    def mb(df: DataFrame): DataFrame = if (bcReach) broadcast(df) else df
+    var reach = redo.select(col("start").as("n"))
+    var h = 0
+    while (h < RwSteps - 1) {
+      reach = reach.union(
+          full.join(mb(reach.withColumnRenamed("n", "c")), Seq("c"),
+            "left_semi").select(col("s").as("n"))
+        ).union(
+          full.join(mb(reach.withColumnRenamed("n", "s")), Seq("s"),
+            "left_semi").select(col("c").as("n")))
+        .distinct().localCheckpoint()
+      h += 1
+    }
+    val nearPairs = full.join(mb(reach.withColumnRenamed("n", "c")),
+        Seq("c"), "left_semi")
+      .unionByName(full.join(mb(reach.withColumnRenamed("n", "s")),
+        Seq("s"), "left_semi"))
+      .distinct()
+    kept.unionByName(walker(nearPairs, Some(redo))).orderBy("start", "step")
   }
 
   /** walks_incremental — the first-order walk corpus maintained

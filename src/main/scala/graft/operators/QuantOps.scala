@@ -169,21 +169,27 @@ object QuantOps {
     val q = ClusterOps.quantized(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cent = ClusterOps.kmeansCentroids(q, cells, rounds).localCheckpoint()
-    val cellOf = ClusterOps.assign(q, cent)
-      .select(col("vec_id"), col("cluster").as("cell"))
-    val corpus = decodedCorpus(emb).join(cellOf, "vec_id")
-    val wProbe = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
-    val probes = q.filter(SimilarityOps.isQuery(col("vec_id")))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
-        ClusterOps.dist2(col("v"), col("c")).as("cd"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select("q_id", "cell")
-    val qe = emb.filter(SimilarityOps.isQuery(col("vec_id")))
+    // corpus side: decode + quantized v in ONE scan, cell attached
+    // map-side (the old shape joined a separately-shuffled assignment
+    // back on vec_id — ClusterOps.assignKeep rationale)
+    val corpus0 = withStats(emb)
+      .select(col("vec_id"), rArr(qArr).as("r"),
+        ClusterOps.v6Arr(col("embedding")).as("v"))
+      .select(col("vec_id"), col("r"), col("v"),
+        lsum(transform(col("r"), v =>
+          floor(v * v * lit(1e12) + lit(0.5)))).as("rn2"))
+    val corpus = ClusterOps.assignKeep(corpus0, cent)
+      .select(col("vec_id"), col("r"), col("rn2"), col("cluster").as("cell"))
+    // probe choice map-side (probeCellsKeep = the window's (cd, cell)
+    // total order), query payload carried through — no q_id join
+    val qe = ClusterOps.probeCellsKeep(
+        emb.filter(SimilarityOps.isQuery(col("vec_id")))
+          .select(col("vec_id"), col("embedding"),
+            normE12(col("embedding")).as("qn"),
+            ClusterOps.v6Arr(col("embedding")).as("v")),
+        cent, nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        normE12(col("embedding")).as("qn"))
-      .join(probes, "q_id")
+        col("qn"), col("cell"))
     val dot = lsum(zip_with(col("q_emb"), col("r"), (a, b) =>
       floor(a.cast("double") * b * lit(1e12) + lit(0.5))))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))

@@ -112,30 +112,29 @@ object SimilarityOps {
   def annIvfFrom(emb: DataFrame, k: Int = 5, cells: Int = 16,
       nprobe: Int = 2, rounds: Int = 2): DataFrame = {
     // Persisted: the training rounds, the cell assignment, and the
-    // corpus/probe sides all read this frame — without the persist every
-    // pass re-reads parquet. Cache contract: consumed by the returned
-    // lazy plan — callers clear it once the result is consumed
-    // (spark.catalog.clearCache(), as Verify/Bench do per query).
-    val q = ClusterOps.quantized(emb)
+    // corpus/probe sides all read this ONE scan (embedding + norm +
+    // quantized v — the combined projection replaces the old
+    // assignment⋈normed join back on vec_id). Cache contract: consumed
+    // by the returned lazy plan — callers clear it once the result is
+    // consumed (spark.catalog.clearCache(), as Verify/Bench do per
+    // query).
+    val e = normed(emb)
+      .withColumn("v", ClusterOps.v6Arr(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cent = ClusterOps.kmeansCentroids(q, cells, rounds).localCheckpoint()
-    val cellOf = ClusterOps.assign(q, cent)
-      .select(col("vec_id"), col("cluster").as("cell"))
-    val corpus = normed(emb).join(cellOf, "vec_id")
+    val cent = ClusterOps.kmeansCentroids(e.select("vec_id", "v"),
+      cells, rounds).localCheckpoint()
+    // map-side cell assignment (ClusterOps.assignKeep rationale)
+    val corpus = ClusterOps.assignKeep(e, cent)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cluster").as("cell"))
     // probe choice: exact integer L2 to each centroid, top-nprobe with
-    // the (distance, cell) total-order tie-break the oracle mirrors
-    val wProbe = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
-    val probes = q.filter(isQuery(col("vec_id")))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
-        ClusterOps.dist2(col("v"), col("c")).as("cd"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select("q_id", "cell")
-    val qe = normed(emb).filter(isQuery(col("vec_id")))
+    // the (distance, cell) total-order tie-break the oracle mirrors —
+    // map-side (probeCellsKeep), carrying the query payload through so
+    // the old probes⋈queries join on q_id is gone too
+    val qe = ClusterOps.probeCellsKeep(e.filter(isQuery(col("vec_id"))),
+        cent, nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-      .join(probes, "q_id")
+        col("nrm").as("q_nrm"), col("cell"))
     val scored = corpus.join(broadcast(qe), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

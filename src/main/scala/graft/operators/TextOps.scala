@@ -434,24 +434,19 @@ object TextOps {
     // assignment and both sides of the candidate join (callers clear
     // the cache once the result is consumed — the annIvf contract)
     val fv = fv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ints = fv.select("vec_id", "v")
-    val cent = ClusterOps.kmeansCentroids(ints, cells, rounds).localCheckpoint()
-    val cellOf = ClusterOps.assign(ints, cent)
-      .select(col("vec_id"), col("cluster").as("cell"))
-    val corpus = fv.join(cellOf, "vec_id")
+    val cent = ClusterOps.kmeansCentroids(fv.select("vec_id", "v"),
+      cells, rounds).localCheckpoint()
+    // map-side cell assignment keeps (v, nrm) — no join back on vec_id
+    // (ClusterOps.assignKeep rationale)
+    val corpus = ClusterOps.assignKeep(fv, cent)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster").as("cell"))
     // probe choice: exact integer L2 to each centroid, top-nprobe with
-    // the (distance, cell) total-order tie-break the oracle mirrors
-    val wProbe = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
-    val probes = ints.filter(SimilarityOps.isQuery(col("vec_id")))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id").as("q_id"), col("cluster").as("cell"),
-        ClusterOps.dist2(col("v"), col("c")).as("cd"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select("q_id", "cell")
-    val qe = fv.filter(SimilarityOps.isQuery(col("vec_id")))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(probes, "q_id")
+    // the (distance, cell) total-order tie-break the oracle mirrors —
+    // map-side (probeCellsKeep), query payload carried through
+    val qe = ClusterOps.probeCellsKeep(
+        fv.filter(SimilarityOps.isQuery(col("vec_id"))), cent, nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
     val dot = aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))

@@ -46,6 +46,13 @@ object TokenizerOps {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
+    // checkpoint every SECOND merge only (the pagerank cadence): each
+    // eager checkpoint is a full job over the vocab-bounded word table,
+    // and one pending native merge projection replays for free inside
+    // the next round's pair-count scan — halving the trainer's job
+    // count without changing a single argmax input
+    var lastCp = seg
+    var sinceCp = 0
     while (rank < numMerges && !exhausted) {
       val top = seg
         // fully-merged (single-symbol) words contribute no pairs — and
@@ -63,15 +70,19 @@ object TokenizerOps {
         val (l, r, f) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"),
           top.head.getAs[Long]("freq"))
         merges += ((rank, l, r, f))
-        val prev = seg
         seg = seg.select(col("cnt"),
-            Bpe.bpeMergePair(col("syms"), l, r).as("syms"))
-          .localCheckpoint() // eager: prev's blocks are consumed, drop them
-        prev.unpersist()
+          Bpe.bpeMergePair(col("syms"), l, r).as("syms"))
+        sinceCp += 1
+        if (sinceCp == 2) {
+          seg = seg.localCheckpoint()
+          lastCp.unpersist() // prior blocks fully superseded
+          lastCp = seg
+          sinceCp = 0
+        }
         rank += 1
       }
     }
-    seg.unpersist()
+    lastCp.unpersist()
     merges.toSeq
   }
 
@@ -251,9 +262,20 @@ object TokenizerOps {
     val wf = words.groupBy("w").agg(count(lit(1)).as("cnt"))
     val pos = wf.select(col("w"), col("cnt"),
       explode(expr("sequence(1, length(w))")).as("p"))
-    val vocabDf = vocab.toDF("t")
-    val freq = pos.join(broadcast(vocabDf),
-        expr("substring(w, p, length(t)) = t"))
+    // candidate substrings materialize per DISTINCT vocab-token length,
+    // so the probe is a hash EQUI-join on (t, len) — the old condition
+    // `substring(w, p, length(t)) = t` referenced both sides and planned
+    // a nested-loop scan of |positions|·|vocab| comparisons (guide §3).
+    // Joining on the length too keeps end-of-word truncated substrings
+    // (same text, shorter length) from double-matching a shorter token.
+    val lens = vocab.map(_.length).distinct.sorted
+    val vocabDf = vocab.toDF("t").withColumn("ln", length(col("t")))
+    val freq = pos
+      .select(col("cnt"), explode(array(lens.map(ln =>
+        struct(lit(ln).as("ln"), expr(s"substring(w, p, $ln)").as("t"))): _*))
+        .as("c"))
+      .select(col("cnt"), col("c.ln").as("ln"), col("c.t").as("t"))
+      .join(broadcast(vocabDf), Seq("t", "ln"))
       .groupBy("t").agg(sum(col("cnt")).as("freq"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     vocab.map(t => (t, freq.getOrElse(t, 0L)))
